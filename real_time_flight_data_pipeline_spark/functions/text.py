@@ -1,0 +1,134 @@
+"""Text-analysis column expressions (north-star: LLM training-data pipeline).
+
+Everything here is built from JVM-side expressions (split/transform/filter/
+aggregate/md5) so it whole-stage-codegens and has an exact DuckDB-SQL twin
+for the oracle harness. Hashes are md5-prefix based (not xxhash64) because
+md5 is bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword seed lists per language for the n-gram/stopword language-ID
+# heuristic. Tiny on purpose: the heuristic is argmax of hit counts.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht", "mit"),
+    "es": ("el", "los", "y", "una", "es", "en", "que", "se"),
+}
+# Deterministic tie-break order (first wins on equal counts).
+LANG_ORDER: tuple[str, ...] = ("en", "fr", "de", "es")
+
+
+def tokens(text: Column) -> Column:
+    """Lower-cased whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: runs of letters, runs of digits, or single
+    punctuation chars — a cheap proxy for BPE token counts at corpus scale."""
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+        )
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    stripped = F.regexp_replace(text, r"[a-zA-Z0-9\s]", "")
+    return F.when(
+        F.length(text) > 0, F.length(stripped) / F.length(text)
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_hits(text_tokens: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(text_tokens, lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) > 0, stopword_hits(toks, lang) / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax-of-stopword-hits language guess; 'und' when all counts are 0.
+
+    Ties break by LANG_ORDER. Composed as nested CASE so it stays one
+    codegen'd expression.
+    """
+    toks = tokens(text)
+    counts = {lg: stopword_hits(toks, lg) for lg in LANG_ORDER}
+    best = F.greatest(*[counts[lg] for lg in LANG_ORDER])
+    expr = F.lit("und")
+    for lg in reversed(LANG_ORDER):
+        expr = F.when((best > 0) & (counts[lg] == best), F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    plausible mean token length + stopword presence. Deterministic, cheap,
+    and monotone in the obvious junk signals."""
+    n_tok = token_count(text)
+    mean_tok_len = F.when(n_tok > 0, F.length(F.regexp_replace(text, r"\s+", "")) / n_tok).otherwise(F.lit(0.0))
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+    tok_ok = F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(text) >= 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
+    return len_ok + punct_ok + tok_ok + stop_ok
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for exact-dup fingerprinting: lower, collapse all
+    non-alphanumeric runs to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """128-bit content fingerprint of the normalized text (hex string)."""
+    return F.md5(normalized_text(text))
+
+
+def md5_long(c: Column, bits: int = 60) -> Column:
+    """Deterministic cross-engine hash: first 15 hex chars of md5 -> bigint.
+
+    15 hex digits = 60 bits, always positive, fits a 64-bit signed long in
+    every engine. Used for minhash/simhash where xxhash64 would not be
+    reproducible in the DuckDB oracle.
+    """
+    assert bits == 60
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def shingles(text_tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings; empty array when fewer than n tokens."""
+    sz = F.size(text_tokens)
+    idx = F.sequence(F.lit(0), sz - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(text_tokens, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_value(shingle_arr: Column, seed: int) -> Column:
+    """min over shingles of md5_long(seed || shingle); NULL for empty sets."""
+    hashed = F.transform(
+        shingle_arr, lambda s: F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}#"), s)), 1, 15), 16, 10).cast("long")
+    )
+    return F.array_min(hashed)

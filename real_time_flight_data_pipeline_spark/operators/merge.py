@@ -1,0 +1,106 @@
+"""Keyed upsert (MERGE) with per-column merge policies — no Delta required.
+
+The reference's loader realizes four distinct upsert semantics in Postgres
+(SURVEY.md §2.7): M1 insert-or-update-with-COALESCE (dims), M2 the
+nullable-unique split update/insert (collapses into one merge here), M3
+insert-ignore (routes), and M4 the fact's last-write-wins-with-exceptions
+(apps/loader/load_warehouse.py:244-277): measures overwritten *including with
+NULL*, ``ingest_time = GREATEST(old, new)``, ids ``COALESCE(new, old)``,
+``last_updated = now()``.
+
+Without delta-spark on the classpath, MERGE is emulated relationally: full
+outer join of target and source on the key, then a per-column CASE. This is
+itself a scale-correct plan — one shuffle on the merge key for each side
+(and none for the target if it is bucketed/pre-partitioned by key). On a
+Delta/Iceberg deployment the same policy table maps 1:1 onto
+``MERGE WHEN MATCHED THEN UPDATE SET ...``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+from enum import Enum
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class MergePolicy(str, Enum):
+    OVERWRITE = "overwrite"            # new value wins, even when NULL (M4 measures)
+    COALESCE_NEW_OLD = "coalesce_new"  # new unless NULL, else keep old (M1 dims, M4 ids)
+    COALESCE_OLD_NEW = "coalesce_old"  # keep old unless NULL (backfill-only)
+    GREATEST = "greatest"              # pairwise max (M4 ingest_time)
+    KEEP_OLD = "keep_old"              # insert-ignore for matched rows (M3)
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    policies: Mapping[str, MergePolicy],
+    default: MergePolicy = MergePolicy.OVERWRITE,
+    set_on_update: Mapping[str, Column] | None = None,
+) -> DataFrame:
+    """Return the merged table: target upserted with source, one row per key.
+
+    ``policies`` overrides the merge rule per column; ``set_on_update`` forces
+    an expression for matched rows regardless of values (e.g. last_updated =
+    a literal batch timestamp). Source must already be deduplicated to one
+    row per key (use operators.dedup.latest_per_key first).
+
+    Column set of the result == column set of ``target``.
+    """
+    value_cols = [c for c in target.columns if c not in keys]
+    src_cols = set(source.columns)
+    missing = [c for c in value_cols if c not in src_cols]
+
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = [t[k].eqNullSafe(s[k]) for k in keys]
+    joined = t.join(s, cond, "full_outer")
+
+    # Presence markers: a key column is NULL on the side that had no row
+    # (eqNullSafe keeps NULL keys matchable, so use a struct presence probe).
+    t_present = F.greatest(*[t[k].isNotNull() for k in keys]) if len(keys) > 1 else t[keys[0]].isNotNull()
+    s_present = F.greatest(*[s[k].isNotNull() for k in keys]) if len(keys) > 1 else s[keys[0]].isNotNull()
+
+    out_cols: list[Column] = []
+    for k in keys:
+        out_cols.append(F.coalesce(t[k], s[k]).alias(k))
+
+    set_on_update = dict(set_on_update or {})
+    for c in value_cols:
+        if c in missing and c not in set_on_update:
+            out_cols.append(t[c].alias(c))
+            continue
+        pol = policies.get(c, default)
+        tc = t[c]
+        sc = s[c] if c in src_cols else F.lit(None)
+        if pol is MergePolicy.OVERWRITE:
+            matched = sc
+        elif pol is MergePolicy.COALESCE_NEW_OLD:
+            matched = F.coalesce(sc, tc)
+        elif pol is MergePolicy.COALESCE_OLD_NEW:
+            matched = F.coalesce(tc, sc)
+        elif pol is MergePolicy.GREATEST:
+            matched = F.greatest(tc, sc)
+        elif pol is MergePolicy.KEEP_OLD:
+            matched = tc
+        else:  # pragma: no cover
+            raise ValueError(f"unknown policy {pol}")
+        if c in set_on_update:
+            matched = set_on_update[c]
+        out_cols.append(
+            F.when(t_present & s_present, matched)
+            .when(s_present, sc if c not in set_on_update else set_on_update[c])
+            .otherwise(tc)
+            .alias(c)
+        )
+    return joined.select(*out_cols)
+
+
+def insert_if_absent(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """M3 / J6: target ∪ (source rows whose key is absent from target).
+    Anti-join shape: ``WHEN NOT MATCHED THEN INSERT`` with no matched clause."""
+    fresh = source.join(target.select(*keys), keys, "left_anti")
+    return target.unionByName(fresh.select(*target.columns))

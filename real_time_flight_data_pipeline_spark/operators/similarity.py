@@ -1,0 +1,106 @@
+"""Similarity search over an embedding column (north-star operator).
+
+Two tiers (SURVEY.md §7.2 step 6):
+
+* ``topk_cosine`` — brute-force exact top-k for one query vector. The scan is
+  embarrassingly parallel; Spark plans the ``ORDER BY sim DESC LIMIT k`` as
+  TakeOrderedAndProject (per-partition heap + driver merge of k rows per
+  partition) — no global sort, no shuffle of the data. This remains the
+  correct *baseline* even at 100 TB: cost is one read of the corpus.
+* ``topk_cosine_lsh`` — approximate scale path: deterministic random-
+  hyperplane signatures bucket the corpus; only the query's bucket (and
+  optionally neighboring probes) is scanned. Buckets are computable at write
+  time and used as a partition/cluster key so a probe prunes partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+
+def topk_cosine(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int | None = 6,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a constant query vector.
+
+    ``sim_decimals`` rounds the reported similarity so results are stable
+    across engines that sum in different float widths; ordering ties are
+    broken by id for full determinism.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = V.cosine(F.col(vec_col), q)
+    if sim_decimals is not None:
+        sim = F.round(sim, sim_decimals)
+    return (
+        embeddings.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from a hash counter.
+
+    Reproducible on any engine: component = (hash splitmix-style) mapped to
+    [-1, 1). Quality is adequate for bucketing; no numpy RNG state involved.
+    """
+    comps = []
+    x = (seed * 0x9E3779B97F4A7C15 + plane_idx * 0xBF58476D1CE4E5B9) & (2**64 - 1)
+    for _ in range(dim):
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & (2**64 - 1)
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB & (2**64 - 1)
+        x = x ^ (x >> 31)
+        comps.append((x / 2**63) - 1.0)
+    return comps
+
+
+def signature_col(vec_col: str, dim: int, n_planes: int = 16, seed: int = 42):
+    """Random-hyperplane (SimHash-for-vectors) bucket id as an int column."""
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p, seed)])
+        bits.append(F.when(V.dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0)))
+    sig = F.lit(0).cast("long")
+    for b in bits:
+        sig = F.shiftleft(sig, 1) + b.cast("long")
+    return sig
+
+
+def topk_cosine_lsh(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    sim_decimals: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: scan only rows sharing the query's LSH bucket.
+
+    At scale the corpus is written partitioned by ``bucket`` so this probe
+    reads 1/2^n_planes of the data (partition pruning), then ranks exactly
+    within the bucket.
+    """
+    dim = len(query_vec)
+    bucketed = embeddings.withColumn(
+        "_bucket", signature_col(vec_col, dim, n_planes, seed)
+    )
+    # Query bucket computed driver-side with the same hyperplanes.
+    qsig = 0
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p, seed)
+        d = sum(float(a) * b for a, b in zip(query_vec, plane))
+        qsig = (qsig << 1) | (1 if d >= 0 else 0)
+    cand = bucketed.filter(F.col("_bucket") == qsig).drop("_bucket")
+    return topk_cosine(cand, query_vec, k, id_col, vec_col, sim_decimals)

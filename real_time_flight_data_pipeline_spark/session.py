@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+Design for a 1000-executor cluster; test on local[N]. The knobs below are the
+ones that matter for both: AQE on (runtime re-plan, skew-join splitting,
+partition coalescing), shuffle partitions sized to the parallelism actually
+available, UTC session timezone (oracle comparability — DuckDB timestamps are
+UTC-naive), and Arrow for any pandas exchange.
+
+ANSI mode is left ON (Spark 4 default); every parse that may fail uses
+``try_*`` functions instead (see functions/normalize.py), matching the
+reference's parse-to-NULL-never-crash policy (flight_stream.py:39-41).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _local_cores() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "flightframe",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    On a real cluster, pass ``master=None`` and let spark-submit decide;
+    ``shuffle_partitions`` should then be ~2-3x total executor cores (or left
+    to AQE's coalescing with a high initial value).
+    """
+    cores = _local_cores()
+    master = master or f"local[{cores}]"
+    shuffle = shuffle_partitions if shuffle_partitions is not None else cores
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 10 MB default is conservative; dims in a star schema are far
+        # smaller than executor memory even at 100 TB fact scale.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # The driver testdata stores events.ts as TIMESTAMP(NANOS), which the
+        # vectorized parquet reader rejects; read nanos as long and convert
+        # in sources.parquet.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,1 @@
+from .parquet import load_table, load_tables  # noqa: F401

@@ -1,0 +1,53 @@
+"""Parquet table loaders for the driver testdata layout.
+
+One parquet file per table under ``{sf_dir}/{name}.parquet``. Columnar scans
+with pushdown/pruning come for free; callers should still select only the
+columns they need so ``ReadSchema`` stays narrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TESTDATA_TABLES
+
+# Columns written as parquet TIMESTAMP(NANOS). With
+# spark.sql.legacy.parquet.nanosAsLong they arrive as epoch-nanos longs;
+# convert via integer `div` (a float division would lose precision above
+# 2^53 ns) and truncate to micros exactly like DuckDB's TIMESTAMP_NS ->
+# TIMESTAMP read, keeping both engines bit-identical.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def _ensure_runtime_confs(spark: SparkSession) -> None:
+    """Make a caller-provided SparkSession (e.g. the verification driver's)
+    safe for this engine: nanos-typed parquet readable, UTC session clock.
+    Both are runtime-settable SQL confs."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked down (e.g. Spark Connect policy) — reads may still work
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    _ensure_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    wanted = names or TESTDATA_TABLES
+    return {n: load_table(spark, sf_dir, n) for n in wanted}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register each table as a temp view for the SQL API."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)

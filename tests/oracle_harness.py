@@ -1,0 +1,79 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Runs a catalog query in Spark and its oracle SQL in DuckDB over the same
+parquet tables, then compares row count, column names, and an
+order-insensitive canonical value multiset. Strictness matches (or exceeds)
+the driver's hash comparison: values are canonicalized to strings with exact
+repr, so a pass here implies a hash match there.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from decimal import Decimal
+
+import duckdb
+
+from real_time_flight_data_pipeline_spark.schemas import TESTDATA_TABLES
+
+
+def _canon(v):
+    if v is None:
+        return "<null>"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def _rows_to_multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def compare(spark, sf_dir: str, builder, oracle: str) -> tuple[bool, str]:
+    sdf = builder(spark, sf_dir)
+    s_rows = sdf.collect()
+    s_cols = sdf.columns
+
+    con = duckdb_conn(sf_dir)
+    res = con.execute(oracle)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    problems = []
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"schema mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+    if len(s_rows) != len(d_rows):
+        problems.append(f"rowcount mismatch: spark={len(s_rows)} duckdb={len(d_rows)}")
+    if not problems:
+        ms, md = _rows_to_multiset([tuple(r) for r in s_rows], s_cols), _rows_to_multiset(
+            d_rows, d_cols
+        )
+        if ms != md:
+            diffs = [(a, b) for a, b in zip(ms, md) if a != b][:5]
+            problems.append(f"value mismatch, first diffs: {diffs}")
+    return (not problems, "; ".join(problems))
