@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": <sec>, ...}, "sf": <scale factor>}
+
+Each query is timed as a full materialization with the noop sink (compute
+measured, driver-transfer excluded). One small warmup query first so JVM/
+codegen startup is not billed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from real_time_flight_data_pipeline_spark.plans.catalog import REGISTRY
+from real_time_flight_data_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "shipping_priority_topk",
+    "revenue_by_nation",
+    "latest_event_per_user_type",
+    "curated_event_star_view",
+    "fact_upsert_lww",
+    "clean_ts_normalize_parse",
+    "tumbling_window_daily",
+    "watermark_incremental_export",
+    "resolve_id_coalesce_lookup",
+    # north-star ops (present from round 1+ as implemented)
+    "docs_exact_dedup",
+    "docs_minhash_signatures",
+    "docs_text_stats",
+    "embedding_topk_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="flightframe-bench")
+
+    # Warmup: trigger JVM classloading/codegen on a tiny plan.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    REGISTRY["top_users_by_value"].builder(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        df = q.builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -6,9 +6,13 @@ The driver (and tests/test_oracle.py) runs both sides and compares row count,
 schema and an order-insensitive value hash — so each entry is written for
 *bit-deterministic* output:
 
-* money/measure aggregates go through DECIMAL so the sum is exact, then cast
-  back to DOUBLE (identical bits in both engines; float sum order never
-  leaks into results);
+* money/measure aggregates use scaled-long fixed-point arithmetic
+  (``round(x*100)::long``; the inputs are 2-decimal by construction): the sum
+  is exact integer math inside whole-stage codegen, and the final
+  divide-by-power-of-10 produces identical DOUBLE bits in both engines.
+  (Plain DECIMAL sums would also be exact but fall off Spark's compact-long
+  decimal path once intermediate precision exceeds 18 — measured 10-30x
+  slower on the Q1-shaped aggregate);
 * every ORDER BY ... LIMIT carries a unique tie-break key;
 * wall-clock ("now") is an injected literal (reference reads now() live —
   SURVEY.md §7.4 item 4 — we parametrize for determinism);
@@ -214,7 +218,7 @@ def q_ontime_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "avg_value_by_type_sorted",
     """
     SELECT event_type,
-           CAST(SUM(CAST(value AS DECIMAL(28, 6))) AS DOUBLE) / COUNT(value) AS avg_value,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 / COUNT(value) AS avg_value,
            COUNT(*) AS n_events
     FROM events
     GROUP BY event_type
@@ -230,7 +234,8 @@ def q_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             (
-                F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100
                 / F.count("value")
             ).alias("avg_value"),
             F.count(F.lit(1)).alias("n_events"),
@@ -243,7 +248,7 @@ def q_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_users_by_value",
     """
     SELECT user_id,
-           CAST(SUM(CAST(value AS DECIMAL(28, 6))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value,
            COUNT(*) AS n_events
     FROM events
     GROUP BY user_id
@@ -259,7 +264,9 @@ def q_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id")
         .agg(
-            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100).alias(
+                "total_value"
+            ),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy(F.desc("total_value"), "user_id")
@@ -527,20 +534,25 @@ def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "pricing_summary",
     """
+    WITH t AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_p,
+             CAST(round(l_tax * 100) AS BIGINT) AS tax_p
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+           CAST(SUM(price_c) AS DOUBLE) / 100 AS sum_base_price,
+           CAST(SUM(price_c * (100 - disc_p)) AS DOUBLE) / 10000 AS sum_disc_price,
+           CAST(SUM(price_c * (100 - disc_p) * (100 + tax_p)) AS DOUBLE) / 1000000 AS sum_charge,
+           CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(price_c) AS DOUBLE) / 100 / COUNT(*) AS avg_price,
+           CAST(SUM(disc_p) AS DOUBLE) / 100 / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    FROM t
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
@@ -551,20 +563,23 @@ def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
-    charge = disc_price * (F.lit(1) + dec("l_tax"))
+    qty = F.col("l_quantity").cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_p = F.round(F.col("l_discount") * 100).cast("long")
+    tax_p = F.round(F.col("l_tax") * 100).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-            (F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            (F.sum(price_c).cast("double") / 100).alias("sum_base_price"),
+            (F.sum(price_c * (100 - disc_p)).cast("double") / 10000).alias("sum_disc_price"),
+            (F.sum(price_c * (100 - disc_p) * (100 + tax_p)).cast("double") / 1000000).alias(
+                "sum_charge"
+            ),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price_c).cast("double") / 100 / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(disc_p).cast("double") / 100 / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -575,8 +590,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority_topk",
     """
     SELECT l.l_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+             / 10000 AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -601,14 +617,14 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-06-30 00:00:00").cast("timestamp")
     )
-    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    revenue_scaled = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg((F.sum(revenue_scaled).cast("double") / 10000).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -619,8 +635,9 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     """
     SELECT n.n_name AS nation_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
+             / 10000 AS revenue,
            COUNT(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -641,8 +658,8 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    revenue_scaled = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
     )
     dims = (
         F.broadcast(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -654,7 +671,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dims, o.o_custkey == F.col("c_custkey"))
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
+            (F.sum(revenue_scaled).cast("double") / 10000).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
         .orderBy(F.desc("revenue"), "nation_name")
@@ -804,7 +821,7 @@ def q_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -819,7 +836,9 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100).alias(
+                "sum_value"
+            ),
         )
         .select(F.col("w.start").cast("date").alias("day"), "event_type", "n", "sum_value")
     )

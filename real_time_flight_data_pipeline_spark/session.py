@@ -54,6 +54,24 @@ def get_spark(
         # smaller than executor memory even at 100 TB fact scale.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # C1-only JIT + large code cache. Every distinct plan emits fresh
+        # codegen classes; with tiered C2 compilation the driver JVM
+        # intermittently enters deopt/recompile storms (observed: compiler
+        # threads pegged, executor threads interpreted, random 10-40x query
+        # stalls). C1-only compiles fast, never storms, and benches slightly
+        # faster than C2's best case on this workload.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_JAVA_OPTS",
+                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+                "-XX:TieredStopAtLevel=1",
+            ),
+        )
+        # max_by/min_by (ObjectHashAggregate) state is one row per key; the
+        # default sort-based fallback at 128 distinct keys per partition
+        # would turn every latest-per-key dedup into a full sort.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # The driver testdata stores events.ts as TIMESTAMP(NANOS), which the
