@@ -126,9 +126,44 @@ def shingles(text_tokens: Column, n: int = 3) -> Column:
     return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_value(shingle_arr: Column, seed: int) -> Column:
-    """min over shingles of md5_long(seed || shingle); NULL for empty sets."""
-    hashed = F.transform(
-        shingle_arr, lambda s: F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}#"), s)), 1, 15), 16, 10).cast("long")
+# Universal-hash minhash family over a 32-bit base hash: one md5 per
+# shingle, then perm_s(h) = (a_s*h + b_s) mod P per permutation — 8x fewer
+# md5 evaluations than hashing per-seed, same theoretical guarantees
+# (Carter-Wegman universal hashing). a_s < 2^31 keeps a*h < 2^63: exact
+# BIGINT arithmetic in both Spark and DuckDB.
+MINHASH_PRIME = 4294967291  # largest 32-bit prime
+
+
+def _minhash_coeffs(n: int) -> list[tuple[int, int]]:
+    coeffs = []
+    x = 0x9E3779B97F4A7C15
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) & (2**64 - 1)
+        a = (x >> 33) | 1  # odd, < 2^31
+        x = (x * 6364136223846793005 + 1442695040888963407) & (2**64 - 1)
+        b = x >> 33
+        coeffs.append((a, b))
+    return coeffs
+
+
+MINHASH_COEFFS = _minhash_coeffs(16)
+
+
+def shingle_base_hashes(shingle_arr: Column) -> Column:
+    """One 32-bit md5-prefix hash per shingle (the only md5 pass)."""
+    return F.transform(
+        shingle_arr,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
     )
-    return F.array_min(hashed)
+
+
+def minhash_from_hashes(base_hashes: Column, seed: int) -> Column:
+    a, b = MINHASH_COEFFS[seed]
+    return F.array_min(
+        F.transform(base_hashes, lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_PRIME)
+    )
+
+
+def minhash_value(shingle_arr: Column, seed: int) -> Column:
+    """min over shingles of perm_seed(md5_32(shingle)); NULL for empty sets."""
+    return minhash_from_hashes(shingle_base_hashes(shingle_arr), seed)

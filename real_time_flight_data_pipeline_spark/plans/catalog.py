@@ -76,6 +76,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition an under-partitioned input to the session's
+    parallelism. Single-file local inputs arrive as one task; CPU-heavy
+    scalar stages (hashing, regex, per-row lambdas) must not serialize on
+    it. On a real cluster the source is already split, so this is a no-op.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 # ===========================================================================
 # A1 — latest-per-key dedup (the reference's DISTINCT ON, 7 call sites)
 # ===========================================================================

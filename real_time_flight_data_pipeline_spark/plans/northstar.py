@@ -1,0 +1,615 @@
+"""North-star catalog: LLM-training-data pipeline operators.
+
+Deduplication (exact, minhash-LSH + jaccard verify, simhash), similarity
+search (brute-force and LSH-bucketed top-k cosine, near-dup pairs), text
+analysis (tokens, quality, language-ID, fingerprints) and multimodal column
+plumbing — each as a (Spark builder, DuckDB oracle) pair on the driver's
+``documents`` / ``embeddings`` tables.
+
+None of this exists in the reference (SURVEY.md §2.11: the space is empty);
+it extends the engine per BASELINE.json's north star. Determinism rules are
+the same as catalog.py: md5-prefix hashes (cross-engine), integer ratio
+arithmetic, explicit tie-breaks. The test corpora contain no natural
+duplicates, so dup-detection queries derive deterministic variants in-query
+(exact copies / last-token-truncated / component-perturbed) — the operator
+pipeline is identical to what would run on a raw corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions import vectors as V
+from .catalog import _register, _spread, _t
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+_SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')"
+_SQL_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+    "ELSE [] END"
+)
+
+
+def _sql_md5_long(expr: str) -> str:
+    return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+
+
+_SQL_BASE_HASHES = (
+    "list_transform(sh, s -> ('0x' || substring(md5(s), 1, 8))::BIGINT)"
+)
+
+
+def _sql_minhash(seed: int) -> str:
+    a, b = TX.MINHASH_COEFFS[seed]
+    return f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {TX.MINHASH_PRIME}))"
+
+
+_N_MINHASH = 8
+_JACCARD_THRESHOLD = 0.5
+
+# ===========================================================================
+# Exact dedup — hash-groupBy on a canonical fingerprint
+# ===========================================================================
+_EXACT_CORPUS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+@_register(
+    "docs_exact_dedup",
+    f"""
+    WITH corpus AS ({_EXACT_CORPUS_SQL})
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM corpus
+    GROUP BY 1
+    """,
+    "Exact near-canonical dedup: normalize -> md5 fingerprint -> hash "
+    "groupBy keeping the smallest id. Shuffle is O(distinct fingerprints) "
+    "with map-side partial aggregation; the canonical scale path for exact "
+    "dedup at 100 TB",
+    reference="[NORTH-STAR] generalizes A1 (load_warehouse.py:210-213) to content keys",
+    tags=("dedup", "northstar"),
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return (
+        corpus.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ===========================================================================
+# Text statistics / quality / language-ID
+# ===========================================================================
+def _sql_stop_count(words: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, t -> list_contains([{arr}], t)))"
+
+
+_SQL_LANG_COUNTS = {lg: _sql_stop_count(ws) for lg, ws in TX.STOPWORDS.items()}
+_SQL_LANG_BEST = "greatest(" + ", ".join(f"c_{lg}" for lg in TX.LANG_ORDER) + ")"
+_SQL_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN best > 0 AND c_{lg} = best THEN '{lg}'" for lg in TX.LANG_ORDER
+    )
+    + " ELSE 'und' END"
+)
+
+
+@_register(
+    "docs_text_stats",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+    ),
+    cnt AS (
+      SELECT *,
+             len(toks) AS n_tokens,
+             {", ".join(f"{sql} AS c_{lg}" for lg, sql in _SQL_LANG_COUNTS.items())}
+      FROM tok
+    ),
+    best AS (SELECT *, {_SQL_LANG_BEST} AS best FROM cnt)
+    SELECT doc_id,
+           n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                     / length(text)
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_tokens > 0
+                THEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / n_tokens
+                ELSE 0.0 END AS mean_token_len,
+           CASE WHEN n_tokens > 0 THEN CAST(c_en AS DOUBLE) / n_tokens ELSE 0.0 END
+             AS stopword_ratio_en,
+           CAST(
+             (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN (CASE WHEN length(text) > 0
+                          THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                               / length(text) ELSE 0.0 END) <= 0.2 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN n_tokens > 0
+                     AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / n_tokens
+                         BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN n_tokens > 0
+                     AND CAST(c_en AS DOUBLE) / n_tokens >= 0.01 THEN 0.25 ELSE 0.0 END)
+           AS DOUBLE) AS quality_score,
+           {_SQL_LANG_CASE} AS lang_pred
+    FROM best
+    """,
+    "Per-document text analysis: whitespace + BPE-ish token counts, "
+    "punctuation ratio, mean token length, stopword ratio, composite quality "
+    "score, stopword-argmax language ID — all single-pass codegen'd "
+    "expressions, no UDFs",
+    reference="[NORTH-STAR] text analysis ops; no reference counterpart",
+    tags=("text", "northstar"),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        TX.punct_ratio(t).alias("punct_ratio"),
+        F.when(
+            TX.token_count(t) > 0,
+            F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / TX.token_count(t),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_token_len"),
+        TX.stopword_ratio(t, "en").alias("stopword_ratio_en"),
+        TX.quality_score(t).alias("quality_score"),
+        TX.lang_id(t).alias("lang_pred"),
+    )
+
+
+@_register(
+    "docs_lang_confusion",
+    f"""
+    WITH tok AS (SELECT lang, {_SQL_TOKS} AS toks FROM documents),
+    cnt AS (
+      SELECT lang,
+             {", ".join(f"{sql} AS c_{lg}" for lg, sql in _SQL_LANG_COUNTS.items())}
+      FROM tok
+    ),
+    best AS (SELECT *, {_SQL_LANG_BEST} AS best FROM cnt)
+    SELECT lang AS lang_true, {_SQL_LANG_CASE} AS lang_pred, count(*) AS n
+    FROM best GROUP BY 1, 2
+    """,
+    "Language-ID confusion matrix vs the labeled lang column",
+    reference="[NORTH-STAR]",
+    tags=("text", "northstar", "A6"),
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("lang_true"),
+            TX.lang_id(F.col("text")).alias("lang_pred"),
+        )
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ===========================================================================
+# MinHash signatures + LSH near-dup pairs with exact-jaccard verification
+# ===========================================================================
+_NEAR_CORPUS_SQL = r"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             regexp_replace(text, '\s+\S+\s*$', '') AS text
+      FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.regexp_replace("text", r"\s+\S+\s*$", "").alias("text"),
+        )
+    )
+
+
+@_register(
+    "docs_minhash_signatures",
+    f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    shin AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM tok),
+    hsh AS (SELECT doc_id, {_SQL_BASE_HASHES} AS hs FROM shin)
+    {" UNION ALL ".join(
+        f"SELECT doc_id, {s} AS seed, {_sql_minhash(s)} AS minhash FROM hsh"
+        for s in range(_N_MINHASH)
+    )}
+    """,
+    f"MinHash signatures ({_N_MINHASH} permutations, md5-derived hash "
+    "family) over word-trigram shingles, exploded to (doc_id, seed, minhash). "
+    "Documents with <3 tokens get NULL signatures",
+    reference="[NORTH-STAR] MinHash (Broder'97) on Spark higher-order functions",
+    tags=("dedup", "northstar", "bench"),
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = TX.tokens(F.col("text"))
+    sh = TX.shingles(toks, 3)
+    df = docs.select("doc_id", sh.alias("sh")).select(
+        "doc_id", TX.shingle_base_hashes(F.col("sh")).alias("hs")
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seed"),
+                TX.minhash_from_hashes(F.col("hs"), s).alias("minhash"),
+            )
+            for s in range(_N_MINHASH)
+        ]
+    )
+    return df.select("doc_id", F.explode(pairs).alias("u")).select(
+        "doc_id", F.col("u.seed").alias("seed"), F.col("u.minhash").alias("minhash")
+    )
+
+
+def _near_dup_oracle() -> str:
+    mh_cols = ", ".join(f"{_sql_minhash(s)} AS mh{s}" for s in range(_N_MINHASH))
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(CAST(mh{2*b} AS VARCHAR) || '_' || CAST(mh{2*b+1} AS VARCHAR)) AS band_key "
+        f"FROM mh"
+        for b in range(_N_MINHASH // 2)
+    )
+    return f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+    shin AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM tok),
+    hsh AS (SELECT doc_id, {_SQL_BASE_HASHES} AS hs FROM shin),
+    mh AS (SELECT doc_id, {mh_cols} FROM hsh),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.a_id, c.b_id,
+             len(list_filter(list_distinct(sa.sh), x -> list_contains(sb.sh, x))) AS inter,
+             len(list_distinct(sa.sh)) AS na,
+             len(list_distinct(sb.sh)) AS nb
+      FROM cand c
+      JOIN shin sa ON sa.doc_id = c.a_id
+      JOIN shin sb ON sb.doc_id = c.b_id
+    )
+    SELECT a_id, b_id,
+           round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+    FROM verified
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {_JACCARD_THRESHOLD}
+    """
+
+
+@_register(
+    "docs_near_dup_pairs",
+    _near_dup_oracle(),
+    "MinHash-LSH near-duplicate detection: banded signatures (4 bands x 2 "
+    "rows) bucket candidates — only same-bucket pairs are compared — then "
+    "exact trigram-Jaccard verification >= 0.5. The self-join is on "
+    "(band_idx, band_key), so shuffle volume is O(candidates), never "
+    "O(n^2): the standard 100 TB near-dup plan",
+    reference="[NORTH-STAR] MinHash-LSH (Leskovec MMDS ch.3) as DataFrame ops",
+    tags=("dedup", "northstar"),
+)
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _spread(spark, _near_corpus(spark, sf_dir))
+    toks = TX.tokens(F.col("text"))
+    shin = corpus.select("doc_id", TX.shingles(toks, 3).alias("sh"))
+    hsh = shin.select("doc_id", TX.shingle_base_hashes(F.col("sh")).alias("hs"))
+    mh = hsh.select(
+        "doc_id",
+        *[TX.minhash_from_hashes(F.col("hs"), s).alias(f"mh{s}") for s in range(_N_MINHASH)],
+    )
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat(
+                                F.col(f"mh{2*b}").cast("string"),
+                                F.lit("_"),
+                                F.col(f"mh{2*b+1}").cast("string"),
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(_N_MINHASH // 2)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .dropDuplicates()
+    )
+    sa = shin.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    sb = shin.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    verified = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect(F.array_distinct("a_sh"), F.array_distinct("b_sh"))).alias("inter"),
+            F.size(F.array_distinct("a_sh")).alias("na"),
+            F.size(F.array_distinct("b_sh")).alias("nb"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return verified.select(
+        "a_id", "b_id", F.round(jac, 6).alias("jaccard")
+    ).filter(jac >= _JACCARD_THRESHOLD)
+
+
+# ===========================================================================
+# SimHash — fully relational (explode tokens x bit positions, re-aggregate)
+# ===========================================================================
+@_register(
+    "docs_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, {_sql_md5_long('tok')} AS h FROM tok),
+    c AS (
+      SELECT doc_id, b.bit,
+             CASE WHEN (h // CAST(power(2, b.bit) AS BIGINT)) % 2 = 1
+                  THEN 1 ELSE -1 END AS contrib
+      FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) b
+    ),
+    s AS (SELECT doc_id, bit, sum(contrib) AS s FROM c GROUP BY 1, 2)
+    SELECT doc_id,
+           sum(CASE WHEN s >= 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS simhash
+    FROM s GROUP BY doc_id
+    """,
+    "60-bit SimHash as a pure relational plan: explode tokens x bit "
+    "positions, signed-majority per bit, repack. Both aggregations are "
+    "map-side combinable, so the shuffle is O(docs x 60) regardless of "
+    "document length — the shape that survives 100 TB",
+    reference="[NORTH-STAR] SimHash (Charikar'02) without UDFs",
+    tags=("dedup", "northstar"),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    h = tok.select("doc_id", TX.md5_long(F.col("tok")).alias("h"))
+    bits = spark.range(0, 60).select(F.col("id").cast("int").alias("bit"))
+    c = h.crossJoin(F.broadcast(bits)).select(
+        "doc_id",
+        "bit",
+        F.when(
+            F.expr("(h div CAST(power(2, bit) AS BIGINT)) % 2") == 1, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("contrib"),
+    )
+    s = c.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
+    return s.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") >= 0, F.expr("CAST(power(2, bit) AS BIGINT)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
+
+
+# ===========================================================================
+# Similarity search over embeddings
+# ===========================================================================
+_TOPK_ORACLE = """
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           round(
+             list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))), 6) AS sim
+    FROM embeddings, q
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+"""
+
+
+@_register(
+    "embedding_topk_cosine",
+    _TOPK_ORACLE,
+    "Brute-force exact top-k cosine to a query vector (vec_id 0). One "
+    "corpus scan, per-partition top-k heap (TakeOrderedAndProject), no "
+    "shuffle of the data — the correct exact baseline at any scale",
+    reference="[NORTH-STAR] similarity search; PAPERS.md EDBT'20/ICDE'21 top-k",
+    tags=("similarity", "northstar", "bench"),
+)
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import topk_cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return topk_cosine(emb, qvec, k=10)
+
+
+@_register(
+    "embedding_near_dup_pairs",
+    """
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding::DOUBLE[], x -> x * 1.01) AS v,
+             label
+      FROM embeddings WHERE vec_id % 10 = 0
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS sim
+    FROM corpus a JOIN corpus b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+    """,
+    "Embedding-cosine near-duplicate pairs with label blocking: the "
+    "self-join shuffles on the blocking key so each task compares only "
+    "within-block pairs; cosine >= 0.99 keeps perturbed copies",
+    reference="[NORTH-STAR] embedding near-dup; blocking generalizes to LSH buckets",
+    tags=("dedup", "similarity", "northstar"),
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(F.col("v"), lambda x: x * 1.01).alias("v"),
+            "label",
+        )
+    )
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    sim = V.cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(sim >= 0.99)
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.round(sim, 6).alias("sim"),
+        )
+    )
+
+
+def _lsh_topk_oracle() -> str:
+    from ..operators.similarity import _hyperplane
+
+    n_planes, dim, seed = 8, 64, 42
+    plane_dots = []
+    for p in range(n_planes):
+        comps = ", ".join(repr(c) for c in _hyperplane(dim, p, seed))
+        plane_dots.append(f"list_dot_product(v, [{comps}]::DOUBLE[])")
+    bucket_expr = " + ".join(
+        f"(CASE WHEN {plane_dots[p]} >= 0 THEN {1 << (n_planes - 1 - p)} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM e),
+    q AS (SELECT v AS qv, bucket AS qbucket FROM sig WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+    FROM sig, q
+    WHERE bucket = qbucket
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@_register(
+    "embedding_topk_lsh",
+    _lsh_topk_oracle(),
+    "Approximate top-k cosine via random-hyperplane LSH: 8 deterministic "
+    "hyperplanes bucket the corpus (256 buckets); only the query's bucket "
+    "is ranked exactly. At scale the bucket is a partition key, so a probe "
+    "prunes ~255/256 of the scan",
+    reference="[NORTH-STAR] SimHash-LSH for vectors (Charikar'02)",
+    tags=("similarity", "northstar"),
+)
+def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import topk_cosine_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return topk_cosine_lsh(emb, qvec, k=10, n_planes=8, seed=42)
+
+
+# ===========================================================================
+# Multimodal column plumbing (binary payloads + Pandas-UDF decode stub)
+# ===========================================================================
+_MM_SCHEMA = (
+    "doc_id long, byte_len int, width int, height int, channels int, format string"
+)
+
+
+def _decode_stub(batches):
+    """mapInPandas 'decoder': the real image decode (PIL/ffmpeg) is not in
+    this container, so metadata is derived deterministically from the md5 of
+    the payload bytes — the Arrow batch shape, binary column handling and
+    output schema are exactly what a real decoder would use."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        raw = pdf["image_bytes"]
+        digests = [hashlib.md5(bytes(b)).hexdigest() for b in raw]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": [len(bytes(b)) for b in raw],
+                "width": [64 + int(d[:4], 16) % 1856 for d in digests],
+                "height": [64 + int(d[4:8], 16) % 1016 for d in digests],
+                "channels": [3] * len(raw),
+                "format": [["png", "jpeg", "webp"][int(d[8], 16) % 3] for d in digests],
+            }
+        )
+
+
+@_register(
+    "multimodal_decode_stub",
+    """
+    SELECT doc_id,
+           strlen(text) AS byte_len,
+           CAST(64 + (('0x' || substring(md5(text), 1, 4))::BIGINT % 1856) AS INTEGER) AS width,
+           CAST(64 + (('0x' || substring(md5(text), 5, 4))::BIGINT % 1016) AS INTEGER) AS height,
+           3 AS channels,
+           CASE (('0x' || substring(md5(text), 9, 1))::BIGINT % 3)
+             WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+    FROM documents
+    """,
+    "Multimodal column plumbing: text re-encoded as an opaque binary "
+    "payload, decoded by an Arrow-batched mapInPandas stub into typed "
+    "metadata (the real PIL/ffmpeg decode is stubbed deterministically; "
+    "schema/partitioning/batch shape are production-real)",
+    reference="[NORTH-STAR] multimodal columns; decode stubbed per round-1 brief",
+    tags=("multimodal", "northstar", "pandas-udf"),
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).select(
+        "doc_id", F.encode("text", "UTF-8").alias("image_bytes")
+    )
+    return docs.mapInPandas(_decode_stub, schema=_MM_SCHEMA)

@@ -1,0 +1,227 @@
+"""Relational completeness beyond the reference's surface.
+
+SURVEY.md §2.11 lists the operator classes the reference never uses (set
+ops, pivot, rollup/grouping sets, frame-spec windows, sessionization). A
+complete engine needs them; each lands here with a DuckDB oracle under the
+same determinism rules as catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import _register, _t
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+# ===========================================================================
+# Set operations (UNION / INTERSECT / EXCEPT, distinct semantics)
+# ===========================================================================
+@_register(
+    "user_set_ops",
+    """
+    SELECT 'purchase_minus_click' AS op, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'click'
+    )
+    UNION ALL
+    SELECT 'purchase_intersect_click' AS op, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'click'
+    )
+    UNION ALL
+    SELECT 'purchase_union_signup' AS op, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      UNION
+      SELECT user_id FROM events WHERE event_type = 'signup'
+    )
+    """,
+    "EXCEPT / INTERSECT / UNION (distinct semantics) over user sets, tagged "
+    "into one result",
+    reference="SURVEY.md §2.11 (set ops absent in reference; added)",
+    tags=("setops",),
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def users(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select("user_id")
+
+    minus = users("purchase").subtract(users("click"))
+    inter = users("purchase").intersect(users("click"))
+    union = users("purchase").union(users("signup")).distinct()
+    tag = lambda df, name: df.select(F.lit(name).alias("op"), "user_id")  # noqa: E731
+    return (
+        tag(minus, "purchase_minus_click")
+        .unionByName(tag(inter, "purchase_intersect_click"))
+        .unionByName(tag(union, "purchase_union_signup"))
+    )
+
+
+# ===========================================================================
+# Pivot
+# ===========================================================================
+@_register(
+    "pivot_event_counts",
+    f"""
+    SELECT user_id,
+           {", ".join(
+               f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events GROUP BY user_id
+    """,
+    "Pivot event_type into per-user count columns (explicit value list so "
+    "the plan is a single hash aggregate, no extra pass to discover values)",
+    reference="SURVEY.md §2.11 (pivot absent in reference; added)",
+    tags=("pivot",),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+# ===========================================================================
+# Rollup / grouping sets
+# ===========================================================================
+@_register(
+    "token_count_rollup",
+    """
+    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+    """,
+    "ROLLUP(lang, source): per-pair, per-lang and grand-total document/char "
+    "counts in one pass",
+    reference="SURVEY.md §2.11 (rollup/cube absent in reference; added)",
+    tags=("rollup",),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+# ===========================================================================
+# Frame-spec window: running total per key
+# ===========================================================================
+@_register(
+    "running_total_per_user",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100 AS running_value
+    FROM events
+    """,
+    "Cumulative sum per user over event time (ROWS UNBOUNDED PRECEDING .. "
+    "CURRENT ROW), exact via scaled-long cents",
+    reference="SURVEY.md §2.11 (frame-spec windows absent in reference; added)",
+    tags=("window",),
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.sum(cents).over(w).cast("double") / 100).alias("running_value"),
+    )
+
+
+# ===========================================================================
+# Sessionization (gap-based) — the batch twin of session_window streaming
+# ===========================================================================
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@_register(
+    "sessionize_events",
+    f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM g
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY user_id, session_idx
+    """,
+    "Gap-based sessionization (30-min idle gap): lag + cumulative new-session "
+    "flag + per-session rollup. Streaming twin is session_window(ts, '30 min')",
+    reference="SURVEY.md §2.9 T9 (stateful windows absent in reference; added)",
+    tags=("window", "sessionization", "streaming"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    g = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0).alias("is_new"),
+    )
+    s = g.select(
+        "user_id",
+        "ts",
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("session_idx"),
+    )
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ===========================================================================
+# Approximate aggregates — engine capability; HLL sketches are not
+# bit-comparable across engines, so the oracle checks exact bounds instead.
+# ===========================================================================
+@_register(
+    "approx_distinct_users",
+    None,  # rows-only: approx_count_distinct is engine-specific by design
+    "approx_count_distinct + exact count per event_type (HLL sketch; no "
+    "cross-engine oracle by construction — driver records rows-only)",
+    reference="SURVEY.md §2.11 (approximate aggregates absent in reference; added)",
+    tags=("approx",),
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5).alias("median_value_approx"),
+    )

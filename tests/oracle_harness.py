@@ -28,7 +28,9 @@ def _canon(v):
             return "nan"
         return repr(v)
     if isinstance(v, Decimal):
-        return repr(float(v))
+        # Deliberately NOT coerced to float: a DECIMAL-typed oracle column
+        # must be caught here (the driver may hash it differently).
+        return f"decimal:{v}"
     if isinstance(v, dt.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
