@@ -1,0 +1,469 @@
+"""The flight pipeline, collapsed into Spark (SURVEY.md §3, §7.1).
+
+The reference runs five processes (REST poller -> Kafka -> Spark normalize ->
+Postgres staging -> SQL loader -> export). Here the same semantics are two
+stages in one engine:
+
+* ``normalize_flight_stream`` — the streaming transform: explicit-schema JSON
+  parse, timestamp normalization chain, flattening, status/retention/liveness
+  filters (reference apps/spark_app/flight_stream.py:201-268). Works on both
+  batch and streaming DataFrames (same plan, Structured Streaming contract).
+* ``warehouse_load`` — one micro-batch of the warehouse cycle (reference
+  apps/loader/load_warehouse.py:308-329): latest-per-key dedup, dim upserts
+  with COALESCE backfill, route discovery, fact MERGE with per-column
+  policies — executed in the loader's statement order so dims exist before
+  fact resolution.
+
+Exactly-once contract (reference flight_stream.py:33-36): the stream is
+at-least-once; every warehouse write is an idempotent keyed MERGE, and
+surrogate keys are deterministic hashes of natural keys (xxhash64 — M6), so
+replaying a micro-batch converges to the same table state. This is testable:
+tests/test_streaming.py replays a batch twice and diffs the warehouse.
+
+Without Delta on the classpath, tables are versioned parquet directories
+(ParquetTable): each commit writes a new version dir then flips a pointer
+file — readers never see partial writes, and the merge never reads the
+directory it is writing. On a Delta/Iceberg deployment ParquetTable swaps
+for ``MERGE INTO`` with identical policy tables.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.normalize import parse_flight_ts
+from ..operators.dedup import latest_per_key
+from ..operators.merge import MergePolicy, merge_upsert
+from ..schemas import (
+    DIM_AIRLINE_SCHEMA,
+    DIM_AIRPORT_SCHEMA,
+    DIM_ROUTE_SCHEMA,
+    FACT_SCHEMA,
+    FLIGHT_WIRE_SCHEMA,
+)
+
+KEEP_STATUSES = ("active", "landed", "arrived", "en-route", "enroute")
+RETENTION = "INTERVAL 3 DAYS"
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: normalize + filter (streaming-safe: no aggregation, pure rowwise)
+# ---------------------------------------------------------------------------
+def parse_wire_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Kafka/file bytes -> declared wire schema (P1/P2). Unknown fields are
+    dropped and missing fields become NULL by from_json contract."""
+    return (
+        raw.select(F.col(value_col).cast("string").alias("json"))
+        .select(F.from_json("json", FLIGHT_WIRE_SCHEMA).alias("r"))
+        .select("r.*")
+    )
+
+
+def normalize_flight_stream(
+    wire: DataFrame, now_expr: str = "current_timestamp()"
+) -> DataFrame:
+    """Wire records -> 29-column staging rows (P3-P13, F1-F3).
+
+    ``now_expr`` is the retention clock (F2): wall-clock in production,
+    injected literal in tests/oracles (SURVEY.md §7.4 determinism).
+
+    Divergence from reference (documented): negative delay minutes are
+    nulled out instead of aborting the batch via CHECK constraint
+    (db/00_warehous.sql:48; SURVEY.md §7.5).
+    """
+    ts = parse_flight_ts
+
+    def delay(c: F.Column) -> F.Column:
+        d = c.cast("double")
+        return F.when(d >= 0, d)  # negative -> NULL (quarantined, not fatal)
+
+    parsed = wire.select(
+        F.col("flight_key"),
+        F.to_date("flight_date").alias("flight_date"),
+        F.col("status"),
+        F.coalesce(ts(F.col("ingest_time")), F.expr(now_expr)).alias("ingest_time"),
+        F.col("flight.number").alias("flight_number"),
+        F.col("flight.iata").alias("flight_iata"),
+        F.col("flight.icao").alias("flight_icao"),
+        F.col("airline.iata").alias("airline_iata"),
+        F.col("airline.icao").alias("airline_icao"),
+        F.col("airline.name").alias("airline_name"),
+        F.col("departure.airport").alias("dep_airport"),
+        F.col("departure.iata").alias("dep_airport_iata"),
+        F.col("departure.icao").alias("dep_airport_icao"),
+        F.col("departure.terminal").alias("dep_terminal"),
+        F.col("departure.gate").alias("dep_gate"),
+        ts(F.col("departure.schedule")).alias("dep_scheduled"),
+        ts(F.col("departure.estimated")).alias("dep_estimated"),
+        ts(F.col("departure.actual")).alias("dep_actual"),
+        delay(F.col("departure.delay_min")).alias("dep_delay_min"),
+        F.col("arrival.airport").alias("arr_airport"),
+        F.col("arrival.iata").alias("arr_airport_iata"),
+        F.col("arrival.icao").alias("arr_airport_icao"),
+        F.col("arrival.terminal").alias("arr_terminal"),
+        F.col("arrival.gate").alias("arr_gate"),
+        ts(F.col("arrival.schedule")).alias("arr_scheduled"),
+        ts(F.col("arrival.estimated")).alias("arr_estimated"),
+        ts(F.col("arrival.actual")).alias("arr_actual"),
+        delay(F.col("arrival.delay_min")).alias("arr_delay_min"),
+        F.col("source"),
+    )
+
+    cutoff = F.expr(f"{now_expr} - {RETENTION}")
+    in_window = lambda c: F.col(c).isNotNull() & (F.col(c) >= cutoff)  # noqa: E731
+    any_ts = (
+        F.col("dep_scheduled").isNotNull()
+        | F.col("arr_scheduled").isNotNull()
+        | F.col("dep_actual").isNotNull()
+        | F.col("arr_actual").isNotNull()
+    )
+    return (
+        parsed.filter(F.lower(F.col("status")).isin(*KEEP_STATUSES))
+        .filter(
+            in_window("dep_scheduled")
+            | in_window("arr_scheduled")
+            | in_window("dep_actual")
+            | in_window("arr_actual")
+        )
+        .filter(F.col("flight_key").isNotNull() & any_ts)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Versioned parquet table (atomic overwrite without Delta)
+# ---------------------------------------------------------------------------
+class ParquetTable:
+    def __init__(self, spark: SparkSession, path: str, schema):
+        self.spark = spark
+        self.path = path
+        self.schema = schema
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "_CURRENT")
+
+    def _current_version(self) -> str | None:
+        try:
+            with open(self._pointer) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def read(self) -> DataFrame:
+        v = self._current_version()
+        if v is None:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(os.path.join(self.path, v))
+
+    def overwrite(self, df: DataFrame) -> None:
+        v = f"v_{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.path, v)
+        df.select([f.name for f in self.schema.fields]).write.mode("overwrite").parquet(out)
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(v)
+        os.replace(tmp, self._pointer)  # atomic pointer flip
+
+
+class FlightWarehouse:
+    """dim_airline / dim_airport / dim_route / fact_flight_status
+    (reference db/00_warehous.sql:77-134) on versioned parquet."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.airline = ParquetTable(spark, os.path.join(root, "dim_airline"), DIM_AIRLINE_SCHEMA)
+        self.airport = ParquetTable(spark, os.path.join(root, "dim_airport"), DIM_AIRPORT_SCHEMA)
+        self.route = ParquetTable(spark, os.path.join(root, "dim_route"), DIM_ROUTE_SCHEMA)
+        self.fact = ParquetTable(spark, os.path.join(root, "fact_flight_status"), FACT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Surrogate keys (M6): deterministic hashes of natural keys. Stable across
+# batches and replays => the whole load cycle is idempotent.
+# ---------------------------------------------------------------------------
+def _airline_id(iata: F.Column, icao: F.Column) -> F.Column:
+    nk = F.coalesce(iata, F.concat(F.lit("icao#"), icao))
+    return F.xxhash64(F.lit("airline"), nk)
+
+
+def _airport_id(iata: F.Column, icao: F.Column) -> F.Column:
+    """ICAO-preferred natural key: the reference's airport backfill path
+    (load_warehouse.py:124-151) links records by ICAO and backfills a late
+    IATA code onto the ICAO row, so ICAO is the stable identity. (An airport
+    seen first IATA-only and later with an ICAO becomes two dim rows — the
+    same unlinkable-identity limitation the reference has.)"""
+    nk = F.coalesce(F.concat(F.lit("icao#"), icao), F.concat(F.lit("iata#"), iata))
+    return F.xxhash64(F.lit("airport"), nk)
+
+
+def _route_id(dep_id: F.Column, arr_id: F.Column) -> F.Column:
+    return F.xxhash64(F.lit("route"), dep_id, arr_id)
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: the warehouse load cycle (one micro-batch)
+# ---------------------------------------------------------------------------
+def _upsert_airlines(wh: FlightWarehouse, latest: DataFrame) -> None:
+    """M1+M2 collapsed: one COALESCE-merge per natural key. The reference
+    needs two code paths only because Postgres cannot ON CONFLICT a nullable
+    unique column (load_warehouse.py:32-79); a keyed MERGE has no such
+    restriction, and the resulting table contents match (SURVEY.md §7.4.6)."""
+    src = (
+        latest.filter(F.col("airline_iata").isNotNull() | F.col("airline_icao").isNotNull())
+        .select("airline_iata", "airline_icao", "airline_name", "ingest_time")
+    )
+    keyed = src.select(
+        _airline_id(F.col("airline_iata"), F.col("airline_icao")).alias("airline_id"),
+        F.col("airline_iata").alias("iata"),
+        F.col("airline_icao").alias("icao"),
+        "airline_name",
+        "ingest_time",
+    )
+    per_key = latest_per_key(keyed, ["airline_id"], ["ingest_time"]).drop("ingest_time")
+    merged = merge_upsert(
+        wh.airline.read(),
+        per_key,
+        keys=["airline_id"],
+        policies={},  # COALESCE(new, old) everywhere: never wipe with NULL
+        default=MergePolicy.COALESCE_NEW_OLD,
+    )
+    wh.airline.overwrite(merged)
+
+
+def _upsert_airports(wh: FlightWarehouse, latest: DataFrame) -> None:
+    dep = latest.select(
+        F.col("dep_airport_iata").alias("iata"),
+        F.col("dep_airport_icao").alias("icao"),
+        F.col("dep_airport").alias("airport_name"),
+        "ingest_time",
+    )
+    arr = latest.select(
+        F.col("arr_airport_iata").alias("iata"),
+        F.col("arr_airport_icao").alias("icao"),
+        F.col("arr_airport").alias("airport_name"),
+        "ingest_time",
+    )
+    src = dep.unionByName(arr).filter(
+        F.col("iata").isNotNull() | F.col("icao").isNotNull()
+    )
+    keyed = src.select(
+        _airport_id(F.col("iata"), F.col("icao")).alias("airport_id"),
+        "iata",
+        "icao",
+        "airport_name",
+        "ingest_time",
+    )
+    per_key = latest_per_key(keyed, ["airport_id"], ["ingest_time"]).drop("ingest_time")
+    merged = merge_upsert(
+        wh.airport.read(),
+        per_key,
+        keys=["airport_id"],
+        policies={},
+        default=MergePolicy.COALESCE_NEW_OLD,
+    )
+    wh.airport.overwrite(merged)
+
+
+def _resolve_airport_ids(latest: DataFrame, airports: DataFrame, side: str) -> DataFrame:
+    """J2/J3 decomposed: IATA equi-join, ICAO equi-join guarded on IATA NULL,
+    COALESCE preference (reference load_warehouse.py:222-235, decomposed per
+    SURVEY.md §7.4.5). Dims broadcast — the fact side never shuffles."""
+    iata_map = F.broadcast(
+        airports.filter(F.col("iata").isNotNull()).select(
+            F.col("iata").alias(f"_{side}_iata"), F.col("airport_id").alias(f"_{side}_iid")
+        )
+    )
+    icao_map = F.broadcast(
+        airports.filter(F.col("icao").isNotNull()).select(
+            F.col("icao").alias(f"_{side}_icao"), F.col("airport_id").alias(f"_{side}_cid")
+        )
+    )
+    out = (
+        latest.join(iata_map, latest[f"{side}_airport_iata"] == iata_map[f"_{side}_iata"], "left")
+        .drop(f"_{side}_iata")
+        .join(icao_map, latest[f"{side}_airport_icao"] == icao_map[f"_{side}_icao"], "left")
+        .drop(f"_{side}_icao")
+    )
+    resolved = F.coalesce(
+        F.col(f"_{side}_iid"),
+        F.when(F.col(f"{side}_airport_iata").isNull(), F.col(f"_{side}_cid")),
+    )
+    return out.withColumn(f"{side}_airport_id", resolved).drop(f"_{side}_iid", f"_{side}_cid")
+
+
+def _upsert_routes(wh: FlightWarehouse, resolved: DataFrame) -> None:
+    """A2 + M3: distinct (dep_id, arr_id) pairs, insert-ignore."""
+    pairs = (
+        resolved.filter(
+            F.col("dep_airport_id").isNotNull() & F.col("arr_airport_id").isNotNull()
+        )
+        .select("dep_airport_id", "arr_airport_id")
+        .dropDuplicates()
+        .select(
+            _route_id(F.col("dep_airport_id"), F.col("arr_airport_id")).alias("route_id"),
+            "dep_airport_id",
+            "arr_airport_id",
+        )
+    )
+    target = wh.route.read()
+    fresh = pairs.join(target.select("route_id"), "route_id", "left_anti")
+    wh.route.overwrite(target.unionByName(fresh))
+
+
+def warehouse_load(
+    wh: FlightWarehouse, staging: DataFrame, batch_ts_expr: str = "current_timestamp()"
+) -> None:
+    """One load cycle in the reference's statement order (load_warehouse.py:
+    322-327): airlines -> airports -> routes -> fact. The micro-batch
+    boundary replaces the loader's single now() cutoff (F4); ``batch_ts_expr``
+    is last_updated (injected in tests for determinism)."""
+    staging = staging.localCheckpoint(eager=True)  # cut lineage; read once per stage
+    latest = latest_per_key(
+        staging, ["flight_key"], ["ingest_time", F.col("dep_scheduled")]
+    ).localCheckpoint(eager=True)
+
+    _upsert_airlines(wh, latest)
+    _upsert_airports(wh, latest)
+
+    airports = wh.airport.read()
+    resolved = _resolve_airport_ids(latest, airports, "dep")
+    resolved = _resolve_airport_ids(resolved, airports, "arr")
+    _upsert_routes(wh, resolved)
+
+    airlines = F.broadcast(wh.airline.read())
+    with_aid = resolved.join(
+        airlines.select(F.col("iata").alias("_a_iata"), F.col("airline_id").alias("_aid_i")),
+        resolved["airline_iata"] == F.col("_a_iata"),
+        "left",
+    ).drop("_a_iata")
+    icao_air = F.broadcast(
+        wh.airline.read().filter(F.col("icao").isNotNull()).select(
+            F.col("icao").alias("_a_icao"), F.col("airline_id").alias("_aid_c")
+        )
+    )
+    with_aid = with_aid.join(
+        icao_air, with_aid["airline_icao"] == icao_air["_a_icao"], "left"
+    ).drop("_a_icao")
+    with_aid = with_aid.withColumn(
+        "airline_id",
+        F.coalesce(
+            F.col("_aid_i"),
+            F.when(F.col("airline_iata").isNull(), F.col("_aid_c")),
+        ),
+    ).drop("_aid_i", "_aid_c")
+
+    fact_src = with_aid.select(
+        "flight_key",
+        "flight_date",
+        "status",
+        "ingest_time",
+        "airline_id",
+        F.when(
+            F.col("dep_airport_id").isNotNull() & F.col("arr_airport_id").isNotNull(),
+            _route_id(F.col("dep_airport_id"), F.col("arr_airport_id")),
+        ).alias("route_id"),
+        "dep_scheduled",
+        "dep_estimated",
+        "dep_actual",
+        "dep_delay_min",
+        "arr_scheduled",
+        "arr_estimated",
+        "arr_actual",
+        "arr_delay_min",
+        F.expr(batch_ts_expr).alias("last_updated"),
+    )
+
+    # M4: measures/timestamps overwritten (incl. NULL); ingest_time GREATEST;
+    # ids COALESCE(new, old); last_updated stamped on every touched row.
+    merged = merge_upsert(
+        wh.fact.read(),
+        fact_src,
+        keys=["flight_key"],
+        policies={
+            "ingest_time": MergePolicy.GREATEST,
+            "airline_id": MergePolicy.COALESCE_NEW_OLD,
+            "route_id": MergePolicy.COALESCE_NEW_OLD,
+        },
+        default=MergePolicy.OVERWRITE,
+        set_on_update={"last_updated": F.expr(batch_ts_expr)},
+    )
+    wh.fact.overwrite(merged)
+
+
+def curated_view(wh: FlightWarehouse) -> DataFrame:
+    """J1: the 20-column denormalized export view (db/01_views.sql:44-83)."""
+    fact = wh.fact.read()
+    airline = F.broadcast(wh.airline.read())
+    route = F.broadcast(wh.route.read())
+    airport = wh.airport.read()
+    dep = F.broadcast(
+        airport.select(
+            F.col("airport_id").alias("dep_airport_id"),
+            F.col("airport_name").alias("dep_airport"),
+            F.col("iata").alias("dep_iata"),
+            F.col("icao").alias("dep_icao"),
+        )
+    )
+    arr = F.broadcast(
+        airport.select(
+            F.col("airport_id").alias("arr_airport_id"),
+            F.col("airport_name").alias("arr_airport"),
+            F.col("iata").alias("arr_iata"),
+            F.col("icao").alias("arr_icao"),
+        )
+    )
+    return (
+        fact.join(airline.select("airline_id", F.col("iata").alias("airline_iata"), "airline_name"), "airline_id", "left")
+        .join(route, "route_id", "left")
+        .join(dep, "dep_airport_id", "left")
+        .join(arr, "arr_airport_id", "left")
+        .select(
+            "flight_key", "flight_date", "status", "airline_iata", "airline_name",
+            "dep_scheduled", "dep_estimated", "dep_actual", "dep_delay_min",
+            "arr_scheduled", "arr_estimated", "arr_actual", "arr_delay_min",
+            "dep_airport", "dep_iata", "dep_icao",
+            "arr_airport", "arr_iata", "arr_icao",
+            "last_updated",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming shell: file-replay source -> normalize -> foreachBatch load
+# ---------------------------------------------------------------------------
+def run_file_replay_stream(
+    spark: SparkSession,
+    input_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    now_expr: str = "current_timestamp()",
+) -> None:
+    """Replay JSON files as a stream through the full pipeline (S2 test
+    harness per SURVEY.md §2.1; in production swap the source for
+    ``spark.readStream.format('kafka')`` — see sources/kafka.py)."""
+    wh = FlightWarehouse(spark, warehouse_root)
+    raw = (
+        spark.readStream.schema(FLIGHT_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(input_dir)
+    )
+    staged = normalize_flight_stream(raw, now_expr)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():  # T7 empty-batch short-circuit
+            return
+        warehouse_load(wh, batch_df)
+
+    q = (
+        staged.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
