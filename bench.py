@@ -34,8 +34,15 @@ HEADLINE = [
     # north-star ops (present from round 1+ as implemented)
     "docs_exact_dedup",
     "docs_minhash_signatures",
+    "docs_near_dup_pairs",
+    "docs_simhash",
     "docs_text_stats",
     "embedding_topk_cosine",
+    "embedding_near_dup_pairs",
+    # relational completeness
+    "sessionize_events",
+    "running_total_per_user",
+    "pivot_event_counts",
 ]
 
 

@@ -5,10 +5,13 @@ key, ingest_time DESC`` (apps/loader/load_warehouse.py:34-213). Two Spark
 forms are provided:
 
 * ``latest_per_key`` — aggregation form: ``max_by(struct(*row), ord)``.
-  This is the scale path: it map-side partially aggregates (each input
-  partition reduces to <=1 row per key before the shuffle), so shuffle volume
-  is O(distinct keys), not O(rows), and there is no sort at all. At 100 TB
-  this beats the window form by the full input-sort cost.
+  This is the scale path: partial aggregation reduces each input partition
+  to <=1 row per key before the shuffle, so shuffle volume is O(distinct
+  keys), not O(rows). Physical note (measured on Spark 4.1): a struct-typed
+  aggregation buffer is not hash-aggregable, so this plans as SortAggregate —
+  each partition sorts by the *grouping key only* (not by ord) before
+  streaming groups. Still strictly cheaper than the window form, which
+  shuffles every row and sorts by (key, ord).
 * ``latest_per_key_window`` — ``row_number() over (partition by key order by
   ord desc) = 1``. Shuffles and sorts every row; kept for when the caller
   needs rank>1 rows too (e.g. change history).

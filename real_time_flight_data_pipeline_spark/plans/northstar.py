@@ -318,8 +318,18 @@ def _near_dup_oracle() -> str:
 def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _spread(spark, _near_corpus(spark, sf_dir))
     toks = TX.tokens(F.col("text"))
-    shin = corpus.select("doc_id", TX.shingles(toks, 3).alias("sh"))
-    hsh = shin.select("doc_id", TX.shingle_base_hashes(F.col("sh")).alias("hs"))
+    # Barrier: downstream references shingles many times (hash pass + both
+    # sides of the verify join + intersection sizes); without
+    # materialization CollapseProject re-derives tokenize+shingle per
+    # occurrence (measured 45s in the verify stage alone at sf0.1).
+    shin = corpus.select(
+        "doc_id", F.array_distinct(TX.shingles(toks, 3)).alias("sh")
+    ).localCheckpoint(eager=False)
+    # Second barrier: keep the single md5 base-hash pass out of the 8
+    # inlined minhash columns (8x md5 otherwise).
+    hsh = shin.select(
+        "doc_id", TX.shingle_base_hashes(F.col("sh")).alias("hs")
+    ).localCheckpoint(eager=False)
     mh = hsh.select(
         "doc_id",
         *[TX.minhash_from_hashes(F.col("hs"), s).alias(f"mh{s}") for s in range(_N_MINHASH)],
@@ -358,73 +368,98 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = shin.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
     sb = shin.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    # Materialize the per-pair set sizes so the jaccard expression (used by
+    # both the output column and the threshold filter) never re-runs the
+    # array intersection.
+    # Candidates are orders of magnitude smaller than the corpus (that is
+    # the point of LSH): broadcast them so the shingle table streams through
+    # both joins without shuffling.
     verified = (
-        cand.join(sa, "a_id")
+        F.broadcast(cand).join(sa, "a_id")
         .join(sb, "b_id")
         .select(
             "a_id",
             "b_id",
-            F.size(F.array_intersect(F.array_distinct("a_sh"), F.array_distinct("b_sh"))).alias("inter"),
-            F.size(F.array_distinct("a_sh")).alias("na"),
-            F.size(F.array_distinct("b_sh")).alias("nb"),
+            F.size(F.array_intersect("a_sh", "b_sh")).alias("inter"),
+            F.size("a_sh").alias("na"),
+            F.size("b_sh").alias("nb"),
         )
+        .localCheckpoint(eager=False)
     )
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return verified.select(
+    return verified.filter(jac >= _JACCARD_THRESHOLD).select(
         "a_id", "b_id", F.round(jac, 6).alias("jaccard")
-    ).filter(jac >= _JACCARD_THRESHOLD)
+    )
 
 
 # ===========================================================================
 # SimHash — fully relational (explode tokens x bit positions, re-aggregate)
 # ===========================================================================
+_SIMHASH_BITS = 48  # 48-bit hash: < 2^53, so FP division by 2^b is exact
+
+
 @_register(
     "docs_simhash",
     f"""
     WITH tok AS (
       SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
     ),
-    h AS (SELECT doc_id, {_sql_md5_long('tok')} AS h FROM tok),
+    h AS (
+      SELECT doc_id, ('0x' || substring(md5(tok), 1, 12))::BIGINT AS h FROM tok
+    ),
     c AS (
       SELECT doc_id, b.bit,
              CASE WHEN (h // CAST(power(2, b.bit) AS BIGINT)) % 2 = 1
                   THEN 1 ELSE -1 END AS contrib
-      FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) b
+      FROM h CROSS JOIN (SELECT unnest(range(0, {_SIMHASH_BITS})) AS bit) b
     ),
     s AS (SELECT doc_id, bit, sum(contrib) AS s FROM c GROUP BY 1, 2)
     SELECT doc_id,
            sum(CASE WHEN s >= 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS simhash
     FROM s GROUP BY doc_id
     """,
-    "60-bit SimHash as a pure relational plan: explode tokens x bit "
-    "positions, signed-majority per bit, repack. Both aggregations are "
-    "map-side combinable, so the shuffle is O(docs x 60) regardless of "
-    "document length — the shape that survives 100 TB",
+    "48-bit SimHash: one md5 per token occurrence, then a per-document fold "
+    "accumulating the 48 signed bit counters in a single higher-order "
+    "expression — no explode, no shuffle amplification; per-doc cost only. "
+    "(The oracle states the same semantics relationally.) 48-bit hashes keep "
+    "floor(h / 2^b) exact in double math on every engine",
     reference="[NORTH-STAR] SimHash (Charikar'02) without UDFs",
     tags=("dedup", "northstar"),
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
-    h = tok.select("doc_id", TX.md5_long(F.col("tok")).alias("h"))
-    bits = spark.range(0, 60).select(F.col("id").cast("int").alias("bit"))
-    c = h.crossJoin(F.broadcast(bits)).select(
-        "doc_id",
-        "bit",
-        F.when(
-            F.expr("(h div CAST(power(2, bit) AS BIGINT)) % 2") == 1, F.lit(1)
-        )
-        .otherwise(F.lit(-1))
-        .alias("contrib"),
+    hs = F.transform(
+        TX.tokens(F.col("text")),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
     )
-    s = c.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
-    return s.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") >= 0, F.expr("CAST(power(2, bit) AS BIGINT)")).otherwise(
-                F.lit(0)
-            )
-        ).alias("simhash")
+    bit_seq = F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))
+    zero = F.array_repeat(F.lit(0).cast("long"), _SIMHASH_BITS)
+
+    def bit_of(h, b):  # exact: h < 2^48, division by 2^b exact in double
+        return (F.floor(h / F.pow(F.lit(2.0), b)).cast("long") % 2) == 1
+
+    # barrier: keep the md5 pass out of the (otherwise inlined) fold exprs
+    h_col = docs.select("doc_id", hs.alias("hs")).localCheckpoint(eager=False)
+    counters = F.aggregate(
+        F.col("hs"),
+        zero,
+        lambda acc, h: F.zip_with(
+            acc, bit_seq, lambda a, b: a + F.when(bit_of(h, b), 1).otherwise(-1)
+        ),
     )
+    out = h_col.select("doc_id", counters.alias("cnt"))
+    packed = F.aggregate(
+        F.zip_with(
+            F.col("cnt"),
+            bit_seq,
+            lambda c, b: F.when(c >= 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return out.select("doc_id", packed.alias("simhash"))
 
 
 # ===========================================================================
@@ -472,15 +507,18 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(embedding::DOUBLE[], x -> x * 1.01) AS v,
              label
       FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    normed AS (
+      SELECT vec_id, label, list_transform(v, x -> x / n) AS vn
+      FROM (SELECT *, sqrt(list_dot_product(v, v)) AS n FROM corpus)
+    ),
+    sims AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_dot_product(a.vn, b.vn), 6) AS sim
+      FROM normed a JOIN normed b
+        ON a.label = b.label AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           round(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                 6) AS sim
-    FROM corpus a JOIN corpus b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v)
-          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+    SELECT a_id, b_id, sim FROM sims WHERE sim >= 0.99
     """,
     "Embedding-cosine near-duplicate pairs with label blocking: the "
     "self-join shuffles on the blocking key so each task compares only "
@@ -489,7 +527,7 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "similarity", "northstar"),
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )
     corpus = emb.unionByName(
@@ -499,18 +537,29 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
         )
     )
-    a = corpus.alias("a")
-    b = corpus.alias("b")
-    sim = V.cosine(F.col("a.v"), F.col("b.v"))
-    return (
+    # Normalize once per ROW (O(n) lambda work), so the O(pairs) join side
+    # is a single dot product per pair, computed once and reused by the
+    # filter — higher-order lambdas are interpreted, so per-pair work is
+    # the whole cost model here.
+    normed = (
+        corpus.withColumn("n", V.norm(F.col("v")))
+        .select(
+            "vec_id",
+            "label",
+            F.transform(F.col("v"), lambda x: x / F.col("n")).alias("vn"),
+        )
+    )
+    a = normed.alias("a")
+    b = normed.alias("b")
+    sims = (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .filter(sim >= 0.99)
         .select(
             F.col("a.vec_id").alias("a_id"),
             F.col("b.vec_id").alias("b_id"),
-            F.round(sim, 6).alias("sim"),
+            F.round(V.dot(F.col("a.vn"), F.col("b.vn")), 6).alias("sim"),
         )
     )
+    return sims.filter(F.col("sim") >= 0.99)
 
 
 def _lsh_topk_oracle() -> str:

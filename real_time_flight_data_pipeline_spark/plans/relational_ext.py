@@ -225,3 +225,87 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_users"),
         F.percentile_approx("value", 0.5).alias("median_value_approx"),
     )
+
+
+# ===========================================================================
+# J4 — two-column composite-key equi join (route-id lookup shape)
+# ===========================================================================
+@_register(
+    "route_lookup_two_key_join",
+    """
+    WITH routes AS (
+      SELECT DISTINCT l_partkey AS dep_key, l_suppkey AS arr_key,
+             ('0x' || substring(md5(CAST(l_partkey AS VARCHAR) || '_' ||
+                                   CAST(l_suppkey AS VARCHAR)), 1, 15))::BIGINT AS route_id
+      FROM lineitem
+    )
+    SELECT l.l_orderkey, l.l_linenumber, r.route_id
+    FROM lineitem l
+    LEFT JOIN routes r
+      ON l.l_partkey = r.dep_key AND l.l_suppkey = r.arr_key
+    """,
+    "Composite-key equi left join: route discovery (DISTINCT pairs + "
+    "deterministic md5 surrogate id) joined back on both key columns",
+    reference="load_warehouse.py:236-243 (route_id lookup ON dep AND arr)",
+    tags=("J4", "A2", "M6"),
+)
+def q_route_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    routes = (
+        li.select(
+            F.col("l_partkey").alias("dep_key"), F.col("l_suppkey").alias("arr_key")
+        )
+        .dropDuplicates()
+        .select(
+            "dep_key",
+            "arr_key",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.col("dep_key").cast("string"),
+                            F.col("arr_key").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("route_id"),
+        )
+    )
+    joined = li.join(
+        routes,
+        (li.l_partkey == routes.dep_key) & (li.l_suppkey == routes.arr_key),
+        "left",
+    )
+    return joined.select("l_orderkey", "l_linenumber", "route_id")
+
+
+# ===========================================================================
+# J7 — cross join with a 1-row relation (scalar watermark)
+# ===========================================================================
+@_register(
+    "scalar_subquery_watermark",
+    """
+    SELECT e.event_id, e.ts
+    FROM events e, (SELECT max(ts) - INTERVAL 7 DAY AS cutoff FROM events) w
+    WHERE e.ts > w.cutoff
+    """,
+    "Cross join with a broadcast 1-row aggregate (the reference's "
+    "watermark-CTE shape): data-derived cutoff, no driver round-trip",
+    reference="sheets_sink.py:93-94 (FROM view, last); 01_views.sql:25-33",
+    tags=("J7", "F5", "A4"),
+)
+def q_scalar_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff"))
+    return (
+        ev.crossJoin(F.broadcast(wm))
+        .filter(F.col("ts") > F.col("cutoff"))
+        .select("event_id", "ts")
+    )

@@ -18,6 +18,10 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _driver_mem() -> str:
+    return os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
+
 def _local_cores() -> int:
     env = os.environ.get("SPARK_GRAFT_CPUS")
     if env:
@@ -53,17 +57,24 @@ def get_spark(
         # 10 MB default is conservative; dims in a star schema are far
         # smaller than executor memory even at 100 TB fact scale.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        # C1-only JIT + large code cache. Every distinct plan emits fresh
-        # codegen classes; with tiered C2 compilation the driver JVM
-        # intermittently enters deopt/recompile storms (observed: compiler
-        # threads pegged, executor threads interpreted, random 10-40x query
-        # stalls). C1-only compiles fast, never storms, and benches slightly
-        # faster than C2's best case on this workload.
+        .config("spark.driver.memory", _driver_mem())
+        # JVM tuning, each knob root-caused on this workload:
+        # * -Xms == -Xmx + AlwaysPreTouch: without a floor, G1 commits and
+        #   uncommits heap under allocation-heavy (higher-order lambda)
+        #   queries — observed as 97% kernel time (mmap churn + TLB
+        #   shootdowns across 32 threads) and random 10-100x query stalls.
+        #   A pinned, pre-touched heap eliminates them entirely.
+        # * C1-only JIT (TieredStopAtLevel=1): tiered C2 intermittently
+        #   enters deopt/recompile storms (compiler threads pegged, executor
+        #   threads interpreted); C1 compiles fast, never storms, and is no
+        #   slower end-to-end here.
+        # * 1g code cache: every distinct plan emits fresh codegen classes;
+        #   an exhausted cache silently disables the JIT.
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_GRAFT_JAVA_OPTS",
+                f"-Xms{_driver_mem()} -XX:+AlwaysPreTouch "
                 "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
                 "-XX:TieredStopAtLevel=1",
             ),
