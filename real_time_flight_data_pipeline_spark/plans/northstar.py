@@ -662,3 +662,61 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("image_bytes")
     )
     return docs.mapInPandas(_decode_stub, schema=_MM_SCHEMA)
+
+
+# ===========================================================================
+# Batch top-k similarity join (multi-query top-k, EDBT'20/ICDE'21 flavor)
+# ===========================================================================
+@_register(
+    "embedding_topk_join",
+    """
+    WITH corpus AS (
+      SELECT vec_id, list_transform(v, x -> x / n) AS vn
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+            FROM embeddings)
+    ),
+    q AS (SELECT vec_id AS q_id, vn AS qn FROM corpus WHERE vec_id < 8),
+    sims AS (
+      SELECT q.q_id, c.vec_id AS n_id,
+             round(list_dot_product(q.qn, c.vn), 6) AS sim
+      FROM q JOIN corpus c ON c.vec_id != q.q_id
+    )
+    SELECT q_id, n_id, sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+      FROM sims
+    ) WHERE rn <= 5
+    """,
+    "Top-k similarity JOIN: k nearest corpus vectors for EVERY query in a "
+    "batch (8 queries x top-5). The query side broadcasts; per-query ranking "
+    "is a window over the blocked pair stream — the batch-mode complement "
+    "of the single-probe top-k",
+    reference="[NORTH-STAR] PAPERS.md: top-k similarity search EDBT'20/ICDE'21",
+    tags=("similarity", "northstar"),
+)
+def q_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = emb.withColumn("n", V.norm(F.col("v"))).select(
+        "vec_id", F.transform(F.col("v"), lambda x: x / F.col("n")).alias("vn")
+    ).localCheckpoint(eager=False)
+    q = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("vn").alias("qn")
+    )
+    sims = (
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(V.dot(F.col("qn"), F.col("vn")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "n_id", "sim")
+    )

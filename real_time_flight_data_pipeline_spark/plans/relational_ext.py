@@ -309,3 +309,58 @@ def q_scalar_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("cutoff"))
         .select("event_id", "ts")
     )
+
+
+# ===========================================================================
+# CUBE + exact median
+# ===========================================================================
+@_register(
+    "cube_event_stats",
+    """
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-04 00:00:00'
+    GROUP BY CUBE (event_type, day)
+    """,
+    "CUBE over (event_type, day): all four grouping sets in one pass",
+    reference="SURVEY.md §2.11 (cube absent in reference; added)",
+    tags=("rollup",),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp")
+    )
+    return (
+        ev.withColumn("day", F.date_trunc("day", "ts").cast("date"))
+        .cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100).alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+@_register(
+    "median_value_by_type",
+    """
+    SELECT event_type,
+           median(CAST(round(value * 100) AS BIGINT)) / 100 AS median_value,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    "Exact median via integer cents (interpolated midpoint is exact in "
+    "double for integer inputs — deterministic across engines)",
+    reference="SURVEY.md §2.11 (quantiles absent in reference; added)",
+    tags=("approx", "A6"),
+)
+def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy("event_type").agg(
+        (F.median(cents) / 100).alias("median_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
