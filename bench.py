@@ -53,9 +53,19 @@ def main() -> None:
 
     spark = get_spark(app_name="flightframe-bench")
 
-    # Warmup: trigger JVM classloading/codegen on a tiny plan.
+    # Warmup: classloading/codegen on a tiny plan, then an allocation-heavy
+    # lambda query at the smallest SF so the pinned heap's pages fault in
+    # BEFORE timing starts (first-touch cost is a VM/host property, not a
+    # query property).
     spark.range(1000).selectExpr("sum(id)").collect()
     REGISTRY["top_users_by_value"].builder(spark, sf_dir).collect()
+    for _ in range(2):
+        REGISTRY["docs_minhash_signatures"].builder(
+            spark, "/root/testdata/sf0.001"
+        ).write.format("noop").mode("overwrite").save()
+    spark.range(0, 8_000_000).selectExpr(
+        "max(md5(cast(id as string)))"
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

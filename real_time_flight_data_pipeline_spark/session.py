@@ -19,7 +19,10 @@ from pyspark.sql import SparkSession
 
 
 def _driver_mem() -> str:
-    return os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    # 8g covers every catalog query at sf0.1 with wide margin; a smaller
+    # pinned heap also means less first-touch page-faulting (heap pages
+    # fault in lazily — see the extraJavaOptions comment below).
+    return os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
 
 def _local_cores() -> int:
@@ -59,11 +62,14 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", _driver_mem())
         # JVM tuning, each knob root-caused on this workload:
-        # * -Xms == -Xmx + AlwaysPreTouch: without a floor, G1 commits and
-        #   uncommits heap under allocation-heavy (higher-order lambda)
-        #   queries — observed as 97% kernel time (mmap churn + TLB
-        #   shootdowns across 32 threads) and random 10-100x query stalls.
-        #   A pinned, pre-touched heap eliminates them entirely.
+        # * -Xms == -Xmx (heap floor): without it, G1 commits and uncommits
+        #   heap under allocation-heavy (higher-order lambda) queries —
+        #   observed as 97% kernel time (mmap churn + TLB shootdowns across
+        #   32 threads) and random 10-100x query stalls. The floor removes
+        #   uncommit entirely; pages fault in once, gradually. (AlwaysPreTouch
+        #   would front-load that, but in this Firecracker VM forcing 16 GB
+        #   of host page provisioning at startup costs minutes — measured —
+        #   so it is deliberately NOT set.)
         # * C1-only JIT (TieredStopAtLevel=1): tiered C2 intermittently
         #   enters deopt/recompile storms (compiler threads pegged, executor
         #   threads interpreted); C1 compiles fast, never storms, and is no
@@ -74,7 +80,7 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_GRAFT_JAVA_OPTS",
-                f"-Xms{_driver_mem()} -XX:+AlwaysPreTouch "
+                f"-Xms{_driver_mem()} "
                 "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
                 "-XX:TieredStopAtLevel=1",
             ),
