@@ -364,3 +364,40 @@ def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.median(cents) / 100).alias("median_value"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ===========================================================================
+# As-of join (no Spark primitive; union+window composition)
+# ===========================================================================
+@_register(
+    "asof_last_click_before_purchase",
+    """
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "As-of join: for every purchase, the timestamp of the same user's most "
+    "recent click at-or-before it. Spark lacks the primitive; composed as "
+    "tag -> union -> per-key window carry-forward (one shuffle + one sort, "
+    "cost independent of history depth). Oracle uses DuckDB's native ASOF "
+    "JOIN — an independent implementation of the same semantics",
+    reference="SURVEY.md §2.11 (as-of joins absent in reference; added); "
+    "pyspark_guide 'As-of / range join' pattern",
+    tags=("asof", "J-ext"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["ts"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("asof_ts").alias("last_click_ts")
+    )
