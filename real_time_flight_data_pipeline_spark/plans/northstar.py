@@ -415,7 +415,7 @@ _SIMHASH_BITS = 48  # 48-bit hash: < 2^53, so FP division by 2^b is exact
     ),
     s AS (SELECT doc_id, bit, sum(contrib) AS s FROM c GROUP BY 1, 2)
     SELECT doc_id,
-           sum(CASE WHEN s >= 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN s >= 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
     FROM s GROUP BY doc_id
     """,
     "48-bit SimHash: one md5 per token occurrence, then a per-document fold "

@@ -96,7 +96,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "token_count_rollup",
     """
-    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY ROLLUP (lang, source)
     """,
@@ -165,8 +165,8 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000
     ),
     s AS (
       SELECT user_id, event_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_idx
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
       FROM g
     )
     SELECT user_id, session_idx, count(*) AS n_events,

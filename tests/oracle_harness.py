@@ -56,17 +56,36 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# DuckDB output types whose Python values look identical to safe types but
+# hash differently in the driver's type-sensitive comparison. HUGEINT comes
+# from uncast sum(int) (plain and windowed); DECIMAL from numeric literals
+# like 0.25. r1 proved these slip through value-level comparison: the three
+# CORRECTNESS_r01 hash failures were exactly the three uncast-sum oracles.
+_BANNED_DUCKDB_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def _check_oracle_types(rel) -> list[str]:
+    problems = []
+    for name, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        if any(b in t for b in _BANNED_DUCKDB_TYPES):
+            problems.append(
+                f"oracle column '{name}' has driver-unsafe DuckDB type {t}: "
+                f"CAST it (e.g. AS BIGINT / AS DOUBLE) in the oracle SQL"
+            )
+    return problems
+
+
 def compare(spark, sf_dir: str, builder, oracle: str) -> tuple[bool, str]:
     sdf = builder(spark, sf_dir)
     s_rows = sdf.collect()
     s_cols = sdf.columns
 
     con = duckdb_conn(sf_dir)
+    problems = _check_oracle_types(con.sql(oracle))
     res = con.execute(oracle)
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
-
-    problems = []
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"schema mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
     if len(s_rows) != len(d_rows):
