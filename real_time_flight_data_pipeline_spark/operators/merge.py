@@ -54,15 +54,16 @@ def merge_upsert(
     src_cols = set(source.columns)
     missing = [c for c in value_cols if c not in src_cols]
 
-    t = target.alias("t")
-    s = source.alias("s")
+    # Presence markers are dedicated TRUE columns, not key nullability: the
+    # join uses eqNullSafe precisely so NULL keys match, so a NULL-key row
+    # must still read as "present" on its side after the full outer join.
+    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    s = source.withColumn("_s_present", F.lit(True)).alias("s")
     cond = [t[k].eqNullSafe(s[k]) for k in keys]
     joined = t.join(s, cond, "full_outer")
 
-    # Presence markers: a key column is NULL on the side that had no row
-    # (eqNullSafe keeps NULL keys matchable, so use a struct presence probe).
-    t_present = F.greatest(*[t[k].isNotNull() for k in keys]) if len(keys) > 1 else t[keys[0]].isNotNull()
-    s_present = F.greatest(*[s[k].isNotNull() for k in keys]) if len(keys) > 1 else s[keys[0]].isNotNull()
+    t_present = F.coalesce(t["_t_present"], F.lit(False))
+    s_present = F.coalesce(s["_s_present"], F.lit(False))
 
     out_cols: list[Column] = []
     for k in keys:

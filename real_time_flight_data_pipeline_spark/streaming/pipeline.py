@@ -30,6 +30,7 @@ for ``MERGE INTO`` with identical policy tables.
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -83,7 +84,10 @@ def normalize_flight_stream(
 
     parsed = wire.select(
         F.col("flight_key"),
-        F.to_date("flight_date").alias("flight_date"),
+        # try_cast, not to_date: the wire field is free-form text and the
+        # session keeps ANSI mode on — a malformed date must become NULL
+        # (parse-to-NULL policy, same as parse_flight_ts), never kill the batch.
+        F.expr("try_cast(flight_date AS DATE)").alias("flight_date"),
         F.col("status"),
         F.coalesce(ts(F.col("ingest_time")), F.expr(now_expr)).alias("ingest_time"),
         F.col("flight.number").alias("flight_number"),
@@ -161,6 +165,7 @@ class ParquetTable:
         return self.spark.read.schema(self.schema).parquet(os.path.join(self.path, v))
 
     def overwrite(self, df: DataFrame) -> None:
+        prev = self._current_version()
         v = f"v_{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, v)
         df.select([f.name for f in self.schema.fields]).write.mode("overwrite").parquet(out)
@@ -168,6 +173,15 @@ class ParquetTable:
         with open(tmp, "w") as f:
             f.write(v)
         os.replace(tmp, self._pointer)  # atomic pointer flip
+        self._vacuum(keep={v, prev} if prev else {v})
+
+    def _vacuum(self, keep: set[str]) -> None:
+        """Drop superseded version dirs so a long-running stream's disk use is
+        bounded at ~2 versions. The immediately-previous version survives one
+        cycle for in-flight readers that resolved the pointer pre-flip."""
+        for name in os.listdir(self.path):
+            if name.startswith("v_") and name not in keep:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
 
 class FlightWarehouse:
@@ -195,8 +209,8 @@ def _airport_id(iata: F.Column, icao: F.Column) -> F.Column:
     """ICAO-preferred natural key: the reference's airport backfill path
     (load_warehouse.py:124-151) links records by ICAO and backfills a late
     IATA code onto the ICAO row, so ICAO is the stable identity. (An airport
-    seen first IATA-only and later with an ICAO becomes two dim rows — the
-    same unlinkable-identity limitation the reference has.)"""
+    seen first IATA-only and later with an ICAO becomes two dim rows sharing
+    an IATA; lookup joins guard against that via _unique_code_map.)"""
     nk = F.coalesce(F.concat(F.lit("icao#"), icao), F.concat(F.lit("iata#"), iata))
     return F.xxhash64(F.lit("airport"), nk)
 
@@ -269,17 +283,34 @@ def _upsert_airports(wh: FlightWarehouse, latest: DataFrame) -> None:
     wh.airport.overwrite(merged)
 
 
+def _unique_code_map(dim: DataFrame, code: str, id_col: str, prefer: str) -> DataFrame:
+    """One surrogate id per lookup code. Unlike the reference's
+    UNIQUE(iata)/UNIQUE(icao) constraints (db/00_warehous.sql:77-101), these
+    dim columns are not unique here: an airport first seen IATA-only (keyed
+    iata#X) and later with an ICAO (keyed icao#Y, same iata) is two dim rows
+    sharing one IATA — an unguarded lookup join on that code would then
+    duplicate fact rows and break the flight_key grain. Pick deterministically:
+    prefer the row carrying the stronger identity column (``prefer`` non-NULL),
+    tie-break on smallest id."""
+    return (
+        dim.filter(F.col(code).isNotNull())
+        .groupBy(code)
+        .agg(F.min_by(id_col, F.struct(F.col(prefer).isNull(), F.col(id_col))).alias(id_col))
+    )
+
+
 def _resolve_airport_ids(latest: DataFrame, airports: DataFrame, side: str) -> DataFrame:
     """J2/J3 decomposed: IATA equi-join, ICAO equi-join guarded on IATA NULL,
     COALESCE preference (reference load_warehouse.py:222-235, decomposed per
-    SURVEY.md §7.4.5). Dims broadcast — the fact side never shuffles."""
+    SURVEY.md §7.4.5). Dims broadcast — the fact side never shuffles. Lookup
+    maps are deduplicated to one id per code (see _unique_code_map)."""
     iata_map = F.broadcast(
-        airports.filter(F.col("iata").isNotNull()).select(
+        _unique_code_map(airports, "iata", "airport_id", prefer="icao").select(
             F.col("iata").alias(f"_{side}_iata"), F.col("airport_id").alias(f"_{side}_iid")
         )
     )
     icao_map = F.broadcast(
-        airports.filter(F.col("icao").isNotNull()).select(
+        _unique_code_map(airports, "icao", "airport_id", prefer="iata").select(
             F.col("icao").alias(f"_{side}_icao"), F.col("airport_id").alias(f"_{side}_cid")
         )
     )
@@ -335,14 +366,18 @@ def warehouse_load(
     resolved = _resolve_airport_ids(resolved, airports, "arr")
     _upsert_routes(wh, resolved)
 
-    airlines = F.broadcast(wh.airline.read())
+    airlines = wh.airline.read()
     with_aid = resolved.join(
-        airlines.select(F.col("iata").alias("_a_iata"), F.col("airline_id").alias("_aid_i")),
+        F.broadcast(
+            _unique_code_map(airlines, "iata", "airline_id", prefer="icao").select(
+                F.col("iata").alias("_a_iata"), F.col("airline_id").alias("_aid_i")
+            )
+        ),
         resolved["airline_iata"] == F.col("_a_iata"),
         "left",
     ).drop("_a_iata")
     icao_air = F.broadcast(
-        wh.airline.read().filter(F.col("icao").isNotNull()).select(
+        _unique_code_map(airlines, "icao", "airline_id", prefer="iata").select(
             F.col("icao").alias("_a_icao"), F.col("airline_id").alias("_aid_c")
         )
     )
@@ -376,6 +411,14 @@ def warehouse_load(
         "arr_actual",
         "arr_delay_min",
         F.expr(batch_ts_expr).alias("last_updated"),
+    )
+    # Safety net for merge_upsert's one-row-per-key precondition: even though
+    # the lookup maps are deduplicated, re-assert the flight_key grain after
+    # id resolution (ids as tie-breaks make the pick deterministic).
+    fact_src = latest_per_key(
+        fact_src,
+        ["flight_key"],
+        ["ingest_time", F.col("dep_scheduled"), F.col("airline_id"), F.col("route_id")],
     )
 
     # M4: measures/timestamps overwritten (incl. NULL); ingest_time GREATEST;
