@@ -64,11 +64,16 @@ def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
     return comps
 
 
-def signature_col(vec_col: str, dim: int, n_planes: int = 16, seed: int = 42):
-    """Random-hyperplane (SimHash-for-vectors) bucket id as an int column."""
+def signature_col(
+    vec_col: str, dim: int, n_planes: int = 16, seed: int = 42, plane_offset: int = 0
+):
+    """Random-hyperplane (SimHash-for-vectors) bucket id as an int column.
+
+    ``plane_offset`` selects a disjoint plane family, so banded LSH can build
+    B independent buckets from offsets 0, P, 2P, ... (one band each)."""
     bits = []
     for p in range(n_planes):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p, seed)])
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, plane_offset + p, seed)])
         bits.append(F.when(V.dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0)))
     sig = F.lit(0).cast("long")
     for b in bits:

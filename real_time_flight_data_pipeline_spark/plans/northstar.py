@@ -52,6 +52,25 @@ def _sql_minhash(seed: int) -> str:
 _N_MINHASH = 8
 _JACCARD_THRESHOLD = 0.5
 
+# Above this many candidate pairs, verify joins fall back to shuffle joins:
+# a broadcast of an unbounded candidate set is a driver/executor memory cliff
+# at 100 TB corpus sizes with high duplicate rates.
+_BROADCAST_CAND_LIMIT = 2_000_000
+
+
+def _broadcast_if_small(df: DataFrame, limit: int | None = None) -> DataFrame:
+    """Broadcast a candidate set only when it is provably small.
+
+    The caller must pass a materialized (checkpointed) DataFrame so the
+    count() probe does not recompute the candidate join. Above ``limit``
+    (module-level _BROADCAST_CAND_LIMIT when None, so it is tunable) the
+    plain DataFrame is returned and Spark plans a shuffle join instead —
+    same results, no memory cliff.
+    """
+    if limit is None:
+        limit = _BROADCAST_CAND_LIMIT
+    return F.broadcast(df) if df.count() <= limit else df
+
 # ===========================================================================
 # Exact dedup — hash-groupBy on a canonical fingerprint
 # ===========================================================================
@@ -365,17 +384,20 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .dropDuplicates()
+        .localCheckpoint(eager=True)  # materialize once: reused by count + joins
     )
     sa = shin.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
     sb = shin.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
     # Materialize the per-pair set sizes so the jaccard expression (used by
     # both the output column and the threshold filter) never re-runs the
     # array intersection.
-    # Candidates are orders of magnitude smaller than the corpus (that is
-    # the point of LSH): broadcast them so the shingle table streams through
-    # both joins without shuffling.
+    # Candidates are normally orders of magnitude smaller than the corpus
+    # (that is the point of LSH): broadcast them so the shingle table streams
+    # through both joins without shuffling — but only below the size guard
+    # (_broadcast_if_small), since a high-dup-rate corpus can produce a
+    # candidate set too large to broadcast.
     verified = (
-        F.broadcast(cand).join(sa, "a_id")
+        _broadcast_if_small(cand).join(sa, "a_id")
         .join(sb, "b_id")
         .select(
             "a_id",
@@ -497,67 +519,137 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine(emb, qvec, k=10)
 
 
-@_register(
-    "embedding_near_dup_pairs",
-    """
+# Banded hyperplane LSH for embedding near-dup blocking: B independent
+# bands of P planes each (disjoint plane families via plane_offset). A pair
+# is a candidate if it collides in ANY band. Near-dups at cosine >= 0.99
+# (angle ~8.1 deg) collide per band with p ~ (1 - theta/pi)^P ~ 0.69, so
+# 4 bands give ~99% recall — and scale-variant copies (same direction)
+# collide in every band by construction.
+_EMB_DIM = 64
+_EMB_BANDS = 4
+_EMB_PLANES = 8
+_EMB_SEED = 42
+
+
+def _emb_near_dup_oracle() -> str:
+    from ..operators.similarity import _hyperplane
+
+    band_rows = []
+    for band in range(_EMB_BANDS):
+        terms = []
+        for p in range(_EMB_PLANES):
+            comps = ", ".join(
+                repr(c) for c in _hyperplane(_EMB_DIM, band * _EMB_PLANES + p, _EMB_SEED)
+            )
+            bit = 1 << (_EMB_PLANES - 1 - p)
+            terms.append(
+                f"(CASE WHEN list_dot_product(vn, [{comps}]::DOUBLE[]) >= 0 "
+                f"THEN {bit} ELSE 0 END)"
+            )
+        band_rows.append(
+            f"SELECT vec_id, {band} AS band_idx, {' + '.join(terms)} AS bucket FROM normed"
+        )
+    bands_sql = " UNION ALL ".join(band_rows)
+    return f"""
     WITH corpus AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       UNION ALL
       SELECT vec_id + 1000000 AS vec_id,
-             list_transform(embedding::DOUBLE[], x -> x * 1.01) AS v,
-             label
+             list_transform(embedding::DOUBLE[], x -> x * 1.01) AS v
       FROM embeddings WHERE vec_id % 10 = 0
     ),
     normed AS (
-      SELECT vec_id, label, list_transform(v, x -> x / n) AS vn
+      SELECT vec_id, list_transform(v, x -> x / n) AS vn
       FROM (SELECT *, sqrt(list_dot_product(v, v)) AS n FROM corpus)
     ),
+    bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    ),
     sims AS (
-      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-             round(list_dot_product(a.vn, b.vn), 6) AS sim
-      FROM normed a JOIN normed b
-        ON a.label = b.label AND a.vec_id < b.vec_id
+      SELECT c.a_id, c.b_id, round(list_dot_product(na.vn, nb.vn), 6) AS sim
+      FROM cand c
+      JOIN normed na ON na.vec_id = c.a_id
+      JOIN normed nb ON nb.vec_id = c.b_id
     )
     SELECT a_id, b_id, sim FROM sims WHERE sim >= 0.99
-    """,
-    "Embedding-cosine near-duplicate pairs with label blocking: the "
-    "self-join shuffles on the blocking key so each task compares only "
-    "within-block pairs; cosine >= 0.99 keeps perturbed copies",
-    reference="[NORTH-STAR] embedding near-dup; blocking generalizes to LSH buckets",
+    """
+
+
+@_register(
+    "embedding_near_dup_pairs",
+    _emb_near_dup_oracle(),
+    f"Embedding-cosine near-duplicate pairs blocked on banded hyperplane "
+    f"LSH buckets ({_EMB_BANDS} bands x {_EMB_PLANES} planes): the self-join "
+    "shuffles on (band, bucket) so candidate volume is O(colliding pairs), "
+    "never O(block^2) on a low-cardinality key; exact cosine >= 0.99 verify",
+    reference="[NORTH-STAR] embedding near-dup via SimHash-LSH (Charikar'02)",
     tags=("dedup", "similarity", "northstar"),
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import signature_col
+
     emb = _spread(spark, _t(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     corpus = emb.unionByName(
         emb.filter(F.col("vec_id") % 10 == 0).select(
             (F.col("vec_id") + 1000000).alias("vec_id"),
             F.transform(F.col("v"), lambda x: x * 1.01).alias("v"),
-            "label",
         )
     )
-    # Normalize once per ROW (O(n) lambda work), so the O(pairs) join side
-    # is a single dot product per pair, computed once and reused by the
-    # filter — higher-order lambdas are interpreted, so per-pair work is
-    # the whole cost model here.
+    # Normalize once per ROW (O(n) lambda work), so the O(pairs) verify side
+    # is a single dot product per pair. Barrier: vn feeds B*P bucket
+    # expressions plus both verify-join sides — without it CollapseProject
+    # re-derives the normalization per reference.
     normed = (
         corpus.withColumn("n", V.norm(F.col("v")))
-        .select(
-            "vec_id",
-            "label",
-            F.transform(F.col("v"), lambda x: x / F.col("n")).alias("vn"),
-        )
+        .select("vec_id", F.transform(F.col("v"), lambda x: x / F.col("n")).alias("vn"))
+        .localCheckpoint(eager=False)
     )
-    a = normed.alias("a")
-    b = normed.alias("b")
-    sims = (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            F.round(V.dot(F.col("a.vn"), F.col("b.vn")), 6).alias("sim"),
+    bands = normed.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_idx"),
+                        signature_col(
+                            "vn",
+                            _EMB_DIM,
+                            _EMB_PLANES,
+                            _EMB_SEED,
+                            plane_offset=band * _EMB_PLANES,
+                        ).alias("bucket"),
+                    )
+                    for band in range(_EMB_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band_idx", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)  # materialize once: reused by count + joins
+    )
+    na = normed.select(F.col("vec_id").alias("a_id"), F.col("vn").alias("a_vn"))
+    nb = normed.select(F.col("vec_id").alias("b_id"), F.col("vn").alias("b_vn"))
+    sims = (
+        _broadcast_if_small(cand)
+        .join(na, "a_id")
+        .join(nb, "b_id")
+        .select("a_id", "b_id", F.round(V.dot(F.col("a_vn"), F.col("b_vn")), 6).alias("sim"))
     )
     return sims.filter(F.col("sim") >= 0.99)
 
