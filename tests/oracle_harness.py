@@ -47,12 +47,20 @@ def _rows_to_multiset(rows, colnames):
     return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
 
 
+_CONN_CACHE: dict[str, duckdb.DuckDBPyConnection] = {}
+
+
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
-    for t in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    """One shared connection per SF dir (views registered once): the full
+    46-oracle gate reconnecting per compare measurably slows the suite."""
+    con = _CONN_CACHE.get(sf_dir)
+    if con is None:
+        con = duckdb.connect()
+        for t in TESTDATA_TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        _CONN_CACHE[sf_dir] = con
     return con
 
 

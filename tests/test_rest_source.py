@@ -1,0 +1,107 @@
+"""S2 in-engine: the rest_poll Python DataSource replays API-shaped spool
+pages as a stream, with producer-parity record mapping and incremental
+offsets across triggers."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from real_time_flight_data_pipeline_spark.sources.rest import (
+    RestPollDataSource,
+    build_record,
+)
+from real_time_flight_data_pipeline_spark.streaming.pipeline import (
+    normalize_flight_stream,
+    parse_wire_json,
+)
+
+from .test_streaming import NOW
+
+_API_REC = {
+    "flight_date": "2025-08-21",
+    "flight_status": "active",
+    "departure": {
+        "airport": "Haneda", "iata": "HND", "icao": "RJTT",
+        "terminal": "3", "gate": "61",
+        "scheduled": "2025-08-21T00:05:00+00:00",
+        "estimated": None, "actual": None, "delay": 12,
+    },
+    "arrival": {
+        "airport": "Pudong", "iata": "PVG", "icao": "ZSPD",
+        "terminal": "2", "gate": None,
+        "scheduled": "2025-08-21T04:05:00+00:00",
+        "estimated": None, "actual": None, "delay": None,
+    },
+    "airline": {"name": "All Nippon Airways", "iata": "NH", "icao": "ANA"},
+    "flight": {"number": "849", "iata": "NH849", "icao": "ANA849"},
+}
+
+
+def _page(path, idx, recs):
+    with open(os.path.join(path, f"page{idx:04d}.json"), "w") as f:
+        json.dump({"pagination": {"count": len(recs)}, "data": recs}, f)
+
+
+def test_build_record_producer_parity():
+    rec = build_record(_API_REC, ingest_time="2025-08-21T00:10:00+00:00")
+    assert rec["flight_key"] == "NH849_2025-08-21T00:05:00+00:00"
+    assert rec["status"] == "active"
+    assert rec["departure"]["delay_min"] == 12
+    assert rec["arrival"]["schedule"] == "2025-08-21T04:05:00+00:00"
+    # flight_num fallback chain: iata -> icao -> number -> UNKNOWN
+    no_iata = {**_API_REC, "flight": {"number": "849", "iata": None, "icao": "ANA849"}}
+    assert build_record(no_iata)["flight_key"].startswith("ANA849_")
+    bare = {**_API_REC, "flight": {}, "departure": {}}
+    assert build_record(bare)["flight_key"] == "UNKNOWN_None"
+
+
+def test_rest_poll_stream_incremental(spark, tmp_path):
+    spool = tmp_path / "spool"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    os.makedirs(spool)
+    _page(spool, 0, [_API_REC])
+    second = {
+        **_API_REC,
+        "flight": {"number": "850", "iata": "NH850", "icao": "ANA850"},
+    }
+    _page(spool, 1, [second])
+
+    spark.dataSource.register(RestPollDataSource)
+    raw = (
+        spark.readStream.format("rest_poll")
+        .option("path", str(spool))
+        .option("fixed_ingest_time", "2025-08-21T00:10:00+00:00")
+        .load()
+    )
+    staged = normalize_flight_stream(parse_wire_json(raw), NOW)
+    q = (
+        staged.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    q.processAllAvailable()
+    keys = {r["flight_key"] for r in spark.read.parquet(str(out)).collect()}
+    assert keys == {
+        "NH849_2025-08-21T00:05:00+00:00",
+        "NH850_2025-08-21T00:05:00+00:00",
+    }
+
+    # a new page appears -> next trigger picks up ONLY the new offset range
+    third = {
+        **_API_REC,
+        "flight": {"number": "851", "iata": "NH851", "icao": "ANA851"},
+    }
+    _page(spool, 2, [third])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.read.parquet(str(out)).collect()
+    keys = sorted(r["flight_key"] for r in rows)
+    assert keys == [
+        "NH849_2025-08-21T00:05:00+00:00",
+        "NH850_2025-08-21T00:05:00+00:00",
+        "NH851_2025-08-21T00:05:00+00:00",
+    ]  # no re-emission of pages 0-1
