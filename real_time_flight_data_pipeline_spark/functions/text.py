@@ -167,3 +167,45 @@ def minhash_from_hashes(base_hashes: Column, seed: int) -> Column:
 def minhash_value(shingle_arr: Column, seed: int) -> Column:
     """min over shingles of perm_seed(md5_32(shingle)); NULL for empty sets."""
     return minhash_from_hashes(shingle_base_hashes(shingle_arr), seed)
+
+
+# Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash every
+# char k-gram, slide a w-window over the hash sequence, keep each window's
+# minimum. Guarantee: any shared substring of length >= k + w - 1 yields at
+# least one shared fingerprint between two documents.
+WINNOW_K = 5  # char k-gram width
+WINNOW_W = 4  # winnowing window length
+
+
+def char_gram_hashes(norm_text: Column, k: int = WINNOW_K) -> Column:
+    """One md5-prefix BIGINT hash per char k-gram of already-normalized text.
+
+    Caller must pass a *projected* normalized-text column (and keep a
+    checkpoint barrier before this) — the expression is inlined per gram, so
+    feeding normalized_text(text) directly would re-run the regex chain O(n)
+    times per document (the CollapseProject trap)."""
+    n_grams = F.length(norm_text) - k + 1
+    return F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: md5_long(norm_text.substr(i.cast("int"), F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def winnow_mins(gram_hashes: Column, w: int = WINNOW_W) -> Column:
+    """Distinct per-window minima of the k-gram hash sequence (the selected
+    fingerprints). Documents with fewer than w grams contribute one window
+    over whatever grams exist; empty documents contribute none."""
+    n_h = F.size(gram_hashes)
+    n_w = F.greatest(n_h - w + 1, F.least(n_h, F.lit(1)))
+    return F.when(
+        n_h >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_w),
+                lambda j: F.array_min(F.slice(gram_hashes, j.cast("int"), w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))

@@ -81,6 +81,75 @@ def signature_col(
     return sig
 
 
+def topk_cosine_ivf(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_range: tuple[int, int] = (1, 16),
+    n_probe: int = 4,
+    sim_decimals: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    Classic two-level ANN structure (the second scale path next to LSH):
+
+    1. coarse centroids — here a deterministic, training-free codebook: the
+       corpus vectors whose ids fall in ``centroid_id_range`` (a real
+       deployment would k-means them; the *structure* is identical);
+    2. every vector is assigned to its nearest centroid (argmax cosine —
+       one broadcast join against the tiny codebook, no shuffle of the
+       corpus, O(K) dots per row);
+    3. a query probes only its ``n_probe`` closest cells and ranks exactly
+       within them. At scale ``cell`` is the partition key at write time,
+       so a probe prunes (K - n_probe)/K of the corpus scan.
+
+    Everything stays engine-side (centroids/probe cells are DataFrames, not
+    driver floats), so the DuckDB oracle can state the same computation.
+    """
+    lo, hi = centroid_id_range
+    normed = embeddings.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: x / V.norm(F.col(vec_col)),
+        ).alias("vn"),
+    ).localCheckpoint(eager=False)
+    cents = normed.filter(F.col(id_col).between(lo, hi)).select(
+        F.col(id_col).alias("cid"), F.col("vn").alias("cvn")
+    )
+    q = normed.filter(F.col(id_col) == query_id).select(F.col("vn").alias("qvn"))
+
+    # nearest-centroid assignment: argmax(sim) with smallest-cid tie-break
+    sim_c = V.dot(F.col("vn"), F.col("cvn"))
+    assigned = (
+        normed.join(F.broadcast(cents))
+        .groupBy(id_col)
+        .agg(
+            F.max_by("cid", F.struct(sim_c.alias("s"), (-F.col("cid")).alias("t"))).alias("cell"),
+            F.any_value("vn").alias("vn"),  # identical within the group
+        )
+    )
+    qcells = (
+        cents.join(F.broadcast(q))
+        .select("cid", V.dot(F.col("cvn"), F.col("qvn")).alias("qsim"))
+        .orderBy(F.desc("qsim"), F.col("cid"))
+        .limit(n_probe)
+        .select(F.col("cid").alias("cell"))
+    )
+    sim = V.dot(F.col("vn"), F.col("qvn"))
+    if sim_decimals is not None:
+        sim = F.round(sim, sim_decimals)
+    return (
+        assigned.join(F.broadcast(qcells), "cell", "semi")
+        .join(F.broadcast(q))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def topk_cosine_lsh(
     embeddings: DataFrame,
     query_vec: Sequence[float],

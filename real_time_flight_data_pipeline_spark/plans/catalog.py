@@ -854,3 +854,40 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").cast("date").alias("day"), "event_type", "n", "sum_value")
     )
+
+
+@_register(
+    "hopping_window_12h",
+    """
+    WITH wins AS (
+      SELECT event_type, value,
+             make_timestamp(
+               (CAST(floor(epoch(ts) / 43200) AS BIGINT) - k) * 43200000000
+             ) AS w_start
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT w_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+    FROM wins
+    GROUP BY 1, 2
+    """,
+    "Hopping (sliding) window: 1-day windows every 12 hours, so each event "
+    "lands in exactly 2 windows. Spark's window() does the 2x fan-out "
+    "map-side before the partial aggregation; the oracle states the same "
+    "epoch-aligned window starts arithmetically. Streaming-capable with a "
+    "watermark like the tumbling form",
+    reference="SURVEY.md §2.9 T9 extension (hopping windows; absent in reference)",
+    tags=("T9", "A6", "streaming"),
+)
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100).alias(
+                "sum_value"
+            ),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
+    )

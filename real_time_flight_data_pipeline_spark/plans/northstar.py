@@ -415,6 +415,58 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Winnowing rolling-hash fingerprints (Schleimer SIGMOD'03)
+# ===========================================================================
+@_register(
+    "docs_winnow_fingerprints",
+    f"""
+    WITH t AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {TX.WINNOW_K} THEN
+               list_transform(range(1, len(t) - {TX.WINNOW_K} + 2),
+                 i -> ('0x' || substring(md5(substring(t, i, {TX.WINNOW_K})), 1, 15))::BIGINT)
+             ELSE [] END AS hs
+      FROM t
+    ),
+    w AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(hs) - {TX.WINNOW_W} + 1, least(len(hs), 1)) + 1),
+               j -> list_min(hs[j:j+{TX.WINNOW_W - 1}]))) AS fps
+      FROM g
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM w
+    """,
+    f"Winnowing document fingerprints: md5-prefix hash per char {TX.WINNOW_K}-gram, "
+    f"distinct minima of every {TX.WINNOW_W}-window of the rolling hash sequence. "
+    f"Guarantees a shared fingerprint for any common substring of length >= "
+    f"{TX.WINNOW_K + TX.WINNOW_W - 1}; per-row expression work only (no shuffle "
+    "until the downstream fingerprint groupBy)",
+    reference="[NORTH-STAR] winnowing local fingerprinting (Schleimer et al. SIGMOD'03)",
+    tags=("dedup", "fingerprint", "northstar"),
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    # Barriers between the three per-row passes (normalize -> gram hashes ->
+    # window minima): each stage's column is referenced many times by the
+    # next stage's lambda, and CollapseProject would otherwise inline and
+    # re-run the whole upstream expression per reference.
+    normed = docs.select(
+        "doc_id", TX.normalized_text(F.col("text")).alias("t")
+    ).localCheckpoint(eager=False)
+    hashed = normed.select(
+        "doc_id", TX.char_gram_hashes(F.col("t")).alias("hs")
+    ).localCheckpoint(eager=False)
+    return hashed.select(
+        "doc_id", F.explode(TX.winnow_mins(F.col("hs"))).alias("fp")
+    )
+
+
+# ===========================================================================
 # SimHash — fully relational (explode tokens x bit positions, re-aggregate)
 # ===========================================================================
 _SIMHASH_BITS = 48  # 48-bit hash: < 2^53, so FP division by 2^b is exact
@@ -696,6 +748,66 @@ def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return topk_cosine_lsh(emb, qvec, k=10, n_planes=8, seed=42)
+
+
+_IVF_CENT_LO, _IVF_CENT_HI, _IVF_NPROBE = 1, 16, 4
+
+
+@_register(
+    "embedding_topk_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    normed AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+      FROM e
+    ),
+    cent AS (
+      SELECT vec_id AS cid, vn AS cvn FROM normed
+      WHERE vec_id BETWEEN {_IVF_CENT_LO} AND {_IVF_CENT_HI}
+    ),
+    q AS (SELECT vn AS qvn FROM normed WHERE vec_id = 0),
+    asg AS (
+      SELECT vec_id, vn, cid,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(vn, cvn) DESC, cid) AS rn
+      FROM normed CROSS JOIN cent
+    ),
+    cells AS (SELECT vec_id, vn, cid AS cell FROM asg WHERE rn = 1),
+    qc AS (
+      SELECT cell FROM (
+        SELECT cid AS cell,
+               row_number() OVER (
+                 ORDER BY list_dot_product(cvn, qvn) DESC, cid) AS rn
+        FROM cent CROSS JOIN q)
+      WHERE rn <= {_IVF_NPROBE}
+    )
+    SELECT vec_id, round(list_dot_product(vn, qvn), 6) AS sim
+    FROM cells JOIN qc USING (cell) CROSS JOIN q
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+    f"Approximate top-k cosine via an IVF coarse quantizer: {_IVF_CENT_HI} "
+    "deterministic centroids, nearest-centroid assignment (argmax over a "
+    f"broadcast codebook, no corpus shuffle), query probes its {_IVF_NPROBE} "
+    "closest cells and ranks exactly within them. With cell as a write-time "
+    "partition key a probe prunes (K - n_probe)/K of the scan — the second "
+    "ANN scale path next to LSH",
+    reference="[NORTH-STAR] IVF/inverted-file ANN (Jegou'11 structure, training-free codebook)",
+    tags=("similarity", "northstar"),
+)
+def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import topk_cosine_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return topk_cosine_ivf(
+        emb,
+        query_id=0,
+        k=10,
+        centroid_id_range=(_IVF_CENT_LO, _IVF_CENT_HI),
+        n_probe=_IVF_NPROBE,
+    )
 
 
 # ===========================================================================

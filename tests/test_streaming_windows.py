@@ -74,6 +74,50 @@ def test_tumbling_window_streaming_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_session_window_streaming_matches_batch(spark, tmp_path):
+    """groupBy(session_window(ts, 30 min), user_id) under readStream with a
+    watermark must equal the batch session_window result — the true-streaming
+    twin of the sessionize_events catalog query's gap semantics."""
+    ev = load_table(spark, SF, "events").select("user_id", "ts")
+    src = tmp_path / "sess_src"
+    ev.repartition(4).write.mode("overwrite").parquet(str(src))
+
+    def sessions(df):
+        return (
+            df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessions(stream.withWatermark("ts", "31 days"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(map(tuple, spark.sql("SELECT * FROM sess_out").collect()))
+    want = sorted(map(tuple, sessions(ev).collect()))
+    assert got == want
+    assert len(want) > 0
+
+
 @pytest.mark.parametrize("n_batches", [3])
 def test_apply_in_pandas_with_state(spark, tmp_path, n_batches):
     """Custom stateful operator: state accumulates across micro-batches and
