@@ -43,7 +43,11 @@ HEADLINE = [
     "docs_simhash",
     "docs_text_stats",
     "embedding_topk_cosine",
+    "embedding_topk_lsh",
+    "embedding_topk_ivf",
     "embedding_near_dup_pairs",
+    "docs_winnow_fingerprints",
+    "hopping_window_12h",
     # relational completeness
     "sessionize_events",
     "running_total_per_user",

@@ -793,7 +793,9 @@ _IVF_CENT_LO, _IVF_CENT_HI, _IVF_NPROBE = 1, 16, 4
     f"broadcast codebook, no corpus shuffle), query probes its {_IVF_NPROBE} "
     "closest cells and ranks exactly within them. With cell as a write-time "
     "partition key a probe prunes (K - n_probe)/K of the scan — the second "
-    "ANN scale path next to LSH",
+    "ANN scale path next to LSH. Plan note: the BroadcastNestedLoopJoins "
+    "here are the intentional keyless cross joins against the 16-row "
+    "codebook / 1-row query — bounded broadcasts, the correct physical plan",
     reference="[NORTH-STAR] IVF/inverted-file ANN (Jegou'11 structure, training-free codebook)",
     tags=("similarity", "northstar"),
 )
