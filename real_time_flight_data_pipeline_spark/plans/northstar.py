@@ -466,6 +466,111 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Winnow-blocked char-n-gram Jaccard near-dup: a second, independent
+# near-dup method (the brief's "n-gram Jaccard") using the winnowing index
+# as the blocking scheme instead of MinHash bands. Fingerprints appearing in
+# more than _WINNOW_MAX_DF docs are dropped from blocking (inverted-index
+# stopword capping): a popular 5-gram with a small hash would otherwise
+# create a hot bucket and O(df^2) candidates at corpus scale.
+_WINNOW_MAX_DF = 50
+_NGRAM_JACCARD_THRESHOLD = 0.6
+
+
+@_register(
+    "docs_ngram_jaccard_pairs",
+    f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    t AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM corpus
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {TX.WINNOW_K} THEN
+               list_transform(range(1, len(t) - {TX.WINNOW_K} + 2),
+                 i -> ('0x' || substring(md5(substring(t, i, {TX.WINNOW_K})), 1, 15))::BIGINT)
+             ELSE [] END AS hs
+      FROM t
+    ),
+    gd AS (SELECT doc_id, list_distinct(hs) AS ghs FROM g),
+    w AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(hs) - {TX.WINNOW_W} + 1, least(len(hs), 1)) + 1),
+               j -> list_min(hs[j:j+{TX.WINNOW_W - 1}]))) AS fps
+      FROM g
+    ),
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+    rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {_WINNOW_MAX_DF}),
+    fpr AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    v AS (
+      SELECT c.a_id, c.b_id,
+             len(list_filter(ga.ghs, x -> list_contains(gb.ghs, x))) AS inter,
+             len(ga.ghs) AS na, len(gb.ghs) AS nb
+      FROM cand c
+      JOIN gd ga ON ga.doc_id = c.a_id
+      JOIN gd gb ON gb.doc_id = c.b_id
+    )
+    SELECT a_id, b_id,
+           round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+    FROM v
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {_NGRAM_JACCARD_THRESHOLD}
+    """,
+    f"Char-{TX.WINNOW_K}-gram Jaccard near-duplicates blocked on the "
+    "winnowing fingerprint index (pairs sharing a document-frequency-capped "
+    f"fingerprint, df <= {_WINNOW_MAX_DF}); exact distinct-gram Jaccard >= "
+    f"{_NGRAM_JACCARD_THRESHOLD} verify. Independent of the MinHash-LSH "
+    "method: substring-level blocking with inverted-index stopword capping",
+    reference="[NORTH-STAR] n-gram Jaccard dedup; winnowing-as-index (Schleimer SIGMOD'03 s.5)",
+    tags=("dedup", "fingerprint", "northstar"),
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _spread(spark, _near_corpus(spark, sf_dir))
+    normed = corpus.select(
+        "doc_id", TX.normalized_text(F.col("text")).alias("t")
+    ).localCheckpoint(eager=False)
+    hashed = normed.select(
+        "doc_id", TX.char_gram_hashes(F.col("t")).alias("hs")
+    ).localCheckpoint(eager=False)
+    grams = hashed.select("doc_id", F.array_distinct("hs").alias("ghs")).localCheckpoint(
+        eager=False
+    )
+    fp = hashed.select("doc_id", F.explode(TX.winnow_mins(F.col("hs"))).alias("fp"))
+    rare = fp.groupBy("fp").count().filter(F.col("count") <= _WINNOW_MAX_DF).select("fp")
+    fpr = fp.join(rare, "fp")
+    a = fpr.alias("a")
+    b = fpr.alias("b")
+    cand = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)  # materialize once: reused by count + joins
+    )
+    ga = grams.select(F.col("doc_id").alias("a_id"), F.col("ghs").alias("a_g"))
+    gb = grams.select(F.col("doc_id").alias("b_id"), F.col("ghs").alias("b_g"))
+    verified = (
+        _broadcast_if_small(cand)
+        .join(ga, "a_id")
+        .join(gb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("a_g", "b_g")).alias("inter"),
+            F.size("a_g").alias("na"),
+            F.size("b_g").alias("nb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return verified.filter(jac >= _NGRAM_JACCARD_THRESHOLD).select(
+        "a_id", "b_id", F.round(jac, 6).alias("jaccard")
+    )
+
+
 # ===========================================================================
 # SimHash — fully relational (explode tokens x bit positions, re-aggregate)
 # ===========================================================================
