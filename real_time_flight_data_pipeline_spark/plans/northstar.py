@@ -975,6 +975,71 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_decode_stub, schema=_MM_SCHEMA)
 
 
+_MM2_SCHEMA = (
+    "doc_id long, thumb_w int, thumb_h int, n_frames int, frame_indices array<int>"
+)
+
+
+def _resize_framesample_stub(batches):
+    """mapInPandas resize + frame-sample stage: thumbnail geometry (256-wide,
+    aspect-preserving, integer-exact rounding) and strided frame sampling
+    (every 30th frame, capped at 8). Like the decode stub, pixel/codec work
+    is replaced by md5-derived deterministic arithmetic; the Arrow batch
+    shape, array-typed output column and schema are production-real."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        raw = pdf["image_bytes"]
+        digests = [hashlib.md5(bytes(b)).hexdigest() for b in raw]
+        widths = [64 + int(d[:4], 16) % 1856 for d in digests]
+        heights = [64 + int(d[4:8], 16) % 1016 for d in digests]
+        n_frames = [1 + int(d[9:12], 16) % 300 for d in digests]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "thumb_w": [256] * len(raw),
+                "thumb_h": [(h * 256 + w // 2) // w for w, h in zip(widths, heights)],
+                "n_frames": n_frames,
+                "frame_indices": [list(range(0, n, 30))[:8] for n in n_frames],
+            }
+        )
+
+
+@_register(
+    "multimodal_resize_framesample_stub",
+    """
+    WITH meta AS (
+      SELECT doc_id,
+             64 + (('0x' || substring(md5(text), 1, 4))::BIGINT % 1856) AS width,
+             64 + (('0x' || substring(md5(text), 5, 4))::BIGINT % 1016) AS height,
+             CAST(1 + (('0x' || substring(md5(text), 10, 3))::BIGINT % 300) AS INTEGER) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+           256 AS thumb_w,
+           CAST((height * 256 + width // 2) // width AS INTEGER) AS thumb_h,
+           n_frames,
+           list_transform(range(0, least((n_frames + 29) // 30, 8)),
+                          i -> CAST(i * 30 AS INTEGER)) AS frame_indices
+    FROM meta
+    """,
+    "Multimodal stage 2: resize (aspect-preserving 256-wide thumbnail, "
+    "integer-exact geometry) + strided frame sampling (every 30th frame, "
+    "max 8) over opaque binary payloads via Arrow mapInPandas — the decode "
+    "arithmetic is deterministically stubbed (no PIL/ffmpeg in container), "
+    "the batch shape, array-typed output and schema are production-real",
+    reference="[NORTH-STAR] multimodal feature-extract/resize/frame-sample plumbing",
+    tags=("multimodal", "northstar", "pandas-udf"),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).select(
+        "doc_id", F.encode("text", "UTF-8").alias("image_bytes")
+    )
+    return docs.mapInPandas(_resize_framesample_stub, schema=_MM2_SCHEMA)
+
+
 # ===========================================================================
 # Batch top-k similarity join (multi-query top-k, EDBT'20/ICDE'21 flavor)
 # ===========================================================================
