@@ -1,0 +1,37 @@
+"""Plan-quality regression gate over the whole catalog (sf0.001).
+
+Asserts the physical-plan properties the 100 TB design depends on: no
+CartesianProduct anywhere, and BroadcastNestedLoopJoin only in the queries
+whose keyless cross joins are intentionally bounded broadcasts (documented
+in each query's description).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_flight_data_pipeline_spark.plans.catalog import REGISTRY
+
+from .conftest import SF_SMOKE
+
+# Keyless-by-design cross joins against provably tiny sides (1-row query
+# vector, 16-row IVF codebook, 8-row query batch, 1-row watermark scalar).
+_BNLJ_ALLOWED = {
+    "embedding_topk_ivf",
+    "embedding_topk_join",
+    "scalar_subquery_watermark",
+}
+
+_ALL = sorted(REGISTRY)
+
+
+@pytest.mark.parametrize("name", _ALL)
+def test_no_pathological_joins(spark, name):
+    df = REGISTRY[name].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    if name not in _BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected BroadcastNestedLoopJoin — broadcast an "
+            "equi-keyed side or add to the documented allowlist"
+        )

@@ -105,3 +105,49 @@ def test_rest_poll_stream_incremental(spark, tmp_path):
         "NH850_2025-08-21T00:05:00+00:00",
         "NH851_2025-08-21T00:05:00+00:00",
     ]  # no re-emission of pages 0-1
+
+
+def test_rest_poll_to_warehouse_end_to_end(spark, tmp_path):
+    """Full S2 -> K2 path: rest_poll stream -> normalize -> foreachBatch
+    warehouse merge, same sink the Kafka path uses."""
+    from pyspark.sql import DataFrame
+
+    from real_time_flight_data_pipeline_spark.streaming.pipeline import (
+        FlightWarehouse,
+        warehouse_load,
+    )
+
+    spool = tmp_path / "spool"
+    os.makedirs(spool)
+    _page(spool, 0, [_API_REC])
+
+    spark.dataSource.register(RestPollDataSource)
+    raw = (
+        spark.readStream.format("rest_poll")
+        .option("path", str(spool))
+        .option("fixed_ingest_time", "2025-08-21T00:10:00+00:00")
+        .load()
+    )
+    staged = normalize_flight_stream(parse_wire_json(raw), NOW)
+    wh = FlightWarehouse(spark, str(tmp_path / "wh"))
+
+    def sink(batch_df: DataFrame, _epoch: int) -> None:
+        if not batch_df.isEmpty():
+            warehouse_load(wh, batch_df, "timestamp'2025-08-22 00:00:01'")
+
+    q = (
+        staged.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    fact = {r["flight_key"]: r for r in wh.fact.read().collect()}
+    assert set(fact) == {"NH849_2025-08-21T00:05:00+00:00"}
+    assert fact["NH849_2025-08-21T00:05:00+00:00"]["route_id"] is not None
+    airports = {r["icao"] for r in wh.airport.read().collect()}
+    assert airports == {"RJTT", "ZSPD"}
