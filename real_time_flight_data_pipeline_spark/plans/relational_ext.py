@@ -207,6 +207,109 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Grouping sets (explicit; rollup/cube are the fixed-shape specializations)
+# ===========================================================================
+@_register(
+    "grouping_sets_docs",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source))
+    """,
+    "Explicit GROUPING SETS ((lang), (source)): per-lang and per-source "
+    "aggregates in ONE scan + one expand — not a UNION of two scans. The "
+    "NULLed-out opposite key disambiguates the set (both columns are "
+    "non-NULL in the data)",
+    reference="SURVEY.md §2.11 (grouping sets absent in reference; added)",
+    tags=("rollup",),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupingSets([["lang"], ["source"]], "lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# ===========================================================================
+# Window analytics pack (lag/lead/ntile/percent_rank/rank)
+# ===========================================================================
+@_register(
+    "event_rank_analytics",
+    """
+    SELECT event_id, user_id,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           CAST(rank() OVER (PARTITION BY user_id ORDER BY
+                             CAST(round(value * 100) AS BIGINT) DESC, event_id)
+                AS INTEGER) AS value_rank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "Analytic-function pack over per-user event sequences: lag/lead "
+    "neighbors, ntile quartiles, percent_rank (rounded for cross-engine "
+    "float stability), and a value rank on the scaled-long key. One shuffle "
+    "on user_id serves all five windows",
+    reference="SURVEY.md §2.11 (analytic windows absent in reference; added)",
+    tags=("window",),
+)
+def q_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(
+        F.round(F.col("value") * 100).cast("long").desc(), "event_id"
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.rank().over(wv).alias("value_rank"),
+    )
+
+
+# ===========================================================================
+# Datetime scalar pack
+# ===========================================================================
+@_register(
+    "datetime_functions",
+    """
+    SELECT event_id,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(extract(hour FROM ts) AS INTEGER) AS hour_of_day,
+           CAST(extract(dow FROM ts) + 1 AS INTEGER) AS dow_sunday1,
+           CAST(ts AS DATE) + 7 AS plus_week,
+           CAST(datediff('day', CAST(ts AS DATE), DATE '2024-02-01') AS INTEGER)
+             AS days_to_feb,
+           last_day(CAST(ts AS DATE)) AS month_end
+    FROM events
+    """,
+    "Datetime scalar pack: truncation, field extraction (hour, day-of-week "
+    "normalized to Sunday=1 on both engines), date arithmetic, datediff, "
+    "last_day — all codegen'd scalar expressions",
+    reference="SURVEY.md §2.11 (datetime scalars beyond P4-P6; added)",
+    tags=("scalar",),
+)
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    return ev.select(
+        "event_id",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.hour("ts").alias("hour_of_day"),
+        F.dayofweek("ts").alias("dow_sunday1"),
+        F.date_add(d, 7).alias("plus_week"),
+        F.datediff(F.lit("2024-02-01").cast("date"), d).alias("days_to_feb"),
+        F.last_day(d).alias("month_end"),
+    )
+
+
+# ===========================================================================
 # Approximate aggregates — engine capability; HLL sketches are not
 # bit-comparable across engines, so the oracle checks exact bounds instead.
 # ===========================================================================
