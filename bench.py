@@ -47,6 +47,9 @@ HEADLINE = [
     "embedding_topk_ivf",
     "embedding_near_dup_pairs",
     "docs_winnow_fingerprints",
+    "docs_ngram_jaccard_pairs",
+    "docs_quality_filter",
+    "docs_sequence_packing",
     "hopping_window_12h",
     # relational completeness
     "sessionize_events",

@@ -226,6 +226,113 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "docs_quality_filter",
+    f"""
+    WITH tok AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+    cnt AS (
+      SELECT *, len(toks) AS n_tokens,
+             {", ".join(f"{sql} AS c_{lg}" for lg, sql in _SQL_LANG_COUNTS.items())}
+      FROM tok
+    ),
+    best AS (SELECT *, {_SQL_LANG_BEST} AS best FROM cnt),
+    scored AS (
+      SELECT doc_id, n_tokens,
+             CAST(
+               (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN (CASE WHEN length(text) > 0
+                            THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                                 / length(text) ELSE 0.0 END) <= 0.2 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN n_tokens > 0
+                       AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / n_tokens
+                           BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN n_tokens > 0
+                       AND CAST(c_en AS DOUBLE) / n_tokens >= 0.01 THEN 0.25 ELSE 0.0 END)
+             AS DOUBLE) AS quality_score,
+             {_SQL_LANG_CASE} AS lang_pred
+      FROM best
+    )
+    SELECT doc_id, n_tokens, quality_score
+    FROM scored
+    WHERE quality_score >= 0.75 AND lang_pred = 'en'
+    """,
+    "The corpus-cleaning pass every LLM data pipeline runs: keep documents "
+    "scoring >= 0.75 on the composite quality heuristic AND language-ID'd "
+    "as English. Pure codegen'd filter over one scan — at 100 TB this is "
+    "the cheap pre-pass that shrinks everything downstream",
+    reference="[NORTH-STAR] C4-style quality+language filtering composed from text ops",
+    tags=("text", "northstar"),
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.quality_score(t).alias("quality_score"),
+        TX.lang_id(t).alias("lang_pred"),
+    )
+    return scored.filter(
+        (F.col("quality_score") >= 0.75) & (F.col("lang_pred") == "en")
+    ).select("doc_id", "n_tokens", "quality_score")
+
+
+_PACK_TOKENS = 512
+
+
+@_register(
+    "docs_sequence_packing",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, CAST(len({_SQL_TOKS}) AS INTEGER) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS prefix_before
+      FROM tok
+    )
+    SELECT source, prefix_before // {_PACK_TOKENS} AS bin,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c
+    GROUP BY 1, 2
+    """,
+    f"Sequence packing for LLM training: contiguous {_PACK_TOKENS}-token "
+    "bins via a windowed prefix sum, packed WITHIN each source shard "
+    "(PARTITION BY source) so the window never degenerates into one global "
+    "partition — the scale-correct form of greedy contiguous packing",
+    reference="[NORTH-STAR] training-batch sequence packing as a windowed prefix sum",
+    tags=("text", "window", "northstar"),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", "source", TX.token_count(F.col("text")).alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = tok.withColumn(
+        "prefix_before", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    )
+    return (
+        c.withColumn("bin", F.floor(F.col("prefix_before") / _PACK_TOKENS))
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
 # ===========================================================================
 # MinHash signatures + LSH near-dup pairs with exact-jaccard verification
 # ===========================================================================
