@@ -310,6 +310,50 @@ def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Range join (grid-blocked: equi join on cells, never nested-loop)
+# ===========================================================================
+_VALUE_BANDS = (
+    ("micro", 0.0, 10.0),
+    ("small", 10.0, 50.0),
+    ("mid", 50.0, 100.0),
+    ("large", 100.0, 250.0),
+    ("whale", 250.0, 1000.0),
+)
+
+
+@_register(
+    "events_value_band_join",
+    f"""
+    WITH bands(band, lo, hi) AS (VALUES
+      {", ".join(f"('{b}', {lo}::DOUBLE, {hi}::DOUBLE)" for b, lo, hi in _VALUE_BANDS)}
+    )
+    SELECT band, count(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY band
+    """,
+    "Range (band) join via grid blocking: ranges exploded onto fixed-width "
+    "cells, values equi-joined on their cell, exact bounds post-filtered — "
+    "a hash join where the naive BETWEEN join would be a nested-loop scan "
+    "(the plan gate enforces this stays BNLJ-free)",
+    reference="SURVEY.md §2.11 (range join absent in reference; grid-blocked interval join)",
+    tags=("join", "range"),
+)
+def q_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranges import grid_range_join
+
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(list(_VALUE_BANDS), "band string, lo double, hi double")
+    joined = grid_range_join(ev, F.broadcast(bands), "value", "lo", "hi", grid=50.0)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100).alias(
+            "sum_value"
+        ),
+    )
+
+
+# ===========================================================================
 # Approximate aggregates — engine capability; HLL sketches are not
 # bit-comparable across engines, so the oracle checks exact bounds instead.
 # ===========================================================================
