@@ -1082,8 +1082,13 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_decode_stub, schema=_MM_SCHEMA)
 
 
+# frame_indices is emitted as a comma-joined STRING, not array<int>: the
+# driver's correctness comparator pandas-factorizes every output column
+# before hashing, and list-valued cells are unhashable (CORRECTNESS_r02's
+# one red row). The scalar serialization is lossless (strictly increasing
+# ints) and keeps the query oracle-checkable end-to-end.
 _MM2_SCHEMA = (
-    "doc_id long, thumb_w int, thumb_h int, n_frames int, frame_indices array<int>"
+    "doc_id long, thumb_w int, thumb_h int, n_frames int, frame_indices string"
 )
 
 
@@ -1092,7 +1097,8 @@ def _resize_framesample_stub(batches):
     aspect-preserving, integer-exact rounding) and strided frame sampling
     (every 30th frame, capped at 8). Like the decode stub, pixel/codec work
     is replaced by md5-derived deterministic arithmetic; the Arrow batch
-    shape, array-typed output column and schema are production-real."""
+    shape and schema are production-real. The sampled indices leave the
+    stage comparator-safe as a comma-joined string (see _MM2_SCHEMA)."""
     import hashlib
 
     import pandas as pd
@@ -1109,7 +1115,9 @@ def _resize_framesample_stub(batches):
                 "thumb_w": [256] * len(raw),
                 "thumb_h": [(h * 256 + w // 2) // w for w, h in zip(widths, heights)],
                 "n_frames": n_frames,
-                "frame_indices": [list(range(0, n, 30))[:8] for n in n_frames],
+                "frame_indices": [
+                    ",".join(str(i) for i in range(0, n, 30)[:8]) for n in n_frames
+                ],
             }
         )
 
@@ -1128,15 +1136,15 @@ def _resize_framesample_stub(batches):
            256 AS thumb_w,
            CAST((height * 256 + width // 2) // width AS INTEGER) AS thumb_h,
            n_frames,
-           list_transform(range(0, least((n_frames + 29) // 30, 8)),
-                          i -> CAST(i * 30 AS INTEGER)) AS frame_indices
+           array_to_string(list_transform(range(0, least((n_frames + 29) // 30, 8)),
+                                          i -> i * 30), ',') AS frame_indices
     FROM meta
     """,
     "Multimodal stage 2: resize (aspect-preserving 256-wide thumbnail, "
     "integer-exact geometry) + strided frame sampling (every 30th frame, "
     "max 8) over opaque binary payloads via Arrow mapInPandas — the decode "
-    "arithmetic is deterministically stubbed (no PIL/ffmpeg in container), "
-    "the batch shape, array-typed output and schema are production-real",
+    "arithmetic is deterministically stubbed (no PIL/ffmpeg in container); "
+    "sampled indices serialize to a comma-joined string for the comparator",
     reference="[NORTH-STAR] multimodal feature-extract/resize/frame-sample plumbing",
     tags=("multimodal", "northstar", "pandas-udf"),
 )

@@ -72,6 +72,15 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 _BANNED_DUCKDB_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
 
 
+def _nested_problem(colname: str, type_str: str, side: str) -> str:
+    return (
+        f"{side} column '{colname}' has nested type {type_str}: the driver's "
+        f"comparator pandas-factorizes output cells and list/struct/map values "
+        f"are unhashable (CORRECTNESS_r02 multimodal_resize err) — serialize "
+        f"to a scalar (array_join/concat_ws) or explode before returning"
+    )
+
+
 def _check_oracle_types(rel) -> list[str]:
     problems = []
     for name, typ in zip(rel.columns, rel.types):
@@ -81,6 +90,21 @@ def _check_oracle_types(rel) -> list[str]:
                 f"oracle column '{name}' has driver-unsafe DuckDB type {t}: "
                 f"CAST it (e.g. AS BIGINT / AS DOUBLE) in the oracle SQL"
             )
+        if "[]" in t or t.startswith(("LIST", "STRUCT", "MAP")):
+            problems.append(_nested_problem(name, t, "oracle"))
+    return problems
+
+
+def check_spark_output_types(schema) -> list[str]:
+    """Spark-side twin of _check_oracle_types: the failing column can be
+    produced by mapInPandas (never seen by DuckDB), so the Spark schema of
+    every driver-checked query must also be free of nested types."""
+    from pyspark.sql import types as T
+
+    problems = []
+    for f in schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            problems.append(_nested_problem(f.name, f.dataType.simpleString(), "spark"))
     return problems
 
 
@@ -90,7 +114,8 @@ def compare(spark, sf_dir: str, builder, oracle: str) -> tuple[bool, str]:
     s_cols = sdf.columns
 
     con = duckdb_conn(sf_dir)
-    problems = _check_oracle_types(con.sql(oracle))
+    problems = check_spark_output_types(sdf.schema)
+    problems += _check_oracle_types(con.sql(oracle))
     res = con.execute(oracle)
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
