@@ -39,8 +39,16 @@ def grid_range_join(
     """
     if how != "inner":
         raise ValueError("grid_range_join is an inner range join")
+    for side, df in (("values", values), ("ranges", ranges)):
+        if _CELL in df.columns:
+            raise ValueError(
+                f"grid_range_join: {side} input already has a '{_CELL}' column"
+            )
     v = values.withColumn(_CELL, F.floor(F.col(value_col) / grid))
-    r = ranges.withColumn(
+    # Inverted ranges (lo > hi) would make F.sequence emit a descending cell
+    # list and replicate junk rows the post-filter then discards; they can
+    # never match the half-open predicate, so drop them before exploding.
+    r = ranges.filter(F.col(lo_col) <= F.col(hi_col)).withColumn(
         _CELL,
         F.explode(
             F.sequence(

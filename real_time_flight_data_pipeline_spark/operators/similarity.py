@@ -109,13 +109,20 @@ def topk_cosine_ivf(
     driver floats), so the DuckDB oracle can state the same computation.
     """
     lo, hi = centroid_id_range
-    normed = embeddings.select(
-        F.col(id_col),
-        F.transform(
-            F.col(vec_col).cast("array<double>"),
-            lambda x: x / V.norm(F.col(vec_col)),
-        ).alias("vn"),
-    ).localCheckpoint(eager=False)
+    # Norm hoisted to its own projection: referencing V.norm inside the
+    # transform lambda would re-evaluate the O(dim) sum per element
+    # (O(dim^2)/row) — same pattern as plans/northstar.py's near-dup block.
+    normed = (
+        embeddings.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .withColumn("_n", V.norm(F.col("v")))
+        .select(
+            F.col(id_col),
+            F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("vn"),
+        )
+        .localCheckpoint(eager=False)
+    )
     cents = normed.filter(F.col(id_col).between(lo, hi)).select(
         F.col(id_col).alias("cid"), F.col("vn").alias("cvn")
     )
