@@ -14,9 +14,18 @@ Polling is abstracted over a *page fetcher*:
   newly appearing file is one poll result. Offsets are file counts, so
   checkpoint replay is deterministic (``readBetweenOffsets`` re-reads the
   same files).
-* http mode (production): ``url`` + ``api_key`` options poll the live
-  endpoint via ``requests`` (import-gated: the test container has no
-  network, so this path raises cleanly if requests is absent).
+* http mode (production): ``url`` (+ optional ``api_key``/``limit``) polls
+  the endpoint once per trigger — producer parity with fetch_batch
+  (run_producer.py:123-134) — and *spools the response before emitting it*
+  (write-tmp-then-rename into ``spool_dir``). The spool is the replay log:
+  offsets stay file counts, so checkpoint recovery replays the exact bytes
+  originally fetched even though the live API has moved on. Uses
+  ``requests`` when importable, stdlib ``urllib`` otherwise.
+
+``ingest_time`` is derived from the spool page file's mtime (or the
+``fixed_ingest_time`` option), never from wall-clock at read time: a
+replayed offset range must produce byte-identical rows or the downstream
+GREATEST(ingest_time) merge (M4) could flip on recovery.
 
 Record mapping reproduces the producer's ``build_record``
 (run_producer.py:36-121): field projection to the wire schema and the
@@ -99,7 +108,7 @@ class RestSpoolStreamReader(SimpleDataSourceStreamReader):
         if not path:
             raise ValueError(
                 "rest_poll requires a 'path' option (spool directory of JSON "
-                "page files); live-http polling needs a networked deployment"
+                "page files) or a 'url' option (http polling mode)"
             )
         self.path = path
         self.fixed_ingest_time = options.get("fixed_ingest_time")
@@ -107,15 +116,26 @@ class RestSpoolStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"page": 0}
 
+    def _page_ingest_time(self, full_path: str) -> str:
+        """Deterministic per-page ingest_time: the spool file's mtime (the
+        moment the page landed), not wall-clock at read time — replaying an
+        offset range after restart must yield identical rows."""
+        if self.fixed_ingest_time:
+            return self.fixed_ingest_time
+        mtime = os.stat(full_path).st_mtime
+        return datetime.fromtimestamp(mtime, tz=timezone.utc).isoformat()
+
     def _read_pages(self, first: int, last: int) -> Iterator[tuple]:
         # Materialized list, not a generator: Spark's prefetching cache
         # copy.copy()s the returned iterator, which generators don't support.
         rows = []
         for page_file in _spool_pages(self.path)[first:last]:
-            with open(os.path.join(self.path, page_file)) as f:
+            full = os.path.join(self.path, page_file)
+            with open(full) as f:
                 body = json.load(f)
+            ingest = self._page_ingest_time(full)
             rows.extend(
-                (json.dumps(build_record(rec, self.fixed_ingest_time)),)
+                (json.dumps(build_record(rec, ingest)),)
                 for rec in body.get("data", [])
             )
         return iter(rows)
@@ -128,8 +148,67 @@ class RestSpoolStreamReader(SimpleDataSourceStreamReader):
         return self._read_pages(start["page"], end["page"])
 
 
+def _http_get(url: str) -> bytes:
+    """GET via requests when importable, stdlib urllib otherwise (the
+    documented import gate: no third-party dependency is required)."""
+    try:
+        import requests  # noqa: PLC0415
+
+        resp = requests.get(url, timeout=30)
+        resp.raise_for_status()
+        return resp.content
+    except ImportError:
+        from urllib.request import urlopen  # noqa: PLC0415
+
+        with urlopen(url, timeout=30) as resp:
+            return resp.read()
+
+
+class RestHttpStreamReader(RestSpoolStreamReader):
+    """http mode: one GET per trigger (producer parity: fetch_batch polls the
+    same endpoint with a fixed limit each cycle, run_producer.py:123-134),
+    spooled to ``spool_dir`` *before* emission so offsets replay the exact
+    fetched bytes after restart. All offset/replay logic is inherited from
+    the spool reader — the spool IS the source of truth."""
+
+    def __init__(self, options: dict):
+        spool_dir = options.get("spool_dir")
+        if not spool_dir:
+            raise ValueError(
+                "rest_poll http mode requires a 'spool_dir' option: the spool "
+                "is the durable replay log that makes checkpoint recovery "
+                "deterministic against a live endpoint"
+            )
+        os.makedirs(spool_dir, exist_ok=True)
+        super().__init__({**options, "path": spool_dir})
+        from urllib.parse import urlencode  # noqa: PLC0415
+
+        params = {}
+        if options.get("api_key"):
+            params["access_key"] = options["api_key"]
+        params["limit"] = int(options.get("limit", 100))
+        self.url = options["url"] + ("?" + urlencode(params) if params else "")
+
+    def _poll_once(self) -> None:
+        body = _http_get(self.url)
+        if not json.loads(body).get("data"):
+            return  # empty poll -> no page, offset unchanged
+        n = len(_spool_pages(self.path))
+        tmp = os.path.join(self.path, f"_tmp_page{n:08d}.json")
+        with open(tmp, "wb") as f:
+            f.write(body)
+        os.rename(tmp, os.path.join(self.path, f"page{n:08d}.json"))
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        self._poll_once()
+        return super().read(start)
+
+
 class RestPollDataSource(DataSource):
-    """format("rest_poll"): S2 in-engine. Emits (value: string) JSON rows."""
+    """format("rest_poll"): S2 in-engine. Emits (value: string) JSON rows.
+
+    With a ``url`` option the reader polls over HTTP and spools; with only
+    ``path`` it replays an existing spool directory."""
 
     @classmethod
     def name(cls) -> str:
@@ -139,7 +218,10 @@ class RestPollDataSource(DataSource):
         return WIRE_VALUE_SCHEMA
 
     def simpleStreamReader(self, schema) -> RestSpoolStreamReader:
-        return RestSpoolStreamReader(dict(self.options))
+        opts = dict(self.options)
+        if opts.get("url"):
+            return RestHttpStreamReader(opts)
+        return RestSpoolStreamReader(opts)
 
 
 def register_rest_source(spark) -> None:
@@ -149,5 +231,6 @@ def register_rest_source(spark) -> None:
 def poll_rest_source(*_args, **_kwargs):  # pragma: no cover
     raise NotImplementedError(
         "Use spark.readStream.format('rest_poll') after register_rest_source"
-        "(spark); live HTTP polling additionally needs a networked deployment."
+        "(spark): option('path', dir) replays a spool; option('url', ...) + "
+        "option('spool_dir', dir) polls a live endpoint."
     )
