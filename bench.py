@@ -55,6 +55,19 @@ HEADLINE = [
     "sessionize_events",
     "running_total_per_user",
     "pivot_event_counts",
+    # r3: every operator class tracked (VERDICT r2 item 6)
+    "asof_last_click_before_purchase",
+    "events_value_band_join",
+    "cube_event_stats",
+    "median_value_by_type",
+    "route_lookup_two_key_join",
+    "scalar_subquery_watermark",
+    "user_set_ops",
+    "grouping_sets_docs",
+    "event_rank_analytics",
+    "datetime_functions",
+    "distinct_users_exact",
+    "revenue_by_nation_skewsafe",
 ]
 
 

@@ -572,3 +572,52 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts", F.col("asof_ts").alias("last_click_ts")
     )
+
+
+# ===========================================================================
+# Skew-safe aggregation path: salted join + salted two-phase rollup
+# ===========================================================================
+@_register(
+    "revenue_by_nation_skewsafe",
+    """
+    SELECT n.n_name AS nation_name,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_value,
+           COUNT(*) AS n_events
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY total_value DESC, nation_name
+    """,
+    "Skew-safe star rollup: the fact->customer equi join runs through "
+    "salted_equi_join (hot user_ids split 8 ways, customer side replicated "
+    "per salt — the non-broadcastable-dim case), and the nation rollup runs "
+    "through salted_sum_count (two-phase: partial per (nation, salt), then "
+    "merge — a 25-nation group key is exactly the low-cardinality hot-key "
+    "shape that melts a single-shuffle agg at 100 TB). Salting is "
+    "semantics-preserving, so the oracle is the plain join+GROUP BY",
+    reference="SURVEY.md §4 (DISTINCT ON scale note); operators/skew.py; "
+    "complements AQE skew splitting (session.py)",
+    tags=("skew", "J1", "A6", "bench"),
+)
+def q_revenue_by_nation_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_equi_join, salted_sum_count
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_equi_join(ev, cust, keys=["user_id"], n_salts=8)
+    with_nation = joined.join(
+        F.broadcast(nat), joined.c_nationkey == nat.n_nationkey
+    ).select(F.col("n_name").alias("nation_name"), "cents")
+    rolled = salted_sum_count(with_nation, ["nation_name"], ["cents"], n_salts=8)
+    return rolled.select(
+        "nation_name",
+        (F.col("sum_cents").cast("double") / 100).alias("total_value"),
+        F.col("n").alias("n_events"),
+    ).orderBy(F.desc("total_value"), "nation_name")
