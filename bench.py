@@ -68,6 +68,12 @@ HEADLINE = [
     "datetime_functions",
     "distinct_users_exact",
     "revenue_by_nation_skewsafe",
+    # r3 LLM-pipeline additions
+    "docs_stratified_sample",
+    "docs_tfidf_top_terms",
+    "docs_domain_cap",
+    "docs_pii_scrub",
+    "docs_repetition_signals",
 ]
 
 

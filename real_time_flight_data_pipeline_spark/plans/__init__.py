@@ -4,6 +4,7 @@ from .catalog import REGISTRY, CatalogQuery  # noqa: F401
 from . import expr_ext  # noqa: E402,F401
 from . import northstar  # noqa: E402,F401
 from . import relational_ext  # noqa: E402,F401
+from . import llm_ext  # noqa: E402,F401
 
 # The external driver evaluates only the first DRIVER_QUERY_CAP entries of
 # queries() in registration order (verified r2: CORRECTNESS_r02 keys ==

@@ -1,0 +1,318 @@
+"""LLM-pipeline operators, round 3: sampling, TF-IDF, per-source caps,
+PII scrubbing, repetition signals.
+
+Extends plans/northstar.py with the corpus-curation passes a training-data
+pipeline runs between dedup and packing. Same determinism rules (md5-prefix
+hashes, integer-exact ratios with a single IEEE division, explicit
+tie-breaks) so every query is DuckDB-oracle checkable bit-for-bit.
+
+Scale notes are per query; the common theme: every pass is a single scan
+with expression-only per-row work, and every shuffle is keyed on content
+(term, source, fingerprint) with map-side partial aggregation — no global
+sorts, no driver collects, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from .catalog import _register, _spread, _t
+from .northstar import _SQL_LANG_COUNTS, _SQL_TOKS, _sql_md5_long
+
+# ===========================================================================
+# Deterministic hash-stratified sampling
+# ===========================================================================
+# Per-stratum keep-rate in percent. A training mix typically over-samples
+# high-resource/high-quality strata; rates here are arbitrary but fixed.
+_STRATA_RATES = {"en": 50, "fr": 25}
+_STRATA_DEFAULT = 10
+
+
+@_register(
+    "docs_stratified_sample",
+    f"""
+    SELECT doc_id, lang, source,
+           CAST({_sql_md5_long("'strat:' || CAST(doc_id AS VARCHAR)")} % 100
+                AS INTEGER) AS bucket
+    FROM documents
+    WHERE {_sql_md5_long("'strat:' || CAST(doc_id AS VARCHAR)")} % 100
+          < CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 25 ELSE 10 END
+    """,
+    "Deterministic stratified sampling: keep a per-language rate (en 50%, "
+    "fr 25%, rest 10%) by hashing the stable doc_id into a [0,100) bucket "
+    "(md5-prefix, domain-separated). Unlike sampleBy, replay-stable across "
+    "retries/engines — the property an exactly-once ingest needs. Pure "
+    "scan+filter: no shuffle, predicate evaluated in whole-stage codegen",
+    reference="[NORTH-STAR] training-mix subsampling; hash idiom as "
+    "functions/text.md5_long",
+    tags=("sampling", "northstar"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        TX.md5_long(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    rate = F.lit(_STRATA_DEFAULT)
+    for lang, pct in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return docs.filter(bucket < rate).select(
+        "doc_id", "lang", "source", bucket.cast("int").alias("bucket")
+    )
+
+
+# ===========================================================================
+# TF-IDF top terms per document
+# ===========================================================================
+@_register(
+    "docs_tfidf_top_terms",
+    f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    "Top-3 TF-IDF terms per document. idf is the rational surrogate N/df "
+    "instead of ln(N/df): same ranking (ln is monotone), but integer-exact "
+    "numerator + one IEEE division is bit-deterministic cross-engine, "
+    "which libm ln is not. Shuffles: (doc,term) tf agg and term df agg, "
+    "both map-side combined; corpus size N joins in as a broadcast cross "
+    "join of a provably 1-row aggregate (the scalar-subquery idiom, "
+    "plan-gate allowlisted like scalar_subquery_watermark)",
+    reference="[NORTH-STAR] text analysis; token idiom as explode_tokens_with_pos",
+    tags=("text", "northstar"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    terms = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id", "term", "tf", "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"))
+            .alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rn")
+    )
+
+
+# ===========================================================================
+# Per-source document cap (domain-balanced dedup)
+# ===========================================================================
+_DOMAIN_CAP = 20
+
+_SQL_QUALITY = f"""
+      SELECT doc_id, source,
+             CAST(
+               (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN (CASE WHEN length(text) > 0
+                            THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                                 / length(text) ELSE 0.0 END) <= 0.2 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN n_tokens > 0
+                       AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / n_tokens
+                           BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN n_tokens > 0
+                       AND CAST(c_en AS DOUBLE) / n_tokens >= 0.01 THEN 0.25 ELSE 0.0 END)
+             AS DOUBLE) AS quality_score
+      FROM (SELECT doc_id, source, text, len(toks) AS n_tokens,
+                   {_SQL_LANG_COUNTS["en"]} AS c_en
+            FROM (SELECT doc_id, source, text, {_SQL_TOKS} AS toks FROM documents))
+"""
+
+
+@_register(
+    "docs_domain_cap",
+    f"""
+    WITH scored AS ({_SQL_QUALITY})
+    SELECT doc_id, source, quality_score, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY quality_score DESC, doc_id) AS rn
+      FROM scored
+    ) WHERE rn <= {_DOMAIN_CAP}
+    """,
+    f"Domain balancing: keep at most {_DOMAIN_CAP} documents per source, "
+    "highest quality_score first (doc_id tie-break) — the cap that stops a "
+    "single crawled domain from dominating a training mix. One shuffle on "
+    "source; per-source top-N is a bounded window (rank then filter), "
+    "never a global sort",
+    reference="[NORTH-STAR] corpus curation; quality fragment as docs_quality_filter",
+    tags=("dedup", "sampling", "northstar"),
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id", "source", TX.quality_score(F.col("text")).alias("quality_score")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("quality_score"), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _DOMAIN_CAP)
+        .select("doc_id", "source", "quality_score", "rn")
+    )
+
+
+# ===========================================================================
+# PII scrubbing (regex redaction with counts)
+# ===========================================================================
+# RE2-compatible (no lookahead/backrefs) so Spark's Java regex and DuckDB's
+# RE2 agree; both greedy-leftmost on these shapes.
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+@_register(
+    "docs_pii_scrub",
+    f"""
+    WITH pii AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' cc admin@example.org' ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+           regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM pii
+    """,
+    "PII redaction pass: match emails and phone numbers, replace with "
+    "typed placeholders, count redactions per document. The corpus has no "
+    "natural PII, so deterministic synthetic contacts are appended "
+    "in-query (same convention as the dedup corpora) — the scrub operates "
+    "on real text + injected PII. All-match replacement both engines "
+    "(Spark default, DuckDB 'g'); patterns are RE2-safe. Pure per-row "
+    "expressions in one scan — zero shuffles",
+    reference="[NORTH-STAR] corpus cleaning; regex determinism rules as "
+    "clean_ts (P9) and regex_extract_fields",
+    tags=("text", "northstar"),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cc admin@example.org"))
+        .otherwise(F.lit("")),
+    )
+    t = docs.select("doc_id", pii.alias("t"))
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_EMAIL_RE), F.lit(0)))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PHONE_RE), F.lit(0)))
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("scrubbed"),
+    )
+
+
+# ===========================================================================
+# Repetition / boilerplate signals (Gopher-style)
+# ===========================================================================
+@_register(
+    "docs_repetition_signals",
+    f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, toks, len(toks) AS n, len(list_distinct(toks)) AS nd
+      FROM tok WHERE len(toks) >= 2
+    ),
+    grams AS (
+      SELECT doc_id, n, nd,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM base
+    ),
+    cnt AS (SELECT doc_id, n, nd, gram, count(*) AS c
+            FROM grams GROUP BY doc_id, n, nd, gram),
+    top AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY c DESC, gram) AS rn FROM cnt)
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS n_tokens,
+           CAST(n - nd AS DOUBLE) / n AS dup_token_frac,
+           gram AS top_bigram,
+           c AS top_bigram_cnt,
+           CAST(c AS DOUBLE) / (n - 1) AS top_bigram_frac
+    FROM top WHERE rn = 1
+    """,
+    "Gopher-style repetition signals per document: duplicate-token "
+    "fraction (1 - distinct/total, expression-only via array_distinct) and "
+    "the most frequent word bigram with its fraction of all bigrams "
+    "(explode -> count -> per-doc top-1 window, smallest-gram tie-break). "
+    "High values flag boilerplate/spam for the quality filter. The bigram "
+    "shuffle is keyed (doc_id, gram) with map-side combine; ratios are "
+    "single IEEE divisions of exact integers",
+    reference="[NORTH-STAR] quality signals (Gopher/C4 repetition rules)",
+    tags=("text", "northstar"),
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    base = (
+        docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 2)
+        .withColumn("nd", F.size(F.array_distinct("toks")))
+    )
+    grams = base.select(
+        "doc_id",
+        "n",
+        "nd",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(toks, 1, n - 1)"),
+                F.expr("slice(toks, 2, n - 1)"),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            )
+        ).alias("gram"),
+    )
+    cnt = grams.groupBy("doc_id", "n", "nd", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), "gram")
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            ((F.col("n") - F.col("nd")).cast("double") / F.col("n"))
+            .alias("dup_token_frac"),
+            F.col("gram").alias("top_bigram"),
+            F.col("c").alias("top_bigram_cnt"),
+            (F.col("c").cast("double") / (F.col("n") - 1)).alias("top_bigram_frac"),
+        )
+    )

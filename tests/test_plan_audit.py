@@ -15,11 +15,13 @@ from real_time_flight_data_pipeline_spark.plans.catalog import REGISTRY
 from .conftest import SF_SMOKE
 
 # Keyless-by-design cross joins against provably tiny sides (1-row query
-# vector, 16-row IVF codebook, 8-row query batch, 1-row watermark scalar).
+# vector, 16-row IVF codebook, 8-row query batch, 1-row watermark scalar,
+# 1-row corpus-count aggregate).
 _BNLJ_ALLOWED = {
     "embedding_topk_ivf",
     "embedding_topk_join",
     "scalar_subquery_watermark",
+    "docs_tfidf_top_terms",
 }
 
 _ALL = sorted(REGISTRY)
