@@ -74,6 +74,9 @@ HEADLINE = [
     "docs_domain_cap",
     "docs_pii_scrub",
     "docs_repetition_signals",
+    "docs_edit_distance_verify",
+    "trailing_hour_value_per_user",
+    "user_set_ops_all",
 ]
 
 

@@ -316,3 +316,52 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c").cast("double") / (F.col("n") - 1)).alias("top_bigram_frac"),
         )
     )
+
+
+# ===========================================================================
+# Edit-distance verification (string-similarity tier between exact and
+# token-set dedup)
+# ===========================================================================
+_EDIT_PREFIX = 60
+
+
+@_register(
+    "docs_edit_distance_verify",
+    f"""
+    WITH variants AS (
+      SELECT doc_id, regexp_replace(text, 'a', '@', 'g') AS var_text
+      FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT d.doc_id,
+           levenshtein(substring(d.text, 1, {_EDIT_PREFIX}),
+                       substring(v.var_text, 1, {_EDIT_PREFIX})) AS edit_dist,
+           CAST(levenshtein(substring(d.text, 1, {_EDIT_PREFIX}),
+                            substring(v.var_text, 1, {_EDIT_PREFIX})) AS DOUBLE)
+             / {_EDIT_PREFIX} AS edit_frac
+    FROM documents d JOIN variants v USING (doc_id)
+    """,
+    "Edit-distance verify: Levenshtein between candidate pairs, bounded to "
+    f"a {_EDIT_PREFIX}-char prefix so per-pair cost is O(prefix^2) however "
+    "long the documents are — the standard guard before running edit "
+    "distance at corpus scale. Pairs here are deterministic in-query "
+    "variants (every 4th doc, 'a'->'@' substitutions) equi-joined on "
+    "doc_id, so the operator cost is the distance itself, not pair "
+    "generation (that is the LSH blockers' job)",
+    reference="[NORTH-STAR] fuzzy dedup verification tier; variant "
+    "convention as docs_exact_dedup",
+    tags=("dedup", "text", "northstar"),
+)
+def q_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    variants = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", F.regexp_replace("text", "a", "@").alias("var_text")
+    )
+    paired = docs.select("doc_id", "text").join(variants, "doc_id")
+    dist = F.levenshtein(
+        F.substring("text", 1, _EDIT_PREFIX), F.substring("var_text", 1, _EDIT_PREFIX)
+    )
+    return paired.select(
+        "doc_id",
+        dist.alias("edit_dist"),
+        (dist.cast("double") / _EDIT_PREFIX).alias("edit_frac"),
+    )

@@ -621,3 +621,84 @@ def q_revenue_by_nation_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_cents").cast("double") / 100).alias("total_value"),
         F.col("n").alias("n_events"),
     ).orderBy(F.desc("total_value"), "nation_name")
+
+
+# ===========================================================================
+# Interval RANGE frame window (event-time trailing aggregate)
+# ===========================================================================
+@_register(
+    "trailing_hour_value_per_user",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100 AS trailing_value,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS n_trailing
+    FROM events
+    """,
+    "Trailing one-hour aggregate per user: a RANGE frame over event time "
+    "(epoch-microsecond ordering, so the 1h bound is integer-exact in both "
+    "engines; ties are value-peers in both). The per-key sort is the only "
+    "cost — one shuffle on user_id, no self-join, frame evaluated in a "
+    "single pass. The batch twin of the hopping-window stream",
+    reference="SURVEY.md §2.11 (rangeBetween frame windows absent in "
+    "reference; added)",
+    tags=("window",),
+)
+def q_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.sum(cents).over(w).cast("double") / 100).alias("trailing_value"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+    )
+
+
+# ===========================================================================
+# Multiset set operations (ALL variants — distinct variants in user_set_ops)
+# ===========================================================================
+@_register(
+    "user_set_ops_all",
+    """
+    SELECT 'purchase_except_all_click' AS op, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT ALL
+      SELECT user_id FROM events WHERE event_type = 'click'
+    )
+    UNION ALL
+    SELECT 'purchase_intersect_all_click' AS op, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT ALL
+      SELECT user_id FROM events WHERE event_type = 'click'
+    )
+    """,
+    "EXCEPT ALL / INTERSECT ALL multiset semantics (duplicate-preserving "
+    "complement of user_set_ops): per-key multiplicity arithmetic, planned "
+    "as a keyed aggregate+generate — one shuffle per side, no sort",
+    reference="SURVEY.md §2.11 (set ops absent in reference; added)",
+    tags=("setops",),
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def users(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select("user_id")
+
+    minus_all = users("purchase").exceptAll(users("click"))
+    inter_all = users("purchase").intersectAll(users("click"))
+    tag = lambda df, name: df.select(F.lit(name).alias("op"), "user_id")  # noqa: E731
+    return tag(minus_all, "purchase_except_all_click").unionByName(
+        tag(inter_all, "purchase_intersect_all_click")
+    )
