@@ -77,6 +77,9 @@ HEADLINE = [
     "docs_edit_distance_verify",
     "trailing_hour_value_per_user",
     "user_set_ops_all",
+    "docs_line_dedup_stats",
+    "embedding_quantize_int8",
+    "events_daily_full_outer",
 ]
 
 

@@ -365,3 +365,132 @@ def q_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.alias("edit_dist"),
         (dist.cast("double") / _EDIT_PREFIX).alias("edit_frac"),
     )
+
+
+# ===========================================================================
+# C4-style line-level dedup statistics
+# ===========================================================================
+_LINE_TOKS = 10
+
+
+@_register(
+    "docs_line_dedup_stats",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+    chunked AS (
+      SELECT doc_id,
+             list_transform(range(0, (len(toks) + {_LINE_TOKS - 1}) // {_LINE_TOKS}),
+                            i -> array_to_string(toks[(i*{_LINE_TOKS}+1):(i*{_LINE_TOKS}+{_LINE_TOKS})], ' ')) AS lines
+      FROM tok
+    ),
+    exploded AS (
+      SELECT doc_id, generate_subscripts(lines, 1) - 1 AS pos,
+             md5(unnest(lines)) AS line_hash
+      FROM chunked
+    ),
+    ranked AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY line_hash
+                                ORDER BY doc_id, pos) AS rn
+      FROM exploded
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           COUNT(*) FILTER (WHERE rn > 1) AS n_dup_lines,
+           CAST(COUNT(*) FILTER (WHERE rn > 1) AS DOUBLE) / COUNT(*) AS dup_line_frac
+    FROM ranked
+    GROUP BY doc_id
+    """,
+    "C4-style line-level dedup statistics: documents are split into "
+    f"{_LINE_TOKS}-token 'lines' (the corpus has no newlines; fixed token "
+    "windows are the deterministic equivalent), each line keeps only its "
+    "globally-first occurrence ((doc_id, pos) order), and every document "
+    "reports how much of it was duplicated elsewhere. The corpus gains "
+    "in-query exact-copy variants (the dedup-suite convention) so the "
+    "dup signal is real. Scale shape: one explode, one shuffle keyed on "
+    "line_hash (first-occurrence window), one keyed re-agg — exactly how "
+    "C4's line dedup runs on a cluster",
+    reference="[NORTH-STAR] C4 line-level dedup; corpus convention as "
+    "docs_exact_dedup",
+    tags=("dedup", "text", "northstar"),
+)
+def q_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    tok = corpus.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    chunked = tok.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, ((size(toks) + {_LINE_TOKS - 1}) div {_LINE_TOKS}) - 1), "
+            f"i -> array_join(slice(toks, i*{_LINE_TOKS}+1, {_LINE_TOKS}), ' '))"
+        ).alias("lines"),
+    )
+    exploded = chunked.select(
+        "doc_id", F.posexplode("lines").alias("pos", "line")
+    ).select("doc_id", "pos", F.md5("line").alias("line_hash"))
+    w = Window.partitionBy("line_hash").orderBy("doc_id", "pos")
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(F.col("rn") > 1, 1)).alias("n_dup_lines"),
+        (
+            F.count(F.when(F.col("rn") > 1, 1)).cast("double") / F.count(F.lit(1))
+        ).alias("dup_line_frac"),
+    )
+
+
+# ===========================================================================
+# Int8 scalar quantization of embeddings
+# ===========================================================================
+@_register(
+    "embedding_quantize_int8",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> greatest(-127, least(127, CAST(round(x * 127) AS INTEGER)))) AS qv
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS l1_q,
+           CAST(len(list_filter(qv, x -> x != 0)) AS INTEGER) AS nnz,
+           md5(array_to_string(qv, ',')) AS q_sig
+    FROM q
+    """,
+    "Int8 scalar quantization of the embedding column (x -> clamp(round("
+    "x*127))): the 4x compression step before an ANN index ships to "
+    "serving. Outputs are integer-exact (L1 norm, nonzero count) plus an "
+    "md5 signature of the full quantized vector, so the whole codebook is "
+    "verified value-for-value without emitting a nested column (driver "
+    "comparator constraint). Pure per-row expressions, zero shuffles; "
+    "both engines round half-away-from-zero",
+    reference="[NORTH-STAR] vector compression for similarity serving",
+    tags=("similarity", "northstar"),
+)
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.round(x * 127).cast("int"))
+        ),
+    )
+    q = emb.select("vec_id", qv.alias("qv"))
+    return q.select(
+        "vec_id",
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+        ).alias("l1_q"),
+        F.size(F.filter("qv", lambda x: x != 0)).alias("nnz"),
+        F.md5(F.array_join(F.transform("qv", lambda x: x.cast("string")), ","))
+        .alias("q_sig"),
+    )

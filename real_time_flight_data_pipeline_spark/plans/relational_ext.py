@@ -702,3 +702,57 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag(minus_all, "purchase_except_all_click").unionByName(
         tag(inter_all, "purchase_intersect_all_click")
     )
+
+
+# ===========================================================================
+# Full outer join (the one join type the catalog lacked explicitly)
+# ===========================================================================
+@_register(
+    "events_daily_full_outer",
+    """
+    WITH p AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n_purchase
+      FROM events WHERE event_type = 'purchase'
+        AND ts < TIMESTAMP '2024-01-21 00:00:00'
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n_click
+      FROM events WHERE event_type = 'click'
+        AND ts >= TIMESTAMP '2024-01-11 00:00:00'
+      GROUP BY 1
+    )
+    SELECT COALESCE(p.day, c.day) AS day,
+           COALESCE(n_purchase, 0) AS n_purchase,
+           COALESCE(n_click, 0) AS n_click
+    FROM p FULL OUTER JOIN c ON p.day = c.day
+    """,
+    "FULL OUTER equi join of two daily aggregates with deliberately "
+    "disjoint date windows, null sides coalesced to zero — the reconcile-"
+    "two-ledgers shape. Post-aggregation join: both sides are already "
+    "reduced to O(days) rows before the join, so the full-outer shuffle "
+    "is trivial however large events is",
+    reference="SURVEY.md §2.5 (J-class completeness; full outer absent in "
+    "reference)",
+    tags=("J-ext",),
+)
+def q_daily_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def daily(etype: str, pred, alias: str) -> DataFrame:
+        return (
+            ev.filter((F.col("event_type") == etype) & pred)
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    p = daily("purchase", F.col("ts") < "2024-01-21 00:00:00", "n_purchase")
+    c = daily("click", F.col("ts") >= "2024-01-11 00:00:00", "n_click")
+    return (
+        p.join(c, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_purchase", F.lit(0)).alias("n_purchase"),
+            F.coalesce("n_click", F.lit(0)).alias("n_click"),
+        )
+    )

@@ -32,6 +32,7 @@ from __future__ import annotations
 import os
 import shutil
 import uuid
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -141,15 +142,34 @@ def normalize_flight_stream(
 # Versioned parquet table (atomic overwrite without Delta)
 # ---------------------------------------------------------------------------
 class ParquetTable:
-    def __init__(self, spark: SparkSession, path: str, schema):
+    """Versioned parquet table: atomic pointer-flip commits, bounded version
+    retention with time-travel reads, and small-file compaction — the
+    Delta/Iceberg property set this offline container can't install,
+    emulated on plain parquet (COVERAGE.md 'MERGE INTO: blocked').
+
+    ``keep_versions`` ≥ 2 retains a commit history (`versions()`,
+    ``read(version=...)``) while still bounding disk: the vacuum keeps the
+    newest N versions from the commit log, so a long-running stream cannot
+    grow storage without bound, and the immediately-previous version always
+    survives one cycle for in-flight readers that resolved the pointer
+    pre-flip."""
+
+    def __init__(self, spark: SparkSession, path: str, schema, keep_versions: int = 2):
+        if keep_versions < 2:
+            raise ValueError("keep_versions must be >= 2 (current + prev)")
         self.spark = spark
         self.path = path
         self.schema = schema
+        self.keep_versions = keep_versions
         os.makedirs(path, exist_ok=True)
 
     @property
     def _pointer(self) -> str:
         return os.path.join(self.path, "_CURRENT")
+
+    @property
+    def _log(self) -> str:
+        return os.path.join(self.path, "_LOG")
 
     def _current_version(self) -> str | None:
         try:
@@ -158,10 +178,24 @@ class ParquetTable:
         except FileNotFoundError:
             return None
 
-    def read(self) -> DataFrame:
-        v = self._current_version()
+    def versions(self) -> list[str]:
+        """Commit history, oldest first, restricted to still-on-disk dirs."""
+        try:
+            with open(self._log) as f:
+                logged = [line.split("\t")[0] for line in f.read().splitlines() if line]
+        except FileNotFoundError:
+            return []
+        on_disk = {n for n in os.listdir(self.path) if n.startswith("v_")}
+        return [v for v in logged if v in on_disk]
+
+    def read(self, version: str | None = None) -> DataFrame:
+        v = version or self._current_version()
         if v is None:
             return self.spark.createDataFrame([], self.schema)
+        if version is not None and version not in self.versions():
+            raise ValueError(
+                f"version {version!r} not in retained history {self.versions()}"
+            )
         return self.spark.read.schema(self.schema).parquet(os.path.join(self.path, v))
 
     def overwrite(self, df: DataFrame) -> None:
@@ -169,16 +203,30 @@ class ParquetTable:
         v = f"v_{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, v)
         df.select([f.name for f in self.schema.fields]).write.mode("overwrite").parquet(out)
+        with open(self._log, "a") as f:
+            f.write(f"{v}\t{datetime.now(timezone.utc).isoformat()}\n")
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(v)
         os.replace(tmp, self._pointer)  # atomic pointer flip
-        self._vacuum(keep={v, prev} if prev else {v})
+        keep = set(self.versions()[-self.keep_versions :]) | {v}
+        if prev is not None:
+            keep.add(prev)
+        self._vacuum(keep)
+
+    def compact(self, target_files: int = 1) -> None:
+        """Rewrite the current contents into ``target_files`` parquet files
+        as a new commit. Streaming micro-batch upserts accrete small files;
+        periodic compaction restores scan efficiency (row-group sized reads,
+        fewer tasks) without changing table contents — the OPTIMIZE
+        equivalent."""
+        if self._current_version() is None:
+            return
+        self.overwrite(self.read().coalesce(target_files))
 
     def _vacuum(self, keep: set[str]) -> None:
-        """Drop superseded version dirs so a long-running stream's disk use is
-        bounded at ~2 versions. The immediately-previous version survives one
-        cycle for in-flight readers that resolved the pointer pre-flip."""
+        """Drop superseded version dirs beyond the retention window so disk
+        use is bounded at ~keep_versions versions."""
         for name in os.listdir(self.path):
             if name.startswith("v_") and name not in keep:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
