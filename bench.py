@@ -80,6 +80,7 @@ HEADLINE = [
     "docs_line_dedup_stats",
     "embedding_quantize_int8",
     "events_daily_full_outer",
+    "user_value_mad",
 ]
 
 

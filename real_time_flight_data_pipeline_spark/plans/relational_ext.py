@@ -756,3 +756,63 @@ def q_daily_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_click", F.lit(0)).alias("n_click"),
         )
     )
+
+
+# ===========================================================================
+# Grouped Arrow UDF (applyInPandas) with a true value oracle
+# ===========================================================================
+def _mad_fn(pdf):
+    """Per-user robust stats on integer cents: median + median absolute
+    deviation. All intermediates are ints or exact binary halves/quarters,
+    so pandas' interpolating median and DuckDB's quantile_cont agree
+    bit-for-bit — the trick that makes a Python-side grouped operator
+    oracle-checkable at all."""
+    import pandas as pd
+
+    cents = pdf["cents"]
+    med = cents.median()
+    mad = (cents - med).abs().median()
+    return pd.DataFrame(
+        {
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n": [len(pdf)],
+            "median_value": [med / 100],
+            "mad_value": [mad / 100],
+        }
+    )
+
+
+@_register(
+    "user_value_mad",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    ),
+    m AS (SELECT user_id, COUNT(*) AS n, median(cents) AS med
+          FROM c GROUP BY user_id),
+    d AS (SELECT c.user_id, abs(c.cents - m.med) AS adev
+          FROM c JOIN m USING (user_id))
+    SELECT m.user_id, m.n,
+           m.med / 100 AS median_value,
+           a.mad / 100 AS mad_value
+    FROM m JOIN (SELECT user_id, median(adev) AS mad FROM d GROUP BY user_id) a
+      USING (user_id)
+    """,
+    "Per-user median + median-absolute-deviation via a grouped Arrow UDF "
+    "(groupBy().applyInPandas): the escape hatch for group-wise logic the "
+    "expression language can't state, done scale-correctly — one shuffle "
+    "on the group key, Arrow batches per group, no driver collect. Exact "
+    "cross-engine because all inputs are integer cents (medians land on "
+    "exact binary halves). The oracle computes the same two-level median "
+    "relationally",
+    reference="[NORTH-STAR] grouped custom operator tier (mapInPandas "
+    "covers per-row in multimodal_*; this covers per-group)",
+    tags=("pandas-udf", "window"),
+)
+def q_user_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        _mad_fn, schema="user_id long, n long, median_value double, mad_value double"
+    )

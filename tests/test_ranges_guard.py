@@ -31,3 +31,36 @@ def test_inverted_ranges_dropped(spark):
     out = grid_range_join(vals, ranges, "val", "lo", "hi", grid=4.0).collect()
     assert {r.tag for r in out} == {"ok"}
     assert sorted(r.val for r in out) == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_grid_range_join_matches_naive_on_random_inputs(spark):
+    """Randomized equivalence: grid-blocked join == naive theta-join filter
+    across grids, signs, cell-boundary values and degenerate ranges."""
+    import random
+
+    rng = random.Random(7)
+    for grid in (0.5, 1.0, 3.0, 10.0):
+        vals = [round(rng.uniform(-30, 30), 2) for _ in range(60)] + [
+            0.0, -grid, grid, 2 * grid  # exact cell boundaries
+        ]
+        ranges = [
+            tuple(sorted((round(rng.uniform(-30, 30), 2),
+                          round(rng.uniform(-30, 30), 2))))
+            for _ in range(15)
+        ] + [(5.0, 5.0)]  # empty half-open range
+        vdf = spark.createDataFrame([(v,) for v in vals], "val double")
+        rdf = spark.createDataFrame(
+            [(lo, hi, i) for i, (lo, hi) in enumerate(ranges)],
+            "lo double, hi double, rid int",
+        )
+        got = sorted(
+            (r.val, r.rid)
+            for r in grid_range_join(vdf, rdf, "val", "lo", "hi", grid=grid).collect()
+        )
+        want = sorted(
+            (v, i)
+            for v in vals
+            for i, (lo, hi) in enumerate(ranges)
+            if lo <= v < hi
+        )
+        assert got == want, f"grid={grid}"
