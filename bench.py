@@ -81,6 +81,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "events_daily_full_outer",
     "user_value_mad",
+    "embedding_kmeans_2iter",
 ]
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..functions import vectors as V
 from .catalog import _register, _spread, _t
 from .northstar import _SQL_LANG_COUNTS, _SQL_TOKS, _sql_md5_long
 
@@ -493,4 +494,117 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("qv", lambda x: x != 0)).alias("nnz"),
         F.md5(F.array_join(F.transform("qv", lambda x: x.cast("string")), ","))
         .alias("q_sig"),
+    )
+
+
+# ===========================================================================
+# Iterative algorithm tier: k-means (assign -> exact update -> reassign)
+# ===========================================================================
+_KM_K = 8
+_KM_SCALE = 1_000_000
+
+
+def _km_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment, argmin squared-L2 with cid tie-break.
+
+    dist^2 = |x|^2 - 2 x.c + |c|^2; every dot is the same sequential fold
+    in both engines (V.dot == DuckDB list_dot_product bit-for-bit), so the
+    argmin is cross-engine deterministic. Broadcast the K-row centroid
+    side; one map-side-combined groupBy per vector — no corpus shuffle."""
+    d = (
+        V.dot(F.col("x"), F.col("x"))
+        - 2 * V.dot(F.col("x"), F.col("cv"))
+        + V.dot(F.col("cv"), F.col("cv"))
+    )
+    return (
+        e.join(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(F.min_by("cid", F.struct(d.alias("d"), F.col("cid").alias("c"))).alias("cid"))
+    )
+
+
+def _km_sql_assign(src_e: str, src_c: str) -> str:
+    return f"""
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             (list_dot_product(e.x, e.x) - 2*list_dot_product(e.x, c.cv)
+              + list_dot_product(c.cv, c.cv)), c.cid) AS rn
+    FROM {src_e} e CROSS JOIN {src_c} c) WHERE rn = 1
+"""
+
+
+@_register(
+    "embedding_kmeans_2iter",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    c1 AS (SELECT vec_id AS cid, x AS cv FROM e WHERE vec_id BETWEEN 0 AND {_KM_K - 1}),
+    a1 AS ({_km_sql_assign("e", "c1")}),
+    comp AS (
+      SELECT a1.cid, generate_subscripts(e.x, 1) AS pos, unnest(e.x) AS v
+      FROM e JOIN a1 USING (vec_id)
+    ),
+    sums AS (
+      SELECT cid, pos, SUM(CAST(round(v * {_KM_SCALE}) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM comp GROUP BY cid, pos
+    ),
+    c2 AS (
+      SELECT cid, list(CAST(s AS DOUBLE) / n / {_KM_SCALE} ORDER BY pos) AS cv
+      FROM sums GROUP BY cid
+    ),
+    a2 AS ({_km_sql_assign("e", "c2")})
+    SELECT a2.cid, COUNT(*) AS n_members,
+           CAST(SUM(a2.vec_id) AS BIGINT) AS member_id_sum
+    FROM a2 GROUP BY a2.cid
+    ORDER BY cid
+    """,
+    "Iterative algorithm tier: two k-means passes (deterministic K=8 init "
+    "from low-id vectors, argmin-L2 assign, centroid update, reassign) "
+    "with per-cluster membership checksums. The update uses scaled-long "
+    "component sums (exact integer math) then exactly two IEEE divisions, "
+    "so the recomputed centroids — and hence the second assignment — are "
+    "bit-identical cross-engine: an iterative ML loop held to the same "
+    "oracle bar as the relational queries. Scale shape per iteration: "
+    "broadcast K centroids (no corpus shuffle) for assignment; centroid "
+    "update shuffles K*dim component partials, not vectors",
+    reference="[NORTH-STAR] iterative algorithms (k-means for IVF codebook "
+    "training — embedding_topk_ivf consumes exactly such a codebook)",
+    tags=("similarity", "northstar", "iterative"),
+)
+def q_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _spread(spark, _t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    ).localCheckpoint(eager=False)
+    c1 = e.filter(F.col("vec_id").between(0, _KM_K - 1)).select(
+        F.col("vec_id").alias("cid"), F.col("x").alias("cv")
+    )
+    a1 = _km_assign(e, c1)
+    comp = (
+        e.join(a1, "vec_id")
+        .select("cid", F.posexplode("x").alias("pos0", "v"))
+        .select("cid", (F.col("pos0") + 1).alias("pos"), "v")
+    )
+    sums = comp.groupBy("cid", "pos").agg(
+        F.sum(F.round(F.col("v") * _KM_SCALE).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    c2 = (
+        sums.select(
+            "cid",
+            F.struct("pos", (F.col("s").cast("double") / F.col("n") / _KM_SCALE).alias("m")).alias("pm"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(F.array_sort(F.collect_list("pm")), lambda s: s.m).alias("cv")
+        )
+    )
+    a2 = _km_assign(e, c2)
+    return (
+        a2.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("vec_id").alias("member_id_sum"),
+        )
+        .orderBy("cid")
     )

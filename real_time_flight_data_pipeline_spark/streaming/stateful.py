@@ -76,3 +76,63 @@ def running_flight_state(staged: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState variant (Spark 4 arbitrary-state API): typed ValueState,
+# the successor to applyInPandasWithState above. Same engine tier, newer
+# contract — per-key running totals over integer cents.
+# ---------------------------------------------------------------------------
+try:  # the API is Spark 4+; import-gate so Spark 3 deployments still load
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningUserTotals(StatefulProcessor):
+        """Per-user running (count, sum-of-cents) in a typed ValueState,
+        emitted as an updated row per key per micro-batch."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, cents long")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            prev = self._state.get()
+            n, cents = (prev[0], prev[1]) if prev is not None else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total_value": [cents / 100]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_user_totals(events: DataFrame) -> DataFrame:
+        """Streaming events -> per-user running totals via transformWithState.
+
+        Exact money math (scaled-long cents folded in state, one division at
+        emit); state is one fixed-width row per user, so memory is O(users)
+        however long the stream runs."""
+        from pyspark.sql import functions as F
+
+        return (
+            events.select(
+                "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+            )
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=RunningUserTotals(),
+                outputStructType="user_id long, n long, total_value double",
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+
+except ImportError:  # pragma: no cover
+    RunningUserTotals = None  # type: ignore[assignment]
+
+    def running_user_totals(events: DataFrame) -> DataFrame:  # type: ignore[misc]
+        raise NotImplementedError(
+            "transformWithStateInPandas requires Spark 4+ "
+            "(use running_flight_state / applyInPandasWithState instead)"
+        )

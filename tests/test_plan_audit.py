@@ -16,12 +16,13 @@ from .conftest import SF_SMOKE
 
 # Keyless-by-design cross joins against provably tiny sides (1-row query
 # vector, 16-row IVF codebook, 8-row query batch, 1-row watermark scalar,
-# 1-row corpus-count aggregate).
+# 1-row corpus-count aggregate, K-row k-means centroid set).
 _BNLJ_ALLOWED = {
     "embedding_topk_ivf",
     "embedding_topk_join",
     "scalar_subquery_watermark",
     "docs_tfidf_top_terms",
+    "embedding_kmeans_2iter",
 }
 
 _ALL = sorted(REGISTRY)
