@@ -82,6 +82,8 @@ HEADLINE = [
     "events_daily_full_outer",
     "user_value_mad",
     "embedding_kmeans_2iter",
+    "unpivot_user_counts",
+    "forward_fill_values",
 ]
 
 

@@ -816,3 +816,86 @@ def q_user_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         _mad_fn, schema="user_id long, n long, median_value double, mad_value double"
     )
+
+
+# ===========================================================================
+# Unpivot / melt (wide -> long, the inverse of pivot_event_counts)
+# ===========================================================================
+@_register(
+    "unpivot_user_counts",
+    """
+    WITH p AS (
+      SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'click') AS click,
+             count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             count(*) FILTER (WHERE event_type = 'signup') AS signup
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, event_type, n
+    FROM p UNPIVOT (n FOR event_type IN (click, purchase, signup))
+    """,
+    "Unpivot/melt: per-user wide counts back to long form (the inverse of "
+    "pivot_event_counts) — wide-to-long reshaping without explode "
+    "gymnastics. Post-aggregation: the unpivot runs on O(users) rows, "
+    "constant fan-out 3",
+    reference="SURVEY.md §2.11 (pivot family; unpivot added r3)",
+    tags=("pivot",),
+)
+def q_unpivot_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cnt = lambda t: F.count(F.when(F.col("event_type") == t, 1)).alias(t)  # noqa: E731
+    wide = ev.groupBy("user_id").agg(cnt("click"), cnt("purchase"), cnt("signup"))
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["click", "purchase", "signup"],
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+
+
+# ===========================================================================
+# Forward fill (gap filling via IGNORE NULLS frame window)
+# ===========================================================================
+@_register(
+    "forward_fill_values",
+    """
+    WITH sparse AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT user_id, event_id, ts,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM sparse
+    """,
+    "Forward fill: carry the last non-null observation forward per user in "
+    "event-time order (IGNORE NULLS last_value over an unbounded-preceding "
+    "frame) — the gap-filling pass for sparse sensor/metric streams. "
+    "Values pass through untouched (bit-identical cross-engine); rows "
+    "before a user's first observation stay NULL in both. One shuffle on "
+    "user_id, single-pass frame",
+    reference="SURVEY.md §2.11 (frame windows; IGNORE NULLS variant added r3)",
+    tags=("window",),
+)
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sparse = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") != "view", F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sparse.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+    )
