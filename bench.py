@@ -84,6 +84,8 @@ HEADLINE = [
     "embedding_kmeans_2iter",
     "unpivot_user_counts",
     "forward_fill_values",
+    "promo_revenue_share_by_brand",
+    "supplier_revenue_by_nation",
 ]
 
 

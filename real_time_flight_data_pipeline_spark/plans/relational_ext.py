@@ -899,3 +899,99 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+# ===========================================================================
+# part / supplier dimension queries (last two unexercised testdata tables)
+# ===========================================================================
+@_register(
+    "promo_revenue_share_by_brand",
+    """
+    SELECT p.p_brand,
+           CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                    ELSE 0 END) AS BIGINT) AS DOUBLE) / 10000 AS promo_revenue,
+           CAST(CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+                AS DOUBLE) / 10000 AS total_revenue,
+           CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                    ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+    "TPC-H Q14-flavored conditional-aggregate share: promo revenue fraction "
+    "per brand over a broadcast part-dimension join. Scaled-long revenue "
+    "keeps both sums integer-exact; the share is one IEEE division of two "
+    "exact longs. Fact side never shuffles for the join; one keyed agg "
+    "shuffle on brand",
+    reference="SURVEY.md §2.6 A6 family; exercises the part table",
+    tags=("J1", "A6", "bench"),
+)
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(promo).cast("double") / 10000).alias("promo_revenue"),
+            (F.sum(rev).cast("double") / 10000).alias("total_revenue"),
+            (F.sum(promo).cast("double") / F.sum(rev)).alias("promo_share"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@_register(
+    "supplier_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation_name,
+           CAST(CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+                AS DOUBLE) / 10000 AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation_name
+    """,
+    "Supply-side star rollup (TPC-H Q9 flavor): revenue attributed through "
+    "the supplier dimension instead of the customer path — the last "
+    "unexercised testdata table. Supplier+nation pre-joined and broadcast; "
+    "the fact scan flows straight into a map-side-combined agg",
+    reference="01_views.sql:79-83 star join generalized (supply side)",
+    tags=("J1", "A6", "bench"),
+)
+def q_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    dim = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", "n_name"
+        )
+    )
+    return (
+        li.join(dim, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            (F.sum(rev).cast("double") / 10000).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), "nation_name")
+    )

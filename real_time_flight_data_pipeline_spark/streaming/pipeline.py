@@ -138,6 +138,61 @@ def normalize_flight_stream(
     )
 
 
+def dead_letter_split(
+    raw: DataFrame, now_expr: str = "current_timestamp()", value_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """T6 hardened: (valid staging rows, dead-letter rows with a reason).
+
+    The default path (normalize_flight_stream alone) silently drops rows
+    failing the F3 guards and nulls out F6 violations — reference policy,
+    no DLQ (SURVEY T6). This variant classifies *error* rows instead of
+    losing them: unparseable JSON, missing flight_key, no parseable
+    timestamp, negative delay (whole row quarantined here, stricter than
+    the null-out — divergence documented). Business filters (status
+    whitelist F1, retention window F2) remain silent drops by design.
+    DLQ rows carry the original wire bytes, so replay after a fix is a
+    re-ingest of the DLQ table. Pure row-wise expressions — streaming-safe.
+    """
+    ts = parse_flight_ts
+    j = raw.select(F.col(value_col).cast("string").alias("_raw_json"))
+    tagged = j.select(
+        "_raw_json", F.from_json("_raw_json", FLIGHT_WIRE_SCHEMA).alias("r")
+    )
+    any_ts = (
+        ts(F.col("r.departure.schedule")).isNotNull()
+        | ts(F.col("r.arrival.schedule")).isNotNull()
+        | ts(F.col("r.departure.actual")).isNotNull()
+        | ts(F.col("r.arrival.actual")).isNotNull()
+    )
+    unparseable = F.col("r").isNull() | (
+        F.col("r.flight_key").isNull()
+        & F.col("r.status").isNull()
+        & F.col("r.flight_date").isNull()
+        & F.col("r.departure").isNull()
+        & F.col("r.arrival").isNull()
+    )
+    reason = (
+        F.when(unparseable, F.lit("unparseable_json"))
+        .when(F.col("r.flight_key").isNull(), F.lit("missing_flight_key"))
+        .when(~any_ts, F.lit("no_valid_timestamps"))
+        .when(
+            (F.col("r.departure.delay_min").cast("double") < 0)
+            | (F.col("r.arrival.delay_min").cast("double") < 0),
+            F.lit("negative_delay"),
+        )
+    )
+    tagged = tagged.withColumn("_dlq_reason", reason)
+    dlq = tagged.filter(F.col("_dlq_reason").isNotNull()).select(
+        F.col("_raw_json").alias("raw_json"),
+        F.col("_dlq_reason").alias("reason"),
+        F.expr(now_expr).alias("dlq_time"),
+    )
+    valid = normalize_flight_stream(
+        tagged.filter(F.col("_dlq_reason").isNull()).select("r.*"), now_expr
+    )
+    return valid, dlq
+
+
 # ---------------------------------------------------------------------------
 # Versioned parquet table (atomic overwrite without Delta)
 # ---------------------------------------------------------------------------
