@@ -86,6 +86,7 @@ HEADLINE = [
     "forward_fill_values",
     "promo_revenue_share_by_brand",
     "supplier_revenue_by_nation",
+    "embedding_ivf_recall",
 ]
 
 

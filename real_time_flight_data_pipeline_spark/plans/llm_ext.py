@@ -608,3 +608,48 @@ def q_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# ===========================================================================
+# ANN quality measurement: recall@k of the IVF index vs the exact scan
+# ===========================================================================
+def _recall_oracle() -> str:
+    from .catalog import REGISTRY
+
+    exact = REGISTRY["embedding_topk_cosine"].oracle
+    ivf = REGISTRY["embedding_topk_ivf"].oracle
+    return f"""
+    WITH exact_topk AS ({exact}),
+    ivf_topk AS ({ivf})
+    SELECT CAST(10 AS INTEGER) AS k,
+           CAST(count(*) AS BIGINT) AS hits,
+           CAST(count(*) AS DOUBLE) / 10 AS recall_at_10
+    FROM exact_topk
+    WHERE vec_id IN (SELECT vec_id FROM ivf_topk)
+    """
+
+
+@_register(
+    "embedding_ivf_recall",
+    _recall_oracle(),
+    "Measured (not guessed) ANN quality: recall@10 of the IVF index "
+    "against the exact scan for the same query — the number that decides "
+    "whether n_probe/K are tuned right before anyone trusts the "
+    "approximate path at scale. Composes the two existing top-k builders "
+    "and semi-joins their results; the oracle nests both queries' SQL "
+    "verbatim, so the metric is held to the same bit-determinism bar as "
+    "the queries it measures",
+    reference="[NORTH-STAR] ANN evaluation (recall@k, Jegou'11 methodology)",
+    tags=("similarity", "northstar"),
+)
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import REGISTRY
+
+    exact = REGISTRY["embedding_topk_cosine"].builder(spark, sf_dir)
+    ivf = REGISTRY["embedding_topk_ivf"].builder(spark, sf_dir)
+    hits = exact.join(ivf.select("vec_id"), "vec_id", "semi")
+    return hits.agg(
+        F.lit(10).alias("k"),
+        F.count(F.lit(1)).alias("hits"),
+        (F.count(F.lit(1)).cast("double") / 10).alias("recall_at_10"),
+    )

@@ -23,6 +23,7 @@ _BNLJ_ALLOWED = {
     "scalar_subquery_watermark",
     "docs_tfidf_top_terms",
     "embedding_kmeans_2iter",
+    "embedding_ivf_recall",  # composes embedding_topk_ivf, inherits its plan
 }
 
 _ALL = sorted(REGISTRY)
