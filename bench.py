@@ -87,6 +87,7 @@ HEADLINE = [
     "promo_revenue_share_by_brand",
     "supplier_revenue_by_nation",
     "embedding_ivf_recall",
+    "embedding_ivf_recall_trained",
 ]
 
 

@@ -534,6 +534,43 @@ def _km_sql_assign(src_e: str, src_c: str) -> str:
 """
 
 
+def _km_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _spread(spark, _t(spark, sf_dir, "embeddings"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _km_trained_centroids(e: DataFrame) -> DataFrame:
+    """One k-means update from the deterministic init: assign, then the
+    exact scaled-long mean — the trained codebook both q_kmeans_2iter and
+    the trained-IVF recall query consume."""
+    c1 = e.filter(F.col("vec_id").between(0, _KM_K - 1)).select(
+        F.col("vec_id").alias("cid"), F.col("x").alias("cv")
+    )
+    a1 = _km_assign(e, c1)
+    comp = (
+        e.join(a1, "vec_id")
+        .select("cid", F.posexplode("x").alias("pos0", "v"))
+        .select("cid", (F.col("pos0") + 1).alias("pos"), "v")
+    )
+    sums = comp.groupBy("cid", "pos").agg(
+        F.sum(F.round(F.col("v") * _KM_SCALE).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        sums.select(
+            "cid",
+            F.struct("pos", (F.col("s").cast("double") / F.col("n") / _KM_SCALE).alias("m")).alias("pm"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(F.array_sort(F.collect_list("pm")), lambda s: s.m).alias("cv")
+        )
+    )
+
+
 @_register(
     "embedding_kmeans_2iter",
     f"""
@@ -573,33 +610,8 @@ def _km_sql_assign(src_e: str, src_c: str) -> str:
     tags=("similarity", "northstar", "iterative"),
 )
 def q_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _spread(spark, _t(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("x")
-    ).localCheckpoint(eager=False)
-    c1 = e.filter(F.col("vec_id").between(0, _KM_K - 1)).select(
-        F.col("vec_id").alias("cid"), F.col("x").alias("cv")
-    )
-    a1 = _km_assign(e, c1)
-    comp = (
-        e.join(a1, "vec_id")
-        .select("cid", F.posexplode("x").alias("pos0", "v"))
-        .select("cid", (F.col("pos0") + 1).alias("pos"), "v")
-    )
-    sums = comp.groupBy("cid", "pos").agg(
-        F.sum(F.round(F.col("v") * _KM_SCALE).cast("long")).alias("s"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    c2 = (
-        sums.select(
-            "cid",
-            F.struct("pos", (F.col("s").cast("double") / F.col("n") / _KM_SCALE).alias("m")).alias("pm"),
-        )
-        .groupBy("cid")
-        .agg(
-            F.transform(F.array_sort(F.collect_list("pm")), lambda s: s.m).alias("cv")
-        )
-    )
-    a2 = _km_assign(e, c2)
+    e = _km_load(spark, sf_dir)
+    a2 = _km_assign(e, _km_trained_centroids(e))
     return (
         a2.groupBy("cid")
         .agg(
@@ -649,6 +661,112 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = REGISTRY["embedding_topk_ivf"].builder(spark, sf_dir)
     hits = exact.join(ivf.select("vec_id"), "vec_id", "semi")
     return hits.agg(
+        F.lit(10).alias("k"),
+        F.count(F.lit(1)).alias("hits"),
+        (F.count(F.lit(1)).cast("double") / 10).alias("recall_at_10"),
+    )
+
+
+# ===========================================================================
+# Trained-codebook IVF recall: the k-means -> IVF integration, measured
+# ===========================================================================
+def _trained_recall_oracle() -> str:
+    from .catalog import REGISTRY
+
+    exact = REGISTRY["embedding_topk_cosine"].oracle
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    c1 AS (SELECT vec_id AS cid, x AS cv FROM e WHERE vec_id BETWEEN 0 AND {_KM_K - 1}),
+    a1 AS ({_km_sql_assign("e", "c1")}),
+    comp AS (
+      SELECT a1.cid, generate_subscripts(e.x, 1) AS pos, unnest(e.x) AS v
+      FROM e JOIN a1 USING (vec_id)
+    ),
+    sums AS (
+      SELECT cid, pos, SUM(CAST(round(v * {_KM_SCALE}) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM comp GROUP BY cid, pos
+    ),
+    c2 AS (
+      SELECT cid, list(CAST(s AS DOUBLE) / n / {_KM_SCALE} ORDER BY pos) AS cv
+      FROM sums GROUP BY cid
+    ),
+    cells AS ({_km_sql_assign("e", "c2")}),
+    qx AS (SELECT x AS qx FROM e WHERE vec_id = 0),
+    qc AS (
+      SELECT cid AS cell FROM (
+        SELECT c2.cid,
+               row_number() OVER (ORDER BY
+                 (list_dot_product(qx.qx, qx.qx) - 2*list_dot_product(qx.qx, c2.cv)
+                  + list_dot_product(c2.cv, c2.cv)), c2.cid) AS rn
+        FROM c2 CROSS JOIN qx) WHERE rn <= {_KM_NPROBE}
+    ),
+    ivf AS (
+      SELECT e.vec_id FROM e
+      JOIN cells ON e.vec_id = cells.vec_id AND cells.cid IN (SELECT cell FROM qc)
+      CROSS JOIN qx
+      ORDER BY round(list_dot_product(e.x, qx.qx)
+                     / (sqrt(list_dot_product(e.x, e.x))
+                        * sqrt(list_dot_product(qx.qx, qx.qx))), 6) DESC, e.vec_id
+      LIMIT 10
+    ),
+    exact_topk AS ({exact})
+    SELECT CAST(10 AS INTEGER) AS k,
+           CAST(count(*) AS BIGINT) AS hits,
+           CAST(count(*) AS DOUBLE) / 10 AS recall_at_10
+    FROM exact_topk WHERE vec_id IN (SELECT vec_id FROM ivf)
+    """
+
+
+_KM_NPROBE = 4
+
+
+@_register(
+    "embedding_ivf_recall_trained",
+    _trained_recall_oracle(),
+    "The k-means -> IVF integration, measured: the trained codebook "
+    "(embedding_kmeans_2iter's exact centroid update) replaces the "
+    "training-free one, cells and probes move to the trained L2 space, "
+    "ranking stays exact cosine within the probed cells, and recall@10 is "
+    "computed against the exact scan — the before/after number for "
+    "codebook training (pair with embedding_ivf_recall). Same scale "
+    "shape: broadcast codebook, no corpus shuffle, bounded probes",
+    reference="[NORTH-STAR] IVF codebook training loop (Jegou'11); "
+    "composes embedding_kmeans_2iter + embedding_topk_cosine",
+    tags=("similarity", "northstar", "iterative"),
+)
+def q_ivf_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import REGISTRY
+
+    e = _km_load(spark, sf_dir)
+    c2 = _km_trained_centroids(e).localCheckpoint(eager=False)
+    cells = _km_assign(e, c2)
+    qx = e.filter(F.col("vec_id") == 0).select(F.col("x").alias("qx"))
+    d2 = (
+        V.dot(F.col("qx"), F.col("qx"))
+        - 2 * V.dot(F.col("qx"), F.col("cv"))
+        + V.dot(F.col("cv"), F.col("cv"))
+    )
+    qc = (
+        c2.join(F.broadcast(qx))
+        .select("cid", d2.alias("d"))
+        .orderBy("d", "cid")
+        .limit(_KM_NPROBE)
+        .select(F.col("cid").alias("cell"))
+    )
+    cand = (
+        e.join(cells.withColumnRenamed("cid", "cell"), "vec_id")
+        .join(F.broadcast(qc), "cell", "semi")
+        .join(F.broadcast(qx))
+    )
+    sim = F.round(V.cosine(F.col("x"), F.col("qx")), 6)
+    ivf10 = (
+        cand.select("vec_id", sim.alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+    )
+    exact = REGISTRY["embedding_topk_cosine"].builder(spark, sf_dir)
+    return exact.join(ivf10.select("vec_id"), "vec_id", "semi").agg(
         F.lit(10).alias("k"),
         F.count(F.lit(1)).alias("hits"),
         (F.count(F.lit(1)).cast("double") / 10).alias("recall_at_10"),

@@ -24,6 +24,7 @@ _BNLJ_ALLOWED = {
     "docs_tfidf_top_terms",
     "embedding_kmeans_2iter",
     "embedding_ivf_recall",  # composes embedding_topk_ivf, inherits its plan
+    "embedding_ivf_recall_trained",  # composes k-means + IVF, same bounded sides
 }
 
 _ALL = sorted(REGISTRY)
