@@ -50,3 +50,30 @@ def test_drop_duplicates_within_watermark_streaming(spark, tmp_path):
     assert got.select(F.sum("user_id")).first()[0] == batch.select(
         F.sum("user_id")
     ).first()[0]
+
+
+def test_available_now_trigger_processes_all_then_stops(spark, tmp_path):
+    """Trigger.AvailableNow (T8): drain everything currently in the source
+    in bounded micro-batches, then terminate — the batch-parity execution
+    mode for catch-up runs, vs the reference's fixed 60s polling cadence."""
+    ev = load_table(spark, SF, "events").select("event_id", "user_id")
+    src = tmp_path / "src"
+    ev.repartition(3).write.mode("overwrite").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive  # terminated on its own after draining
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == ev.count()
