@@ -995,3 +995,84 @@ def q_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "nation_name")
     )
+
+
+# ===========================================================================
+# Exact distributed quantiles (quartiles on integer cents)
+# ===========================================================================
+@_register(
+    "value_quartiles_by_type",
+    """
+    WITH cents AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+    )
+    SELECT event_type,
+           quantile_cont(c, 0.25) AS p25_cents,
+           quantile_cont(c, 0.50) AS p50_cents,
+           quantile_cont(c, 0.75) AS p75_cents,
+           CAST(count(*) AS BIGINT) AS n
+    FROM cents GROUP BY event_type
+    """,
+    "Exact per-group quartiles. Values are first projected to integer cents "
+    "(scaled-long fixed point), so the linear interpolation at q in "
+    "{.25,.5,.75} multiplies an integer delta by an exactly-representable "
+    "binary fraction: every intermediate is exact in IEEE double and "
+    "Spark's percentile() agrees with DuckDB's quantile_cont bit-for-bit. "
+    "Exact percentile is a single-pass partial aggregate in Spark (per-"
+    "partition digest, merged on the reducer) - no global sort, unlike the "
+    "naive windowed-rank formulation; approx_percentile is the knob when "
+    "even that state is too large at 100 TB",
+    reference="SURVEY.md §2.11 (quantiles absent in reference; added)",
+    tags=("A6", "quantiles"),
+)
+def q_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select("event_type", cents.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.percentile("c", F.lit(0.25)).alias("p25_cents"),
+            F.percentile("c", F.lit(0.50)).alias("p50_cents"),
+            F.percentile("c", F.lit(0.75)).alias("p75_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ===========================================================================
+# Histogram / binning (width_bucket shape)
+# ===========================================================================
+@_register(
+    "value_histogram_bands",
+    """
+    SELECT event_type,
+           CAST(floor(value / 50) AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 100 AS total_value
+    FROM events
+    GROUP BY event_type, band
+    """,
+    "Fixed-width histogram (width_bucket shape): bin id is a pure "
+    "projection (floor-div), so the whole query is one map-side-combined "
+    "aggregate - the canonical distribution-profiling pass before choosing "
+    "salting/bucketing thresholds at 100 TB. Money summed in scaled-long "
+    "cents (DECIMAL intermediates leave Spark's "
+    "compact-long fast path)",
+    reference="SURVEY.md §2.11 (histogram absent in reference; added)",
+    tags=("A6", "histogram"),
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 50).cast("long").alias("band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents).cast("double") / 100).alias("total_value"),
+        )
+    )
