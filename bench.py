@@ -88,6 +88,9 @@ HEADLINE = [
     "supplier_revenue_by_nation",
     "embedding_ivf_recall",
     "embedding_ivf_recall_trained",
+    "docs_simhash_near_dup_pairs",
+    "value_quartiles_by_type",
+    "value_histogram_bands",
 ]
 
 

@@ -684,36 +684,14 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 48  # 48-bit hash: < 2^53, so FP division by 2^b is exact
 
 
-@_register(
-    "docs_simhash",
-    f"""
-    WITH tok AS (
-      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
-    ),
-    h AS (
-      SELECT doc_id, ('0x' || substring(md5(tok), 1, 12))::BIGINT AS h FROM tok
-    ),
-    c AS (
-      SELECT doc_id, b.bit,
-             CASE WHEN (h // CAST(power(2, b.bit) AS BIGINT)) % 2 = 1
-                  THEN 1 ELSE -1 END AS contrib
-      FROM h CROSS JOIN (SELECT unnest(range(0, {_SIMHASH_BITS})) AS bit) b
-    ),
-    s AS (SELECT doc_id, bit, sum(contrib) AS s FROM c GROUP BY 1, 2)
-    SELECT doc_id,
-           CAST(sum(CASE WHEN s >= 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-    FROM s GROUP BY doc_id
-    """,
-    "48-bit SimHash: one md5 per token occurrence, then a per-document fold "
-    "accumulating the 48 signed bit counters in a single higher-order "
-    "expression — no explode, no shuffle amplification; per-doc cost only. "
-    "(The oracle states the same semantics relationally.) 48-bit hashes keep "
-    "floor(h / 2^b) exact in double math on every engine",
-    reference="[NORTH-STAR] SimHash (Charikar'02) without UDFs",
-    tags=("dedup", "northstar"),
-)
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+def _simhash_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, simhash): the 48-bit SimHash fold.
+
+    One md5 per token occurrence, then a single higher-order aggregate
+    accumulating all 48 signed bit counters per document — no explode, no
+    shuffle amplification. Shared by the signature query (docs_simhash) and
+    the hamming-banded pair extraction (docs_simhash_near_dup_pairs).
+    """
     hs = F.transform(
         TX.tokens(F.col("text")),
         lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
@@ -746,6 +724,143 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return out.select("doc_id", packed.alias("simhash"))
+
+
+@_register(
+    "docs_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substring(md5(tok), 1, 12))::BIGINT AS h FROM tok
+    ),
+    c AS (
+      SELECT doc_id, b.bit,
+             CASE WHEN (h // CAST(power(2, b.bit) AS BIGINT)) % 2 = 1
+                  THEN 1 ELSE -1 END AS contrib
+      FROM h CROSS JOIN (SELECT unnest(range(0, {_SIMHASH_BITS})) AS bit) b
+    ),
+    s AS (SELECT doc_id, bit, sum(contrib) AS s FROM c GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s >= 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+    FROM s GROUP BY doc_id
+    """,
+    "48-bit SimHash: one md5 per token occurrence, then a per-document fold "
+    "accumulating the 48 signed bit counters in a single higher-order "
+    "expression — no explode, no shuffle amplification; per-doc cost only. "
+    "(The oracle states the same semantics relationally.) 48-bit hashes keep "
+    "floor(h / 2^b) exact in double math on every engine",
+    reference="[NORTH-STAR] SimHash (Charikar'02) without UDFs",
+    tags=("dedup", "northstar"),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_df(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
+# ===========================================================================
+# SimHash near-dup pairs — Manku-style multi-block candidate keys
+# ===========================================================================
+_SIMHASH_BLOCKS = 6  # 6 blocks x 8 bits over the 48-bit hash
+_SIMHASH_HAM_T = 3  # report pairs at hamming distance <= 3
+
+
+def _simhash_pairs_oracle() -> str:
+    # Brute-force statement of the semantics: ALL pairs at hamming <= T.
+    # The Spark plan's blocking is lossless for this threshold (pigeonhole:
+    # <= 3 flipped bits leave >= 3 of the 6 blocks untouched, so some
+    # 3-block combination is clean), so the oracle need not mirror it.
+    return f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM corpus),
+    h AS (
+      SELECT doc_id, ('0x' || substring(md5(tok), 1, 12))::BIGINT AS h FROM tok
+    ),
+    c AS (
+      SELECT doc_id, b.bit,
+             CASE WHEN (h // CAST(power(2, b.bit) AS BIGINT)) % 2 = 1
+                  THEN 1 ELSE -1 END AS contrib
+      FROM h CROSS JOIN (SELECT unnest(range(0, {_SIMHASH_BITS})) AS bit) b
+    ),
+    s AS (SELECT doc_id, bit, sum(contrib) AS s FROM c GROUP BY 1, 2),
+    sh AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s >= 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      FROM s GROUP BY doc_id
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_HAM_T}
+    """
+
+
+@_register(
+    "docs_simhash_near_dup_pairs",
+    _simhash_pairs_oracle(),
+    "Third independent near-dup method (after MinHash-LSH and winnowed "
+    "n-gram Jaccard): SimHash hamming-ball pair extraction with Manku-style "
+    "blocking (WWW'07). The 48-bit signature splits into 6 8-bit blocks; "
+    "each doc emits C(6,3)=20 candidate keys (every 3-block combination, a "
+    "24-bit key), and pairs sharing any key are verified with "
+    "bit_count(xor) <= 3. Pigeonhole makes the blocking LOSSLESS at this "
+    "threshold, so the oracle states pure brute-force semantics while the "
+    "plan joins on 24-bit keys: shuffle O(colliding pairs) with ~2^24 "
+    "buckets per combination, never O(n^2) — wider keys + more tables is "
+    "exactly how the web-scale dedup tiers its memory at 100 TB",
+    reference="[NORTH-STAR] Manku/Jain/Das Sarma WWW'07 simhash dedup as DataFrame ops",
+    tags=("dedup", "northstar", "bench"),
+)
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itertools import combinations
+
+    corpus = _spread(spark, _near_corpus(spark, sf_dir))
+    # Materialize the signatures once: reused by the 20-way key explode and
+    # by both sides of the verify join.
+    sh = _simhash_df(corpus).localCheckpoint(eager=True)
+
+    def block(i: int):
+        return F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255))
+
+    combos = list(combinations(range(_SIMHASH_BLOCKS), 3))
+    keys = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("combo"),
+                        (
+                            block(i) * 65536 + block(j) * 256 + block(k)
+                        ).alias("key"),
+                    )
+                    for ci, (i, j, k) in enumerate(combos)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.combo", "b.key")
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.combo") == F.col("b.combo"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)  # materialized: size probe + verify join
+    )
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sim"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sim"))
+    ham = F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim"))).cast("long")
+    return (
+        _broadcast_if_small(cand)
+        .join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= _SIMHASH_HAM_T)
+    )
 
 
 # ===========================================================================
