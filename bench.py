@@ -91,6 +91,9 @@ HEADLINE = [
     "docs_simhash_near_dup_pairs",
     "value_quartiles_by_type",
     "value_histogram_bands",
+    "late_ship_order_priority",
+    "large_basket_customers",
+    "above_avg_events",
 ]
 
 

@@ -1076,3 +1076,132 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents).cast("double") / 100).alias("total_value"),
         )
     )
+
+
+# ===========================================================================
+# Correlated EXISTS (TPC-H Q4 shape) — decorrelated to a compound semi join
+# ===========================================================================
+@_register(
+    "late_ship_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS late_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4 shape: orders with at least one lineitem shipped >60 days "
+    "after the order date, counted per priority. The correlated EXISTS "
+    "decorrelates to a LEFT SEMI join whose condition carries both the "
+    "equi key (shuffle key) and the date predicate (evaluated inside the "
+    "join, no fact-side pre-expansion). Semi-join semantics dedupe "
+    "multi-match orders for free - no DISTINCT pass over the fact table",
+    reference="SURVEY.md §2.11 (correlated subqueries absent in reference; added)",
+    tags=("J6", "subquery"),
+)
+def q_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("late_orders"))
+    )
+
+
+# ===========================================================================
+# GROUP BY ... HAVING + join-back (TPC-H Q18 shape)
+# ===========================================================================
+_BIG_ORDER_QTY = 250
+
+
+@_register(
+    "large_basket_customers",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > {_BIG_ORDER_QTY}
+    )
+    SELECT c.c_name, o.o_orderkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           b.sum_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    f"TPC-H Q18 shape: aggregate the fact table, HAVING-filter to the rare "
+    f"heavy groups (> {_BIG_ORDER_QTY} units), then join the survivors back "
+    "to the dimension chain. The HAVING output is orders of magnitude "
+    "smaller than the fact table, so it broadcasts into both lookups - the "
+    "100 TB plan aggregates once and never shuffles orders or customer. "
+    "l_quantity is integer-valued, so the double sum is exact and the "
+    "BIGINT cast deterministic",
+    reference="SURVEY.md §2.11 (HAVING join-back absent in reference; added)",
+    tags=("A6", "J1", "subquery"),
+)
+def q_large_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > _BIG_ORDER_QTY)
+        .select("l_orderkey", F.col("s").cast("long").alias("sum_qty"))
+    )
+    joined = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("totalprice_cents"),
+        "sum_qty",
+    )
+    return c.join(F.broadcast(joined), c.c_custkey == F.col("o_custkey")).select(
+        "c_name", "o_orderkey", "totalprice_cents", "sum_qty"
+    )
+
+
+# ===========================================================================
+# Correlated scalar comparison (above per-group average) — broadcast agg
+# ===========================================================================
+@_register(
+    "above_avg_events",
+    """
+    WITH c AS (
+      SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    a AS (
+      SELECT event_type,
+             CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / count(*) AS avg_cents
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_id, c.event_type, c.cents, a.avg_cents
+    FROM c JOIN a USING (event_type)
+    WHERE CAST(c.cents AS DOUBLE) > a.avg_cents
+    """,
+    "Correlated scalar subquery shape ('rows above their group's "
+    "average'), decorrelated as a tiny per-group aggregate broadcast back "
+    "onto the fact scan - one shuffle for 5 aggregate rows, then a "
+    "map-side-only filter join; the window formulation would instead sort "
+    "the whole fact table per group. Exact: integer-cents sum / count is "
+    "one IEEE division, identical on both engines",
+    reference="SURVEY.md §2.11 (correlated subqueries absent in reference; added)",
+    tags=("A6", "subquery"),
+)
+def q_above_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    avg = ev.groupBy("event_type").agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("avg_cents")
+    )
+    return ev.join(F.broadcast(avg), "event_type").filter(
+        F.col("cents").cast("double") > F.col("avg_cents")
+    ).select("event_id", "event_type", "cents", "avg_cents")
