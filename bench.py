@@ -94,6 +94,8 @@ HEADLINE = [
     "late_ship_order_priority",
     "large_basket_customers",
     "above_avg_events",
+    "docs_decontaminate",
+    "docs_mix_weights",
 ]
 
 

@@ -771,3 +771,157 @@ def q_ivf_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("hits"),
         (F.count(F.lit(1)).cast("double") / 10).alias("recall_at_10"),
     )
+
+
+# ===========================================================================
+# Benchmark decontamination — n-gram overlap against an eval set
+# ===========================================================================
+_DECON_N = 8  # 8-gram overlap, the common contamination test granularity
+_DECON_SLICE_START = 6  # benchmark excerpt: tokens 6..21 (1-based, 16 toks)
+_DECON_SLICE_LEN = 16
+
+
+def _sql_ngrams(src: str, n: int) -> str:
+    gram = " || ' ' || ".join(f"{src}[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({src}) >= {n} THEN "
+        f"list_transform(range(1, len({src}) - {n - 2}), i -> {gram}) "
+        f"ELSE [] END"
+    )
+
+
+@_register(
+    "docs_decontaminate",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    bench AS (
+      SELECT list_slice(toks, {_DECON_SLICE_START},
+                        {_DECON_SLICE_START + _DECON_SLICE_LEN - 1}) AS btoks
+      FROM toks WHERE doc_id % 13 = 0
+    ),
+    bgrams AS (
+      SELECT DISTINCT {_sql_md5_long('g')} AS gh
+      FROM (SELECT unnest({_sql_ngrams('btoks', _DECON_N)}) AS g FROM bench)
+    ),
+    dgrams AS (
+      SELECT doc_id, list_distinct({_sql_ngrams('toks', _DECON_N)}) AS gs
+      FROM toks
+    ),
+    d2 AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM dgrams),
+    hits AS (
+      SELECT doc_id, max(n_grams) AS n_grams,
+             CAST(count(*) AS BIGINT) AS n_contaminated
+      FROM d2
+      WHERE {_sql_md5_long('g')} IN (SELECT gh FROM bgrams)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_contaminated, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_contaminated AS DOUBLE) / n_grams AS contaminated_frac
+    FROM hits
+    """,
+    "Benchmark decontamination: flag training documents sharing any word "
+    f"{_DECON_N}-gram with an eval-set excerpt corpus (here: a 16-token "
+    "slice of every 13th document, the standard overlap test from GPT-3 "
+    "appendix C / PaLM). The benchmark gram set is tiny and broadcast; the "
+    "corpus side is one scan -> explode distinct grams -> broadcast semi "
+    "join -> per-doc count, so 100 TB cost is the gram explode (bounded by "
+    "corpus token count) with no shuffle of document text. Hashes are "
+    "md5-prefix longs, exact in both engines",
+    reference="[NORTH-STAR] train/test overlap decontamination (GPT-3 §C, PaLM §8)",
+    tags=("dedup", "northstar", "decontamination"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    bench_grams = (
+        toks.filter(F.col("doc_id") % 13 == 0)
+        .select(
+            TX.shingles(
+                F.slice(F.col("toks"), _DECON_SLICE_START, _DECON_SLICE_LEN),
+                _DECON_N,
+            ).alias("bg")
+        )
+        .select(F.explode("bg").alias("g"))
+        .select(TX.md5_long(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    dgrams = toks.select(
+        "doc_id",
+        F.array_distinct(TX.shingles(F.col("toks"), _DECON_N)).alias("gs"),
+    ).select(
+        "doc_id",
+        F.size("gs").alias("n_grams"),
+        F.explode("gs").alias("g"),
+    )
+    hits = (
+        dgrams.withColumn("gh", TX.md5_long(F.col("g")))
+        .join(F.broadcast(bench_grams), "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_contaminated"),
+        )
+    )
+    return hits.select(
+        "doc_id",
+        "n_contaminated",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        (F.col("n_contaminated").cast("double") / F.col("n_grams")).alias(
+            "contaminated_frac"
+        ),
+    )
+
+
+# ===========================================================================
+# Data-mix reweighting — per-language sampling weights toward a target mix
+# ===========================================================================
+_MIX_CAP = 5.0  # max upsampling multiplier
+
+
+@_register(
+    "docs_mix_weights",
+    f"""
+    WITH t AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_langs FROM t)
+    SELECT lang, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / total AS token_share,
+           least({_MIX_CAP},
+                 (1.0 / n_langs) / (CAST(n_tokens AS DOUBLE) / total)) AS weight
+    FROM t CROSS JOIN tot
+    """,
+    "Training-mix reweighting: per-language token shares and the sampling "
+    "weight that moves the mix toward a uniform target, capped at "
+    f"{_MIX_CAP}x upsampling (the DoReMi/data-mixture bookkeeping pass). "
+    "Token counting is a pure projection; the aggregate is 5 rows, and the "
+    "1-row total joins back by broadcast cross join - at 100 TB this is "
+    "one scan. Weight arithmetic is a fixed chain of IEEE ops on "
+    "integer-exact counts, so both engines agree bit-for-bit",
+    reference="[NORTH-STAR] data-mixture weighting (DoReMi arXiv:2305.10429 bookkeeping)",
+    tags=("northstar", "curation"),
+)
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(TX.tokens(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    tot = t.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total")
+    return t.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        F.least(F.lit(_MIX_CAP), (F.lit(1.0) / F.col("n_langs")) / share).alias(
+            "weight"
+        ),
+    )

@@ -25,6 +25,7 @@ _BNLJ_ALLOWED = {
     "embedding_kmeans_2iter",
     "embedding_ivf_recall",  # composes embedding_topk_ivf, inherits its plan
     "embedding_ivf_recall_trained",  # composes k-means + IVF, same bounded sides
+    "docs_mix_weights",  # 1-row grand-total broadcast cross join (scalar subquery)
 }
 
 _ALL = sorted(REGISTRY)
