@@ -57,26 +57,37 @@ def merge_upsert(
     # Presence markers are dedicated TRUE columns, not key nullability: the
     # join uses eqNullSafe precisely so NULL keys match, so a NULL-key row
     # must still read as "present" on its side after the full outer join.
-    t = target.withColumn("_t_present", F.lit(True)).alias("t")
-    s = source.withColumn("_s_present", F.lit(True)).alias("s")
-    cond = [t[k].eqNullSafe(s[k]) for k in keys]
+    # Columns are referenced through the alias qualifier (not DataFrame
+    # attribute access, which pins plan ids): target and source may share
+    # lineage — e.g. re-merging the same batch into a merge's own output
+    # during replay — and qualified names keep that self-join unambiguous.
+    t = target.withColumn("_t_present", F.lit(True)).alias("__mt")
+    s = source.withColumn("_s_present", F.lit(True)).alias("__ms")
+
+    def tcol(name: str) -> Column:
+        return F.col(f"__mt.`{name}`")
+
+    def scol(name: str) -> Column:
+        return F.col(f"__ms.`{name}`")
+
+    cond = [tcol(k).eqNullSafe(scol(k)) for k in keys]
     joined = t.join(s, cond, "full_outer")
 
-    t_present = F.coalesce(t["_t_present"], F.lit(False))
-    s_present = F.coalesce(s["_s_present"], F.lit(False))
+    t_present = F.coalesce(tcol("_t_present"), F.lit(False))
+    s_present = F.coalesce(scol("_s_present"), F.lit(False))
 
     out_cols: list[Column] = []
     for k in keys:
-        out_cols.append(F.coalesce(t[k], s[k]).alias(k))
+        out_cols.append(F.coalesce(tcol(k), scol(k)).alias(k))
 
     set_on_update = dict(set_on_update or {})
     for c in value_cols:
         if c in missing and c not in set_on_update:
-            out_cols.append(t[c].alias(c))
+            out_cols.append(tcol(c).alias(c))
             continue
         pol = policies.get(c, default)
-        tc = t[c]
-        sc = s[c] if c in src_cols else F.lit(None)
+        tc = tcol(c)
+        sc = scol(c) if c in src_cols else F.lit(None)
         if pol is MergePolicy.OVERWRITE:
             matched = sc
         elif pol is MergePolicy.COALESCE_NEW_OLD:

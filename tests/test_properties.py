@@ -1,0 +1,133 @@
+"""Property-based tests (hypothesis) for the algebraic invariants.
+
+Each property batches several generated cases into one small DataFrame per
+example so the Spark-job count stays bounded: examples are capped and
+derandomized (fixed corpus per run — CI-deterministic), and every assert
+is a mathematical invariant of the operator, not a golden value:
+
+- Winnowing (Schleimer SIGMOD'03 §3): any common substring of length
+  >= w + k - 1 between two documents yields at least one shared
+  fingerprint. This is the guarantee the near-dup blocking relies on.
+- merge_upsert is idempotent under every MergePolicy: applying the same
+  source batch twice equals applying it once (the exactly-once-replay
+  foundation, T3).
+- merge_upsert with GREATEST is batch-order commutative (the M4
+  ingest_time column cannot depend on micro-batch arrival order).
+- MinHash over a union of shingle sets is the min of the per-set
+  MinHashes (the identity that makes per-partition partial minhash
+  aggregation correct at 100 TB).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from real_time_flight_data_pipeline_spark.functions import text as TX
+from real_time_flight_data_pipeline_spark.operators.merge import MergePolicy, merge_upsert
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_ALPHA = "abcd"  # tiny alphabet: collisions likely, properties one-directional
+_W = TX.WINNOW_W
+_K = TX.WINNOW_K
+_GUARANTEE = _W + _K - 1  # winnowing detection threshold (8 chars)
+
+_text = st.text(alphabet=_ALPHA, min_size=0, max_size=30)
+_shared = st.text(alphabet=_ALPHA, min_size=_GUARANTEE + 4, max_size=24)
+
+
+@settings(**_SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(_text, _text, _text, _text, _shared), min_size=2, max_size=5
+    )
+)
+def test_winnow_shared_substring_shares_fingerprint(spark, pairs):
+    rows = [
+        (i, p1 + c + s1, p2 + c + s2) for i, (p1, s1, p2, s2, c) in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(rows, "pair_id long, a string, b string")
+    fp = lambda col: TX.winnow_mins(TX.char_gram_hashes(F.col(col)))  # noqa: E731
+    out = df.select(
+        "pair_id", F.size(F.array_intersect(fp("a"), fp("b"))).alias("n_shared")
+    ).collect()
+    for r in out:
+        assert r.n_shared >= 1, (
+            f"pair {r.pair_id}: {_GUARANTEE + 4}-char shared substring "
+            "produced no shared winnow fingerprint"
+        )
+
+
+_batch = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key (small: forces collisions)
+        st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),  # val
+        st.integers(min_value=0, max_value=1000),  # ts
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _dedup_latest(rows):
+    best = {}
+    for k, v, ts in rows:
+        if k not in best or ts >= best[k][2]:
+            best[k] = (k, v, ts)
+    return list(best.values())
+
+
+@settings(**_SETTINGS)
+@given(target=_batch, source=_batch, policy=st.sampled_from(list(MergePolicy)))
+def test_merge_upsert_idempotent_for_every_policy(spark, target, source, policy):
+    schema = "k long, val long, ts long"
+    tgt = spark.createDataFrame(_dedup_latest(target), schema)
+    src = spark.createDataFrame(_dedup_latest(source), schema)
+    policies = {"val": policy, "ts": MergePolicy.GREATEST}
+    once = merge_upsert(tgt, src, ["k"], policies)
+    twice = merge_upsert(once, src, ["k"], policies)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@settings(**_SETTINGS)
+@given(target=_batch, b1=_batch, b2=_batch)
+def test_merge_greatest_batch_order_commutative(spark, target, b1, b2):
+    schema = "k long, ts long"
+    tgt = spark.createDataFrame([(k, ts) for k, _, ts in _dedup_latest(target)], schema)
+    s1 = spark.createDataFrame([(k, ts) for k, _, ts in _dedup_latest(b1)], schema)
+    s2 = spark.createDataFrame([(k, ts) for k, _, ts in _dedup_latest(b2)], schema)
+    pol = {"ts": MergePolicy.GREATEST}
+    ab = merge_upsert(merge_upsert(tgt, s1, ["k"], pol), s2, ["k"], pol)
+    ba = merge_upsert(merge_upsert(tgt, s2, ["k"], pol), s1, ["k"], pol)
+    assert sorted(map(tuple, ab.collect())) == sorted(map(tuple, ba.collect()))
+
+
+_shingle_list = st.lists(
+    st.text(alphabet=_ALPHA, min_size=1, max_size=6), min_size=1, max_size=8
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    cases=st.lists(st.tuples(_shingle_list, _shingle_list), min_size=2, max_size=5),
+    seed=st.integers(min_value=0, max_value=7),
+)
+def test_minhash_union_is_min_of_minhashes(spark, cases, seed):
+    rows = [(i, a, b) for i, (a, b) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "case_id long, a array<string>, b array<string>")
+    mh = lambda col: TX.minhash_value(F.col(col), seed)  # noqa: E731
+    out = df.select(
+        "case_id",
+        TX.minhash_value(F.concat(F.col("a"), F.col("b")), seed).alias("mh_union"),
+        F.least(mh("a"), mh("b")).alias("min_of_mh"),
+    ).collect()
+    for r in out:
+        assert r.mh_union == r.min_of_mh, f"case {r.case_id}: {r}"
