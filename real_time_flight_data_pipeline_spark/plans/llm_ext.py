@@ -832,7 +832,13 @@ def _sql_ngrams(src: str, n: int) -> str:
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    # Projection barrier: without it CollapseProject inlines the tokenize
+    # expression into every element_at inside the shingle lambda (8 per gram
+    # x grams per doc => O(tokens^2) re-tokenization per document). Measured
+    # 10x at sf0.01. Same guard as every gram query in northstar.py.
+    toks = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
     bench_grams = (
         toks.filter(F.col("doc_id") % 13 == 0)
         .select(
