@@ -1,8 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"<name>": <sec>, ...}, "sf": <scale factor>}
+Prints ONE SHORT JSON line (the only stdout) so the driver can always parse
+it:
+  {"metric": "...", "value": <total sec>, "unit": "sec", "sf": <sf>,
+   "queries": {"<name>": <sec>, ...}, "n_queries": N, "n_errors": E}
+
+Per-query progress goes to stderr and the full detail (runs, errors with
+tracebacks) to BENCH_DETAIL.json next to this file. A query that raises is
+recorded as an error and skipped — one red query must never zero the whole
+round's perf signal (r4: the run crashed at sessionize_events and the round
+had no bench number at all).
 
 Each query is timed as a full materialization with the noop sink (compute
 measured, driver-transfer excluded). Warmup queries first so JVM/codegen
@@ -18,9 +25,11 @@ from __future__ import annotations
 
 import json
 import os
+import pathlib
 import re
 import sys
 import time
+import traceback
 
 from real_time_flight_data_pipeline_spark.plans.catalog import REGISTRY
 from real_time_flight_data_pipeline_spark.session import get_spark
@@ -109,51 +118,87 @@ def main() -> None:
     # Warmup: classloading/codegen on a tiny plan, then an allocation-heavy
     # lambda query at the smallest SF so the pinned heap's pages fault in
     # BEFORE timing starts (first-touch cost is a VM/host property, not a
-    # query property).
-    spark.range(1000).selectExpr("sum(id)").collect()
-    REGISTRY["top_users_by_value"].builder(spark, sf_dir).collect()
-    for _ in range(2):
-        REGISTRY["docs_minhash_signatures"].builder(
-            spark, "/root/testdata/sf0.001"
-        ).write.format("noop").mode("overwrite").save()
-    spark.range(0, 8_000_000).selectExpr(
-        "max(md5(cast(id as string)))"
-    ).collect()
-    # Touch every sf_dir table once so scan-side file/footers are warm.
-    for f in os.listdir(sf_dir):
-        if f.endswith(".parquet"):
-            spark.read.parquet(os.path.join(sf_dir, f)).write.format("noop").mode(
-                "overwrite"
-            ).save()
+    # query property). Warmup failures are non-fatal — timing must happen
+    # even if one warmup plan breaks.
+    try:
+        spark.range(1000).selectExpr("sum(id)").collect()
+        REGISTRY["top_users_by_value"].builder(spark, sf_dir).collect()
+        for _ in range(2):
+            REGISTRY["docs_minhash_signatures"].builder(
+                spark, "/root/testdata/sf0.001"
+            ).write.format("noop").mode("overwrite").save()
+        spark.range(0, 8_000_000).selectExpr(
+            "max(md5(cast(id as string)))"
+        ).collect()
+        # Touch every sf_dir table once so scan-side file/footers are warm.
+        for f in os.listdir(sf_dir):
+            if f.endswith(".parquet"):
+                spark.read.parquet(os.path.join(sf_dir, f)).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    detail: dict[str, dict] = {}
     for name in HEADLINE:
         q = REGISTRY.get(name)
         if q is None:
             continue
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = q.builder(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+        runs: list[float] = []
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = q.builder(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            detail[name] = {
+                "runs": [round(r, 4) for r in runs],
+                "error": traceback.format_exc(),
+            }
+            print(f"  {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(min(runs), 4)
+        detail[name] = {"runs": [round(r, 4) for r in runs]}
         print(
             f"  {name}: {timings[name]:.3f}s (runs: {', '.join(f'{r:.3f}' for r in runs)})",
             file=sys.stderr,
         )
 
     total = round(sum(timings.values()), 4)
+    detail_path = pathlib.Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    try:
+        detail_path.write_text(
+            json.dumps(
+                {"sf": sf, "total_sec": total, "detail": detail}, indent=1
+            )
+        )
+    except OSError:
+        traceback.print_exc(file=sys.stderr)
+    # The single stdout line, kept SMALL: r3's 61-entry per-query map made
+    # the line unparseable to the driver (parsed: null), so the full map
+    # lives in BENCH_DETAIL.json and stderr; stdout carries only the
+    # headline scalar plus the 5 slowest queries as a hotspot digest.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
-            }
-        )
+                "n_queries": len(timings),
+                "n_errors": len(errors),
+                "queries": slowest,
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
 
 

@@ -11,6 +11,23 @@ from . import llm_ext  # noqa: E402,F401
 # registry[:50]); everything after is silently unchecked.
 DRIVER_QUERY_CAP = 50
 
+# Registration order before rotation (append-only across rounds) — lets
+# tests reconstruct any past round's window/tail deterministically.
+ORIGINAL_ORDER: list[str] = list(REGISTRY)
+
+
+def _row_is_green(row) -> bool:
+    """A driver CORRECTNESS row counts as verified-green only on a POSITIVE
+    full match: err-free AND rows_match is True AND hash_match is True.
+    Null matches (rows-only checks, driver hiccups) are NOT green — treating
+    "not False" as green let unverified queries rotate out of the window."""
+    return (
+        isinstance(row, dict)
+        and row.get("err") is None
+        and row.get("rows_match") is True
+        and row.get("hash_match") is True
+    )
+
 
 def _reorder_for_driver_window() -> list[str]:
     """Rebuild REGISTRY least-recently-verified-first so the driver's
@@ -33,11 +50,8 @@ def _reorder_for_driver_window() -> list[str]:
         except (OSError, ValueError):
             continue
         for name, row in data.items():
-            if not isinstance(row, dict) or row.get("err") is not None:
-                continue
-            if row.get("rows_match") is False or row.get("hash_match") is False:
-                continue
-            last_green[name] = max(last_green.get(name, 0), rnd)
+            if _row_is_green(row):
+                last_green[name] = max(last_green.get(name, 0), rnd)
     # sorted() is stable: ties (same staleness) keep registration order.
     order = sorted(REGISTRY, key=lambda n: last_green.get(n, -1))
     reordered = {n: REGISTRY[n] for n in order}

@@ -357,20 +357,41 @@ def q_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Approximate aggregates — engine capability; HLL sketches are not
 # bit-comparable across engines, so the oracle checks exact bounds instead.
 # ===========================================================================
+_APPROX_RSD = 0.05  # approx_count_distinct's default relative standard dev
+
+
 @_register(
     "approx_distinct_users",
-    None,  # rows-only: approx_count_distinct is engine-specific by design
-    "approx_count_distinct + exact count per event_type (HLL sketch; no "
-    "cross-engine oracle by construction — driver records rows-only)",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           true AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+    "approx_count_distinct per event_type, made oracle-checkable: the HLL "
+    "sketch value is engine-specific, so the query emits the exact count "
+    "plus approx_ok = |approx-exact|/exact <= 3*rsd computed Spark-side; "
+    "the oracle predicts (exact_count, true). A sketch drifting outside its "
+    "own error bound now fails the hash match instead of hiding behind a "
+    "rows-only row",
     reference="SURVEY.md §2.11 (approximate aggregates absent in reference; added)",
     tags=("approx",),
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", _APPROX_RSD).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
-        F.percentile_approx("value", 0.5).alias("median_value_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(3 * _APPROX_RSD)
+        ).alias("approx_ok"),
     )
 
 

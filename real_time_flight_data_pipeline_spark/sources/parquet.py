@@ -12,11 +12,16 @@ from pyspark.sql import functions as F
 
 from ..schemas import TESTDATA_TABLES
 
-# Columns written as parquet TIMESTAMP(NANOS). With
-# spark.sql.legacy.parquet.nanosAsLong they arrive as epoch-nanos longs;
-# convert via integer `div` (a float division would lose precision above
-# 2^53 ns) and truncate to micros exactly like DuckDB's TIMESTAMP_NS ->
-# TIMESTAMP read, keeping both engines bit-identical.
+# Columns written as parquet TIMESTAMP(NANOS). Depending on the Spark
+# runtime they arrive either as epoch-nanos longs (<=3.x with
+# spark.sql.legacy.parquet.nanosAsLong) or as TIMESTAMP_NTZ (4.x, where that
+# conf is accepted but ignored). Both branches normalize to a zoned
+# TIMESTAMP truncated to micros, exactly like DuckDB's TIMESTAMP_NS ->
+# TIMESTAMP read, keeping both engines bit-identical:
+#   bigint         -> integer `div 1000` (float division would lose
+#                     precision above 2^53 ns) + timestamp_micros
+#   timestamp_ntz  -> to_utc_timestamp(_, "UTC") (session TZ is UTC, so the
+#                     wall-clock instant is unchanged; only the type flips)
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -36,9 +41,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     _ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
     for c in _NANOS_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
+        if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            df = df.withColumn(c, F.to_utc_timestamp(F.col(c), "UTC"))
     return df
 
 

@@ -2,7 +2,9 @@
 registration order. REGISTRY is therefore rotated least-recently-verified
 first (plans/__init__._reorder_for_driver_window). These tests pin the
 rotation's contract so a future registration change can't silently push a
-never-checked query outside the driver's window again (r2's failure mode).
+never-checked query outside the driver's window again (r2's failure mode),
+and pin the coverage invariant that everything parked outside one round's
+window is checked the next round.
 """
 
 from __future__ import annotations
@@ -14,23 +16,50 @@ import re
 from real_time_flight_data_pipeline_spark.plans import (
     DRIVER_QUERY_CAP,
     DRIVER_WINDOW_TAIL,
+    ORIGINAL_ORDER,
     REGISTRY,
+    _row_is_green,
 )
 
 _ROOT = pathlib.Path(__file__).resolve().parents[1]
 
+# First round whose CORRECTNESS keys reflect the rotated ordering (the
+# rotation landed during round 3).
+_FIRST_ROTATED_ROUND = 3
 
-def _green_by_round() -> dict[str, int]:
-    last = {}
+
+def _rounds() -> dict[int, dict]:
+    out = {}
     for p in sorted(_ROOT.glob("CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)", p.stem).group(1))
-        for name, row in json.loads(p.read_text()).items():
-            if row.get("err") is not None:
-                continue
-            if row.get("rows_match") is False or row.get("hash_match") is False:
-                continue
-            last[name] = max(last.get(name, 0), rnd)
+        out[rnd] = json.loads(p.read_text())
+    return out
+
+
+def _green_by_round(upto: int | None = None) -> dict[str, int]:
+    last = {}
+    for rnd, data in _rounds().items():
+        if upto is not None and rnd > upto:
+            continue
+        for name, row in data.items():
+            if _row_is_green(row):
+                last[name] = max(last.get(name, 0), rnd)
     return last
+
+
+def test_row_is_green_requires_positive_full_match():
+    """A null-match err-free row (rows-only check, driver hiccup) must NOT
+    count green — 'not False' logic let unverified queries rotate out."""
+    assert _row_is_green({"rows_match": True, "hash_match": True, "err": None})
+    # the exact shape the driver emits for rows-only / errored checks:
+    assert not _row_is_green(
+        {"rows_match": None, "hash_match": None, "err": "no_oracle"}
+    )
+    assert not _row_is_green({"rows_match": None, "hash_match": None, "err": None})
+    assert not _row_is_green({"rows_match": True, "hash_match": None, "err": None})
+    assert not _row_is_green({"rows_match": True, "hash_match": False, "err": None})
+    assert not _row_is_green({"rows_match": True, "hash_match": True, "err": "x"})
+    assert not _row_is_green(None)
 
 
 def test_tail_matches_registry_order():
@@ -53,3 +82,39 @@ def test_tail_only_contains_recently_green_queries():
     latest = max(last_green.values(), default=0)
     stale = [n for n in DRIVER_WINDOW_TAIL if last_green.get(n, -1) != latest]
     assert not stale, f"stale/never-green queries parked outside window: {stale}"
+
+
+def _reconstruct_tail(round_n: int) -> list[str]:
+    """The tail (unchecked queries) as the rotation computed it when round
+    ``round_n`` ran: universe = queries that existed then (appeared in any
+    CORRECTNESS file <= round_n; registration is append-only so today's
+    ORIGINAL_ORDER restricted to them preserves their relative order),
+    staleness from rounds < round_n."""
+    rounds = _rounds()
+    universe = set()
+    for rnd, data in rounds.items():
+        if rnd <= round_n:
+            universe.update(data.keys())
+    last_green = _green_by_round(upto=round_n - 1)
+    order = sorted(
+        (n for n in ORIGINAL_ORDER if n in universe),
+        key=lambda n: last_green.get(n, -1),
+    )
+    return order[DRIVER_QUERY_CAP:]
+
+
+def test_window_rotation_coverage():
+    """Everything outside round N-1's window must be inside round N's —
+    i.e. no query goes unchecked two rounds in a row. Runs against the
+    committed driver artifacts, so the invariant is re-proven every round."""
+    rounds = _rounds()
+    for rnd in sorted(rounds):
+        if rnd <= _FIRST_ROTATED_ROUND:
+            continue
+        prev_tail = set(_reconstruct_tail(rnd - 1))
+        checked = set(rounds[rnd].keys())
+        unchecked_twice = prev_tail - checked
+        assert not unchecked_twice, (
+            f"round {rnd} left round {rnd - 1}'s parked queries unchecked: "
+            f"{sorted(unchecked_twice)}"
+        )
