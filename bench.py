@@ -105,6 +105,9 @@ HEADLINE = [
     "above_avg_events",
     "docs_decontaminate",
     "docs_mix_weights",
+    # r5: UDF-vs-builtin measured pair + decontamination span variant
+    "user_value_mad_native",
+    "docs_decontaminate_span",
 ]
 
 

@@ -790,6 +790,33 @@ def _sql_ngrams(src: str, n: int) -> str:
     )
 
 
+def _decon_inputs(spark: SparkSession, sf_dir: str):
+    """Shared inputs for the decontamination family: tokenized corpus behind
+    a projection barrier + the distinct benchmark gram-hash set (tiny,
+    broadcast at the join sites)."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    # Projection barrier: without it CollapseProject inlines the tokenize
+    # expression into every element_at inside the shingle lambda (8 per gram
+    # x grams per doc => O(tokens^2) re-tokenization per document). Measured
+    # 10x at sf0.01. Same guard as every gram query in northstar.py.
+    toks = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+    bench_grams = (
+        toks.filter(F.col("doc_id") % 13 == 0)
+        .select(
+            TX.shingles(
+                F.slice(F.col("toks"), _DECON_SLICE_START, _DECON_SLICE_LEN),
+                _DECON_N,
+            ).alias("bg")
+        )
+        .select(F.explode("bg").alias("g"))
+        .select(TX.md5_long(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    return toks, bench_grams
+
+
 @_register(
     "docs_decontaminate",
     f"""
@@ -831,26 +858,7 @@ def _sql_ngrams(src: str, n: int) -> str:
     tags=("dedup", "northstar", "decontamination"),
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    # Projection barrier: without it CollapseProject inlines the tokenize
-    # expression into every element_at inside the shingle lambda (8 per gram
-    # x grams per doc => O(tokens^2) re-tokenization per document). Measured
-    # 10x at sf0.01. Same guard as every gram query in northstar.py.
-    toks = docs.select(
-        "doc_id", TX.tokens(F.col("text")).alias("toks")
-    ).localCheckpoint(eager=False)
-    bench_grams = (
-        toks.filter(F.col("doc_id") % 13 == 0)
-        .select(
-            TX.shingles(
-                F.slice(F.col("toks"), _DECON_SLICE_START, _DECON_SLICE_LEN),
-                _DECON_N,
-            ).alias("bg")
-        )
-        .select(F.explode("bg").alias("g"))
-        .select(TX.md5_long(F.col("g")).alias("gh"))
-        .distinct()
-    )
+    toks, bench_grams = _decon_inputs(spark, sf_dir)
     dgrams = toks.select(
         "doc_id",
         F.array_distinct(TX.shingles(F.col("toks"), _DECON_N)).alias("gs"),
@@ -875,6 +883,66 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_contaminated").cast("double") / F.col("n_grams")).alias(
             "contaminated_frac"
         ),
+    )
+
+
+@_register(
+    "docs_decontaminate_span",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    bench AS (
+      SELECT list_slice(toks, {_DECON_SLICE_START},
+                        {_DECON_SLICE_START + _DECON_SLICE_LEN - 1}) AS btoks
+      FROM toks WHERE doc_id % 13 = 0
+    ),
+    bgrams AS (
+      SELECT DISTINCT {_sql_md5_long('g')} AS gh
+      FROM (SELECT unnest({_sql_ngrams('btoks', _DECON_N)}) AS g FROM bench)
+    ),
+    dgrams AS (SELECT doc_id, {_sql_ngrams('toks', _DECON_N)} AS gs FROM toks),
+    d2 AS (
+      SELECT doc_id,
+             unnest(range(1, len(gs) + 1)) AS pos,
+             unnest(gs) AS g
+      FROM dgrams
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           min(pos) AS first_contaminated_pos,
+           max(pos) AS last_contaminated_pos,
+           min_by(g, pos) AS first_contaminated_gram
+    FROM d2
+    WHERE {_sql_md5_long('g')} IN (SELECT gh FROM bgrams)
+    GROUP BY doc_id
+    """,
+    "Decontamination span variant: instead of just flagging a contaminated "
+    "document, locate WHERE the contamination sits — per-doc first/last "
+    f"contaminated {_DECON_N}-gram position (1-based token index) plus the "
+    "first offending gram via min_by, so a cleaning pass can excise the "
+    "span instead of dropping the whole document. Positions ride the "
+    "existing posexplode — same single corpus scan, same broadcast semi "
+    "join, same one groupBy-doc_id shuffle as docs_decontaminate; no new "
+    "shuffle. Position is unique per row within a doc, so min_by is "
+    "deterministic in both engines",
+    reference="[NORTH-STAR] train/test overlap decontamination (GPT-3 §C, "
+    "PaLM §8) — span localization extension",
+    tags=("dedup", "northstar", "decontamination"),
+)
+def q_decontaminate_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks, bench_grams = _decon_inputs(spark, sf_dir)
+    dgrams = toks.select(
+        "doc_id", TX.shingles(F.col("toks"), _DECON_N).alias("gs")
+    ).select("doc_id", F.posexplode("gs").alias("pos0", "g"))
+    return (
+        dgrams.withColumn("gh", TX.md5_long(F.col("g")))
+        .join(F.broadcast(bench_grams), "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            (F.min("pos0") + 1).cast("long").alias("first_contaminated_pos"),
+            (F.max("pos0") + 1).cast("long").alias("last_contaminated_pos"),
+            F.min_by("g", "pos0").alias("first_contaminated_gram"),
+        )
     )
 
 

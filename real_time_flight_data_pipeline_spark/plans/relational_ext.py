@@ -839,6 +839,52 @@ def q_user_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "user_value_mad_native",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    ),
+    m AS (SELECT user_id, COUNT(*) AS n, median(cents) AS med
+          FROM c GROUP BY user_id),
+    d AS (SELECT c.user_id, abs(c.cents - m.med) AS adev
+          FROM c JOIN m USING (user_id))
+    SELECT m.user_id, m.n,
+           m.med / 100 AS median_value,
+           a.mad / 100 AS mad_value
+    FROM m JOIN (SELECT user_id, median(adev) AS mad FROM d GROUP BY user_id) a
+      USING (user_id)
+    """,
+    "Built-in twin of user_value_mad: two exact percentile(_, 0.5) passes "
+    "over integer cents (median pass, then median of absolute deviations), "
+    "all JVM-side — no Python worker, no Arrow transfer. Exact cross-engine "
+    "because integer-cent medians land on exact binary halves. Paired with "
+    "the grouped-Arrow-UDF version in the bench so the UDF-vs-builtin trade "
+    "is a measured number, not folklore",
+    reference="[NORTH-STAR] grouped custom operator tier — native comparison "
+    "twin of user_value_mad",
+    tags=("window", "A6"),
+)
+def q_user_value_mad_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = _t(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    med = cents.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(cents, 0.5)").alias("med"),
+    )
+    adev = cents.join(med.select("user_id", "med"), "user_id").select(
+        "user_id", F.abs(F.col("cents") - F.col("med")).alias("adev")
+    )
+    mad = adev.groupBy("user_id").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return med.join(mad, "user_id").select(
+        "user_id",
+        "n",
+        (F.col("med") / 100).alias("median_value"),
+        (F.col("mad") / 100).alias("mad_value"),
+    )
+
+
 # ===========================================================================
 # Unpivot / melt (wide -> long, the inverse of pivot_event_counts)
 # ===========================================================================

@@ -41,3 +41,46 @@ def test_no_pathological_joins(spark, name):
             f"{name}: unexpected BroadcastNestedLoopJoin — broadcast an "
             "equi-keyed side or add to the documented allowlist"
         )
+
+
+# --------------------------------------------------------------------------
+# CollapseProject blowup gate.
+#
+# Catalyst's CollapseProject merges stacked projections, duplicating the
+# tokenize idiom split(lower(text)) into every downstream expression that
+# references the token array. In generator/aggregate shapes that duplication
+# escapes runtime subexpression elimination and re-tokenizes the corpus once
+# per reference (the decontaminate query paid 10x for exactly this, fixed
+# twice by projection barriers: plans/llm_ext.py docs_decontaminate,
+# plans/northstar.py gram queries). The barriers exist only by convention —
+# this gate makes their removal a red test: each query's optimized plan may
+# contain at most _TOKENIZE_CEILING_DEFAULT occurrences of the idiom, except
+# the pinned snapshot below (flat per-projection fan-out that runtime CSE
+# does eliminate). Raising a ceiling requires showing the duplication is
+# CSE-safe, not generator-replicated.
+# --------------------------------------------------------------------------
+_TOKENIZE_IDIOM = "split(lower("
+_TOKENIZE_CEILING_DEFAULT = 4
+# Measured r5 snapshot: single-Project stat fan-outs (one tokenize per stat
+# column inside ONE projection — runtime CSE computes it once per row).
+_TOKENIZE_CEILINGS = {
+    "docs_text_stats": 51,
+    "docs_lang_confusion": 36,
+    "docs_quality_filter": 28,
+    "docs_line_dedup_stats": 10,
+    "docs_domain_cap": 9,
+    "docs_minhash_signatures": 5,
+}
+
+
+@pytest.mark.parametrize("name", _ALL)
+def test_tokenize_not_collapse_duplicated(spark, name):
+    df = REGISTRY[name].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n = plan.count(_TOKENIZE_IDIOM)
+    ceiling = _TOKENIZE_CEILINGS.get(name, _TOKENIZE_CEILING_DEFAULT)
+    assert n <= ceiling, (
+        f"{name}: {n} x '{_TOKENIZE_IDIOM}' in optimized plan "
+        f"(ceiling {ceiling}) — CollapseProject re-duplicated the tokenize; "
+        "restore the projection barrier upstream of the fan-out"
+    )
