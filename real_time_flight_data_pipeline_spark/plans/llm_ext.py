@@ -20,7 +20,13 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from ..functions import vectors as V
 from .catalog import _register, _spread, _t
-from .northstar import _SQL_LANG_COUNTS, _SQL_TOKS, _sql_md5_long
+from .northstar import (
+    _SQL_LANG_COUNTS,
+    _SQL_TOKS,
+    _near_dup_oracle,
+    _sql_md5_long,
+    q_near_dup_pairs,
+)
 
 # ===========================================================================
 # Deterministic hash-stratified sampling
@@ -943,6 +949,200 @@ def q_decontaminate_span(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("pos0") + 1).cast("long").alias("last_contaminated_pos"),
             F.min_by("g", "pos0").alias("first_contaminated_gram"),
         )
+    )
+
+
+# ===========================================================================
+# Cross-document duplicated-span detection (exact substring dedup)
+# ===========================================================================
+_SPAN_N = 8  # span granularity: a shared 8-gram marks a duplicated region
+
+
+@_register(
+    "docs_dup_spans",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(range(1, len(gs) + 1)) AS pos,
+             {_sql_md5_long('unnest(gs)')} AS gh
+      FROM (SELECT doc_id, {_sql_ngrams('toks', _SPAN_N)} AS gs FROM toks)
+    ),
+    dup AS (
+      SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) > 1
+    ),
+    dpos AS (SELECT doc_id, pos FROM grams WHERE gh IN (SELECT gh FROM dup)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {_SPAN_N} THEN 0 ELSE 1 END AS brk
+      FROM dpos
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS gid
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, gid, min(pos) AS s, max(pos) + {_SPAN_N} - 1 AS e
+      FROM grp GROUP BY doc_id, gid
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_dup_spans,
+             CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_dup_spans, a.dup_tokens,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(a.dup_tokens AS DOUBLE) / len(t.toks) AS dup_frac
+    FROM agg a JOIN toks t ON a.doc_id = t.doc_id
+    """,
+    "Exact substring dedup, span-level (Lee et al. 2021, 'Deduplicating "
+    "Training Data Makes Language Models Better'): find maximal token spans "
+    f"shared verbatim across documents. Grams of {_SPAN_N} tokens are "
+    "hashed and positioned (posexplode); a gram occurring in >1 distinct "
+    "doc marks its span duplicated; overlapping/adjacent marks merge into "
+    "maximal spans via gaps-and-islands (lag + running sum window). 100 TB "
+    "shape: one shuffle keyed on gram hash O(grams) with partial "
+    "count-distinct, an equi semi join back (no broadcast assumption), one "
+    "window shuffle keyed on doc_id — never all-pairs, no document text "
+    "shuffled. The suffix-array of the paper is replaced by gram blocking: "
+    "spans shorter than the gram width are missed by construction, spans "
+    ">= one gram are found exactly",
+    reference="[NORTH-STAR] exact substring dedup (Lee et al. 2021 §4); "
+    "complements docs_exact_dedup (whole-doc) and docs_near_dup_pairs "
+    "(similarity)",
+    tags=("dedup", "northstar", "window"),
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    # Same projection barrier as every gram query (see _decon_inputs).
+    toks = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+    grams = (
+        toks.select(
+            "doc_id", F.posexplode(TX.shingles(F.col("toks"), _SPAN_N)).alias("pos0", "g")
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            TX.md5_long(F.col("g")).alias("gh"),
+        )
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gh")
+    )
+    dpos = grams.join(dup, "gh", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= _SPAN_N, 0).otherwise(1)
+    grp = dpos.withColumn("brk", brk).withColumn(
+        "gid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = grp.groupBy("doc_id", "gid").agg(
+        F.min("pos").alias("s"), (F.max("pos") + _SPAN_N - 1).alias("e")
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    )
+    return agg.join(
+        toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens")),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "n_dup_spans",
+        "dup_tokens",
+        "n_tokens",
+        (F.col("dup_tokens").cast("double") / F.col("n_tokens")).alias("dup_frac"),
+    )
+
+
+# ===========================================================================
+# Near-duplicate clustering — pairs -> connected components -> canonical doc
+# ===========================================================================
+_CC_MAX_ITERS = 20  # safety bound; min-label propagation needs O(diameter)
+
+
+@_register(
+    "docs_near_dup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_near_dup_oracle()}),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    reach(src, lbl) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.src = e.dst
+    ),
+    lab AS (SELECT src AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY src)
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM lab
+    """,
+    "Dedup clustering: the MinHash-LSH verified pair graph collapsed into "
+    "connected components, giving each near-duplicate group a canonical "
+    "representative (min doc_id) — the step that turns pairwise similarity "
+    "into keep/drop decisions. Engine side is distributed min-label "
+    "propagation: each round joins labels across edges, takes the "
+    "neighborhood minimum, and checks a single-row convergence aggregate; "
+    f"rounds are O(graph diameter), bounded at {_CC_MAX_ITERS}, with a "
+    "lineage barrier per round. 100 TB shape: every round is one equi "
+    "shuffle join on doc_id over the EDGE set (LSH-bounded, orders of "
+    "magnitude smaller than the corpus); no all-pairs, no driver "
+    "materialization beyond the 1-row convergence count. Docs in no pair "
+    "are singletons and excluded by construction. Oracle: recursive-CTE "
+    "transitive closure, exact",
+    reference="[NORTH-STAR] near-dup clustering (MMDS ch.3; "
+    "large-star/small-star Kiveris'14 is the same fixpoint, fewer rounds)",
+    tags=("dedup", "northstar", "iterative"),
+)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_near_dup_pairs(spark, sf_dir).select("a_id", "b_id")
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .localCheckpoint(eager=True)  # pair derivation runs once, not per round
+    )
+    labels = (
+        edges.select("src").distinct().withColumn("lbl", F.col("src"))
+    ).localCheckpoint(eager=True)
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+                (F.coalesce("nbr_lbl", "lbl") < F.col("lbl")).alias("chg"),
+            )
+        ).localCheckpoint(eager=True)  # barrier: O(1) lineage per round
+        changed = new_labels.filter(F.col("chg")).limit(1).count()  # 1-row probe
+        labels = new_labels.drop("chg")
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("src").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    ).select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
 
 
