@@ -108,6 +108,12 @@ HEADLINE = [
     # r5: UDF-vs-builtin measured pair + decontamination span variant
     "user_value_mad_native",
     "docs_decontaminate_span",
+    # r5: substring dedup, clustering, funnel, keep-best, bigram LM
+    "docs_dup_spans",
+    "docs_near_dup_clusters",
+    "funnel_view_click_purchase",
+    "docs_dedup_keep_best",
+    "docs_token_bigram_lm",
 ]
 
 

@@ -1069,9 +1069,8 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_MAX_ITERS = 20  # safety bound; min-label propagation needs O(diameter)
 
 
-@_register(
-    "docs_near_dup_clusters",
-    f"""
+def _clusters_oracle() -> str:
+    return f"""
     WITH RECURSIVE pairs AS ({_near_dup_oracle()}),
     edges AS (
       SELECT a_id AS src, b_id AS dst FROM pairs
@@ -1089,7 +1088,12 @@ _CC_MAX_ITERS = 20  # safety bound; min-label propagation needs O(diameter)
              AS cluster_size,
            doc_id = cluster_id AS is_canonical
     FROM lab
-    """,
+    """
+
+
+@_register(
+    "docs_near_dup_clusters",
+    _clusters_oracle(),
     "Dedup clustering: the MinHash-LSH verified pair graph collapsed into "
     "connected components, giving each near-duplicate group a canonical "
     "representative (min doc_id) — the step that turns pairwise similarity "
@@ -1108,42 +1112,122 @@ _CC_MAX_ITERS = 20  # safety bound; min-label propagation needs O(diameter)
     tags=("dedup", "northstar", "iterative"),
 )
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
     pairs = q_near_dup_pairs(spark, sf_dir).select("a_id", "b_id")
-    edges = (
-        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-        .union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
-        .localCheckpoint(eager=True)  # pair derivation runs once, not per round
-    )
-    labels = (
-        edges.select("src").distinct().withColumn("lbl", F.col("src"))
-    ).localCheckpoint(eager=True)
-    for _ in range(_CC_MAX_ITERS):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        new_labels = (
-            labels.join(nbr_min, "src", "left")
-            .select(
-                "src",
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
-                (F.coalesce("nbr_lbl", "lbl") < F.col("lbl")).alias("chg"),
-            )
-        ).localCheckpoint(eager=True)  # barrier: O(1) lineage per round
-        changed = new_labels.filter(F.col("chg")).limit(1).count()  # 1-row probe
-        labels = new_labels.drop("chg")
-        if changed == 0:
-            break
+    comp = connected_components(pairs, src="a_id", dst="b_id", max_iters=_CC_MAX_ITERS)
     w = Window.partitionBy("cluster_id")
-    return labels.select(
-        F.col("src").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     ).select(
         "doc_id",
         "cluster_id",
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+@_register(
+    "docs_dedup_keep_best",
+    f"""
+    WITH clus AS ({_clusters_oracle()}),
+    scored AS (
+      SELECT c.doc_id, c.cluster_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM clus c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_id, n_chars, rn = 1 AS keep
+    FROM scored
+    """,
+    "The keep/drop decision that closes the dedup loop: near-dup clusters "
+    "joined with a per-doc quality proxy (n_chars), keeping exactly one "
+    "representative per cluster (highest quality, doc_id tie-break via "
+    "row_number). Composes the verified clustering with a metadata join — "
+    "the window runs over O(clustered docs) partitioned by cluster_id, and "
+    "the documents join is equi on doc_id; no text moves. At 100 TB the "
+    "drop list this emits is what the next pipeline stage anti-joins "
+    "against (insert-if-absent shape, J6)",
+    reference="[NORTH-STAR] dedup keep-best (MMDS ch.3 canonicalization); "
+    "composes docs_near_dup_clusters + documents metadata",
+    tags=("dedup", "northstar", "window"),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = q_near_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        clusters.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "cluster_id", "n_chars", (F.col("rn") == 1).alias("keep"))
+    )
+
+
+# ===========================================================================
+# Token bigram LM counts — conditional next-token probabilities
+# ===========================================================================
+_BIGRAM_MIN_COUNT = 5
+
+
+@_register(
+    "docs_token_bigram_lm",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    big AS (
+      SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+             unnest(list_slice(toks, 2, len(toks))) AS w2
+      FROM toks WHERE len(toks) >= 2
+    ),
+    c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2),
+    t AS (
+      SELECT w1, w2, c12,
+             CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+             CAST(c12 AS DOUBLE) / sum(c12) OVER (PARTITION BY w1) AS p
+      FROM c
+    )
+    SELECT w1, w2, c12, c1, p FROM t WHERE c12 >= {_BIGRAM_MIN_COUNT}
+    """,
+    "Corpus bigram language-model counts: token bigrams via two shifted "
+    "array slices zipped per document (no self-join, no posexplode "
+    "round-trip), conditional probability p(w2|w1) = c12/c1 with c1 as a "
+    "window sum over the already-aggregated bigram table. 100 TB shape: "
+    "one explode bounded by corpus token count, one map-combined shuffle "
+    "on (w1, w2), then a window over O(distinct bigrams) — the classic "
+    "count-based LM/tokenizer-analysis pass. Division is a single IEEE op "
+    "on exact integers, cross-engine stable",
+    reference="[NORTH-STAR] n-gram LM statistics (token analysis tier, "
+    "alongside docs_tfidf_top_terms and token_count_rollup)",
+    tags=("northstar", "text", "window"),
+)
+def q_token_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    # Same projection barrier as every gram query: the token array feeds
+    # both slices, the zip, and the length filter.
+    toks = (
+        docs.select(TX.tokens(F.col("text")).alias("toks"))
+        .localCheckpoint(eager=False)
+        .filter(F.size("toks") >= 2)
+    )
+    big = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("w1"),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("w2"),
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    w = Window.partitionBy("w1")
+    t = c.select(
+        "w1",
+        "w2",
+        "c12",
+        F.sum("c12").over(w).alias("c1"),
+        (F.col("c12").cast("double") / F.sum("c12").over(w)).alias("p"),
+    )
+    return t.filter(F.col("c12") >= _BIGRAM_MIN_COUNT)
 
 
 # ===========================================================================

@@ -207,6 +207,83 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Funnel conversion — ordered stage progression within a user timeline
+# ===========================================================================
+@_register(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS view_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS click_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.view_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+           CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS reached_stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    "Ordered funnel analysis (view -> click -> purchase): each stage's "
+    "timestamp must strictly follow the previous stage's, per user — the "
+    "event-sequence query behind every conversion dashboard. Three "
+    "aggregations and two joins, ALL keyed on user_id: one shuffle "
+    "partitioning serves the whole chain (exchange reuse), so at 100 TB "
+    "this is a single co-partitioned pass over events with no timeline "
+    "materialization and no window sort over the full event stream",
+    reference="SURVEY.md §2.11 (funnel/sequence analytics absent in "
+    "reference; added) — complements sessionize_events",
+    tags=("window", "join", "A6"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            F.when(F.col("purchase_ts").isNotNull(), 3)
+            .when(F.col("click_ts").isNotNull(), 2)
+            .otherwise(1)
+            .alias("reached_stage"),
+        )
+    )
+
+
+# ===========================================================================
 # Grouping sets (explicit; rollup/cube are the fixed-shape specializations)
 # ===========================================================================
 @_register(
