@@ -21,8 +21,10 @@ from ..functions import text as TX
 from ..functions import vectors as V
 from .catalog import _register, _spread, _t
 from .northstar import (
+    _NEAR_CORPUS_SQL,
     _SQL_LANG_COUNTS,
     _SQL_TOKS,
+    _near_corpus,
     _near_dup_oracle,
     _sql_md5_long,
     q_near_dup_pairs,
@@ -1131,35 +1133,39 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_dedup_keep_best",
     f"""
     WITH clus AS ({_clusters_oracle()}),
+    corpus AS ({_NEAR_CORPUS_SQL}),
     scored AS (
-      SELECT c.doc_id, c.cluster_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+      SELECT c.doc_id, c.cluster_id,
+             CAST(length(d.text) AS BIGINT) AS n_chars,
              row_number() OVER (PARTITION BY c.cluster_id
-                                ORDER BY d.n_chars DESC, c.doc_id) AS rn
-      FROM clus c JOIN documents d ON c.doc_id = d.doc_id
+                                ORDER BY length(d.text) DESC, c.doc_id) AS rn
+      FROM clus c JOIN corpus d ON c.doc_id = d.doc_id
     )
     SELECT doc_id, cluster_id, n_chars, rn = 1 AS keep
     FROM scored
     """,
     "The keep/drop decision that closes the dedup loop: near-dup clusters "
-    "joined with a per-doc quality proxy (n_chars), keeping exactly one "
-    "representative per cluster (highest quality, doc_id tie-break via "
-    "row_number). Composes the verified clustering with a metadata join — "
-    "the window runs over O(clustered docs) partitioned by cluster_id, and "
-    "the documents join is equi on doc_id; no text moves. At 100 TB the "
-    "drop list this emits is what the next pipeline stage anti-joins "
+    "joined with a per-doc quality proxy (text length, computed from the "
+    "SAME corpus the pairs were mined from so every clustered doc — "
+    "including synthetic members absent from the documents table — gets a "
+    "decision), keeping exactly one representative per cluster (highest "
+    "quality, doc_id tie-break via row_number). The window runs over "
+    "O(clustered docs) partitioned by cluster_id, and the corpus join is "
+    "equi on doc_id; no text shuffles past its length projection. At 100 TB "
+    "the drop list this emits is what the next pipeline stage anti-joins "
     "against (insert-if-absent shape, J6)",
     reference="[NORTH-STAR] dedup keep-best (MMDS ch.3 canonicalization); "
-    "composes docs_near_dup_clusters + documents metadata",
+    "composes docs_near_dup_clusters + the near-dup corpus",
     tags=("dedup", "northstar", "window"),
 )
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = q_near_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    corpus = _near_corpus(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
     )
     w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
     return (
-        clusters.join(docs, "doc_id")
+        clusters.join(corpus, "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .select("doc_id", "cluster_id", "n_chars", (F.col("rn") == 1).alias("keep"))
     )
