@@ -78,6 +78,91 @@ def running_flight_state(staged: DataFrame) -> DataFrame:
     )
 
 
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id long, view_ts timestamp, click_ts timestamp, "
+    "purchase_ts timestamp, reached_stage int, n_seen long"
+)
+FUNNEL_STATE_SCHEMA = (
+    "view_ts timestamp, click_ts timestamp, purchase_ts timestamp, n_seen long"
+)
+
+
+def _update_funnel_state(
+    key: tuple[Any],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold one user's micro-batch rows into funnel progression state.
+
+    Streaming twin of the funnel_view_click_purchase catalog query: first
+    view, first click strictly after it, first purchase strictly after
+    that. State is three timestamps + a monotone row counter — O(1) per
+    user forever. EXACT under per-user event-time-ordered arrival (rows
+    within a batch are sorted here; across batches the source must not
+    deliver a user's earlier event after a later one — the property a
+    watermark-sorted replay or per-key ordered log gives). Under disorder
+    an earlier-arriving view cannot retroactively re-qualify clicks that
+    were rejected against the older minimum; that reconciliation is the
+    batch query's job.
+    """
+    view_ts, click_ts, purchase_ts, n_seen = (
+        state.get if state.exists else (None, None, None, 0)
+    )
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n_seen += len(pdf)
+        for _, row in pdf.sort_values(["ts"]).iterrows():
+            t, ts = row["event_type"], row["ts"]
+            if t == "view":
+                if view_ts is None or ts < view_ts:
+                    view_ts = ts
+            elif t == "click":
+                if view_ts is not None and ts > view_ts and (
+                    click_ts is None or ts < click_ts
+                ):
+                    click_ts = ts
+            elif t == "purchase":
+                if click_ts is not None and ts > click_ts and (
+                    purchase_ts is None or ts < purchase_ts
+                ):
+                    purchase_ts = ts
+    state.update((view_ts, click_ts, purchase_ts, n_seen))
+    if view_ts is None:  # no funnel entry yet: keep state, emit nothing
+        return
+    stage = 3 if purchase_ts is not None else (2 if click_ts is not None else 1)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "view_ts": [view_ts],
+            "click_ts": [click_ts],
+            "purchase_ts": [purchase_ts],
+            "reached_stage": [stage],
+            "n_seen": [n_seen],
+        }
+    )
+
+
+def running_funnel_state(events: DataFrame) -> DataFrame:
+    """Streaming events -> per-user funnel progression (update mode).
+
+    Emits the user's current funnel row each micro-batch that touches them
+    (once they have entered the funnel); the latest emission per user is
+    the live conversion table the batch funnel query recomputes offline.
+    """
+    return (
+        events.select("user_id", "event_type", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_funnel_state,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # transformWithState variant (Spark 4 arbitrary-state API): typed ValueState,
 # the successor to applyInPandasWithState above. Same engine tier, newer
