@@ -114,6 +114,7 @@ HEADLINE = [
     "funnel_view_click_purchase",
     "docs_dedup_keep_best",
     "docs_token_bigram_lm",
+    "docs_curation_funnel",
 ]
 
 

@@ -1172,6 +1172,91 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# End-to-end curation funnel — the whole pipeline as one declarative plan
+# ===========================================================================
+def _curation_funnel_oracle() -> str:
+    from .catalog import REGISTRY as _REG
+
+    quality_sql = _REG["docs_quality_filter"].oracle
+    keep_best_sql = _REG["docs_dedup_keep_best"].oracle
+    decon_sql = _REG["docs_decontaminate"].oracle
+    return f"""
+    WITH q AS ({quality_sql}),
+    kb AS ({keep_best_sql}),
+    drop_dup AS (SELECT doc_id FROM kb WHERE NOT keep AND doc_id < 1000000),
+    cont AS (SELECT doc_id FROM ({decon_sql})),
+    s1 AS (SELECT doc_id FROM documents),
+    s2 AS (SELECT doc_id FROM s1 WHERE doc_id IN (SELECT doc_id FROM q)),
+    s3 AS (SELECT doc_id FROM s2
+           WHERE doc_id NOT IN (SELECT doc_id FROM drop_dup)),
+    s4 AS (SELECT doc_id FROM s3
+           WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+    SELECT stage_idx, stage, n_docs FROM (
+      SELECT 1 AS stage_idx, 'total' AS stage,
+             CAST(count(*) AS BIGINT) AS n_docs FROM s1
+      UNION ALL SELECT 2, 'lang_quality', CAST(count(*) AS BIGINT) FROM s2
+      UNION ALL SELECT 3, 'near_dup_kept', CAST(count(*) AS BIGINT) FROM s3
+      UNION ALL SELECT 4, 'decontaminated', CAST(count(*) AS BIGINT) FROM s4
+    )
+    """
+
+
+@_register(
+    "docs_curation_funnel",
+    _curation_funnel_oracle(),
+    "The whole training-data curation pipeline as ONE declarative plan: "
+    "corpus -> C4-style language/quality filter -> near-dup keep-best drop "
+    "list (LSH pairs -> connected components -> canonical survivor) -> "
+    "benchmark decontamination, with surviving document counts per stage — "
+    "the funnel dashboard every corpus build reports. Each stage is an "
+    "independently oracle-verified catalog query composed by semi/anti "
+    "joins on doc_id; Catalyst sees the full pipeline and schedules stages "
+    "that share nothing in parallel. At 100 TB the successive anti joins "
+    "shrink monotonically and nothing but doc_id crosses stage boundaries",
+    reference="[NORTH-STAR] curation pipeline composition (C4 appendix A / "
+    "RefinedWeb fig.2 funnel reporting); composes docs_quality_filter, "
+    "docs_dedup_keep_best, docs_decontaminate",
+    tags=("northstar", "dedup", "text"),
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .northstar import q_quality_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # Each stage's survivor/drop set is doc_id-only and tiny relative to the
+    # corpus; materializing them (projection barrier) means the quality
+    # scan, the LSH->components->keep-best pipeline, and the decontamination
+    # scan each run ONCE even though the four funnel counts reference them
+    # in nested combinations.
+    quality = (
+        q_quality_filter(spark, sf_dir).select("doc_id").localCheckpoint(eager=False)
+    )
+    drop_dup = (
+        q_dedup_keep_best(spark, sf_dir)
+        .filter((~F.col("keep")) & (F.col("doc_id") < 1000000))
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    cont = (
+        q_decontaminate(spark, sf_dir).select("doc_id").localCheckpoint(eager=False)
+    )
+    s2 = docs.join(quality, "doc_id", "left_semi").localCheckpoint(eager=False)
+    s3 = s2.join(drop_dup, "doc_id", "left_anti").localCheckpoint(eager=False)
+    s4 = s3.join(cont, "doc_id", "left_anti")
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage(1, "total", docs)
+        .unionByName(stage(2, "lang_quality", s2))
+        .unionByName(stage(3, "near_dup_kept", s3))
+        .unionByName(stage(4, "decontaminated", s4))
+    )
+
+
+# ===========================================================================
 # Token bigram LM counts — conditional next-token probabilities
 # ===========================================================================
 _BIGRAM_MIN_COUNT = 5
