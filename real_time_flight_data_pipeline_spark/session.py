@@ -91,9 +91,11 @@ def get_spark(
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # The driver testdata stores events.ts as TIMESTAMP(NANOS), which the
-        # vectorized parquet reader rejects; read nanos as long and convert
-        # in sources.parquet.load_table.
+        # The driver testdata stores events.ts as TIMESTAMP(NANOS). Spark <=3.x
+        # needs this conf to read it at all (arrives as epoch-nanos long);
+        # Spark 4.x accepts-but-ignores it and reads TIMESTAMP_NTZ instead.
+        # sources.parquet.load_table normalizes BOTH arrival types to a zoned
+        # UTC timestamp truncated to micros (pinned by test_parquet_source.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
