@@ -115,6 +115,8 @@ HEADLINE = [
     "docs_dedup_keep_best",
     "docs_token_bigram_lm",
     "docs_curation_funnel",
+    "cohort_retention_weekly",
+    "rfm_purchase_segments",
 ]
 
 

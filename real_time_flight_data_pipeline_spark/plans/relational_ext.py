@@ -284,6 +284,110 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Cohort retention — signup-week cohorts x weeks-since-signup activity
+# ===========================================================================
+@_register(
+    "cohort_retention_weekly",
+    """
+    WITH f AS (
+      SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(datediff('day', f.cohort_week,
+                           CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                  AS BIGINT) AS week_offset
+      FROM events e JOIN f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM a GROUP BY cohort_week, week_offset
+    """,
+    "Cohort retention matrix: users bucketed by first-activity week, counted "
+    "distinct per (cohort_week, weeks-since) — the retention triangle every "
+    "product dashboard draws. Week offset is computed as whole days between "
+    "Monday-truncated weeks // 7, which is engine-agnostic (week-diff "
+    "builtins disagree across engines). Two aggregations keyed on user_id "
+    "then on the (cohort, offset) pair; the user_id join reuses the first "
+    "shuffle's partitioning, and the final matrix is O(weeks^2) rows",
+    reference="SURVEY.md §2.11 (cohort/retention analytics absent in "
+    "reference; added) — completes the funnel/session/cohort analytics trio",
+    tags=("window", "A6", "join"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    week = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    f = ev.groupBy("user_id").agg(F.min(week(F.col("ts"))).alias("cohort_week"))
+    a = (
+        ev.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(week(F.col("ts")), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return a.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+# ===========================================================================
+# RFM segmentation — recency/frequency/monetary quartile scoring
+# ===========================================================================
+@_register(
+    "rfm_purchase_segments",
+    """
+    WITH agg AS (
+      SELECT user_id, max(ts) AS last_ts,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT user_id, last_ts, freq, monetary,
+           CAST(ntile(4) OVER (ORDER BY last_ts DESC, user_id) AS INT) AS r_q,
+           CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS INT) AS f_q,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m_q
+    FROM agg
+    """,
+    "RFM segmentation: per-user purchase recency/frequency/monetary rolled "
+    "up exactly (scaled-long cents), then quartile-scored with ntile over "
+    "unique (metric, user_id) orderings — deterministic in both engines. "
+    "The windows are global by definition (quantile bucketing), but they "
+    "run AFTER aggregation on O(purchasing users) rows, not O(events) — "
+    "at 100 TB that is the difference between sorting a dimension and "
+    "sorting the fact table; an approx-percentile bucket assignment is the "
+    "documented fallback if even the user dimension outgrows a sort",
+    reference="SURVEY.md §2.11 (RFM/segmentation analytics absent in "
+    "reference; added)",
+    tags=("window", "A6"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    agg = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("freq"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100).alias(
+            "monetary"
+        ),
+    )
+    q = lambda cols: F.ntile(4).over(Window.orderBy(*cols)).cast("int")  # noqa: E731
+    return agg.select(
+        "user_id",
+        "last_ts",
+        "freq",
+        "monetary",
+        q([F.desc("last_ts"), F.col("user_id")]).alias("r_q"),
+        q([F.desc("freq"), F.col("user_id")]).alias("f_q"),
+        q([F.desc("monetary"), F.col("user_id")]).alias("m_q"),
+    )
+
+
+# ===========================================================================
 # Grouping sets (explicit; rollup/cube are the fixed-shape specializations)
 # ===========================================================================
 @_register(
