@@ -3,8 +3,9 @@
 ``entry(spark)`` runs the flagship query (latest-per-key dedup -> broadcast
 star join -> BI labels) on sf0.001. ``queries()`` exposes every implemented
 operator from SURVEY.md §2 plus the north-star ops; ``oracle_sql()`` gives
-the DuckDB-equivalent ANSI SQL per query (omitted only for genuinely
-non-SQL-expressible ops, which the driver checks rows-only).
+the DuckDB-equivalent ANSI SQL per query — every registered query has one
+(engine-specific approx sketches emit an engine-side error-bound check the
+oracle predicts, so even those hash-compare).
 """
 
 from __future__ import annotations
