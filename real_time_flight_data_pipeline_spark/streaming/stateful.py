@@ -83,8 +83,48 @@ FUNNEL_OUTPUT_SCHEMA = (
     "purchase_ts timestamp, reached_stage int, n_seen long"
 )
 FUNNEL_STATE_SCHEMA = (
-    "view_ts timestamp, click_ts timestamp, purchase_ts timestamp, n_seen long"
+    "view_ts timestamp, clicks array<timestamp>, purchases array<timestamp>, "
+    "n_seen long"
 )
+# Per-stage candidate cap. Exactness under arbitrary arrival order is
+# guaranteed while a user has <= FUNNEL_CAND_CAP clicks (resp. purchases)
+# that precede the stage they would qualify against; beyond the cap the
+# largest retained candidate is shed (the funnel can then over-state a
+# stage timestamp, never invent a stage). Real clickstreams keep these
+# lists at 0-2 entries — candidates only accumulate while events arrive
+# BEFORE the stage that admits them.
+FUNNEL_CAND_CAP = 64
+
+
+def _funnel_resolve(
+    view_ts: Any, clicks: list, purchases: list
+) -> tuple[Any, Any]:
+    """Derive (click_ts, purchase_ts) from the min view and candidate lists
+    — the batch query's semantics (first view, first click strictly after
+    it, first purchase strictly after that) replayed over retained
+    candidates, so the result is a pure function of state, independent of
+    arrival order."""
+    click_ts = None
+    if view_ts is not None:
+        after = [c for c in clicks if c > view_ts]
+        click_ts = min(after) if after else None
+    purchase_ts = None
+    if click_ts is not None:
+        after = [p for p in purchases if p > click_ts]
+        purchase_ts = min(after) if after else None
+    return click_ts, purchase_ts
+
+
+def _prune(cands: list, answer: Any) -> list:
+    """Keep only candidates that can still become the stage answer.
+
+    The qualifying threshold (min view / min qualifying click) only ever
+    DECREASES as earlier events arrive, so the stage answer is monotone
+    non-increasing: any candidate above the current answer is dead. With no
+    answer yet every candidate may still qualify. Capped at
+    FUNNEL_CAND_CAP, shedding the largest (documented approximation)."""
+    alive = sorted(c for c in cands if answer is None or c <= answer)
+    return alive[:FUNNEL_CAND_CAP]
 
 
 def _update_funnel_state(
@@ -96,38 +136,37 @@ def _update_funnel_state(
 
     Streaming twin of the funnel_view_click_purchase catalog query: first
     view, first click strictly after it, first purchase strictly after
-    that. State is three timestamps + a monotone row counter — O(1) per
-    user forever. EXACT under per-user event-time-ordered arrival (rows
-    within a batch are sorted here; across batches the source must not
-    deliver a user's earlier event after a later one — the property a
-    watermark-sorted replay or per-key ordered log gives). Under disorder
-    an earlier-arriving view cannot retroactively re-qualify clicks that
-    were rejected against the older minimum; that reconciliation is the
-    batch query's job.
+    that. The fold is ORDER-INDEPENDENT: state keeps the min view plus
+    capped candidate lists of click/purchase timestamps, and the stage
+    answers are re-derived from state at emit time (_funnel_resolve), so
+    late or out-of-order arrivals — a click before its view, a purchase
+    replayed across chunk boundaries — converge to the same result as the
+    batch query. Arrow may split one group's micro-batch across several
+    chunks (maxRecordsPerBatch); because the fold is commutative the chunk
+    boundaries and intra-chunk ordering are irrelevant, no sort needed.
+    State is O(1) + two lists bounded by FUNNEL_CAND_CAP.
     """
-    view_ts, click_ts, purchase_ts, n_seen = (
-        state.get if state.exists else (None, None, None, 0)
+    view_ts, clicks, purchases, n_seen = (
+        state.get if state.exists else (None, [], [], 0)
     )
+    clicks = list(clicks) if clicks is not None else []
+    purchases = list(purchases) if purchases is not None else []
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
         n_seen += len(pdf)
-        for _, row in pdf.sort_values(["ts"]).iterrows():
-            t, ts = row["event_type"], row["ts"]
+        for t, ts in zip(pdf["event_type"], pdf["ts"]):
             if t == "view":
                 if view_ts is None or ts < view_ts:
                     view_ts = ts
             elif t == "click":
-                if view_ts is not None and ts > view_ts and (
-                    click_ts is None or ts < click_ts
-                ):
-                    click_ts = ts
+                clicks.append(ts)
             elif t == "purchase":
-                if click_ts is not None and ts > click_ts and (
-                    purchase_ts is None or ts < purchase_ts
-                ):
-                    purchase_ts = ts
-    state.update((view_ts, click_ts, purchase_ts, n_seen))
+                purchases.append(ts)
+    click_ts, purchase_ts = _funnel_resolve(view_ts, clicks, purchases)
+    clicks = _prune(clicks, click_ts)
+    purchases = _prune(purchases, purchase_ts)
+    state.update((view_ts, clicks, purchases, n_seen))
     if view_ts is None:  # no funnel entry yet: keep state, emit nothing
         return
     stage = 3 if purchase_ts is not None else (2 if click_ts is not None else 1)
