@@ -56,20 +56,26 @@ def stopword_hits(text_tokens: Column, lang: str) -> Column:
     return F.size(F.filter(text_tokens, lambda t: F.array_contains(arr, t)))
 
 
-def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    toks = tokens(text)
+def stopword_ratio_from(toks: Column, lang: str = "en") -> Column:
+    """stopword_ratio over an already-computed token array — pass a
+    MATERIALIZED column (e.g. from a localCheckpoint'ed projection) to
+    avoid re-tokenizing per use."""
     return F.when(
         F.size(toks) > 0, stopword_hits(toks, lang) / F.size(toks)
     ).otherwise(F.lit(0.0))
 
 
-def lang_id(text: Column) -> Column:
-    """Argmax-of-stopword-hits language guess; 'und' when all counts are 0.
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return stopword_ratio_from(tokens(text), lang)
+
+
+def lang_id_from(toks: Column) -> Column:
+    """Argmax-of-stopword-hits language guess over an already-computed
+    token array; 'und' when all counts are 0.
 
     Ties break by LANG_ORDER. Composed as nested CASE so it stays one
     codegen'd expression.
     """
-    toks = tokens(text)
     counts = {lg: stopword_hits(toks, lg) for lg in LANG_ORDER}
     best = F.greatest(*[counts[lg] for lg in LANG_ORDER])
     expr = F.lit("und")
@@ -78,17 +84,26 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
-def quality_score(text: Column) -> Column:
+def lang_id(text: Column) -> Column:
+    return lang_id_from(tokens(text))
+
+
+def quality_score_from(text: Column, toks: Column) -> Column:
     """Composite [0,1] quality heuristic: length band + low punctuation +
     plausible mean token length + stopword presence. Deterministic, cheap,
-    and monotone in the obvious junk signals."""
-    n_tok = token_count(text)
+    and monotone in the obvious junk signals. Token-dependent terms read
+    the given token array; char-level terms still read the text."""
+    n_tok = F.size(toks)
     mean_tok_len = F.when(n_tok > 0, F.length(F.regexp_replace(text, r"\s+", "")) / n_tok).otherwise(F.lit(0.0))
     len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
     punct_ok = F.when(punct_ratio(text) <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
     tok_ok = F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
-    stop_ok = F.when(stopword_ratio(text) >= 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio_from(toks) >= 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
     return len_ok + punct_ok + tok_ok + stop_ok
+
+
+def quality_score(text: Column) -> Column:
+    return quality_score_from(text, tokens(text))
 
 
 def normalized_text(text: Column) -> Column:

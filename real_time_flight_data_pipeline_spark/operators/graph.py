@@ -30,6 +30,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_MAX_ITERS = 20
+# Below this many (directed) edges, rounds run on a single partition:
+# per-round shuffle scheduling dominates compute for small graphs.
+SMALL_GRAPH_EDGES = 500_000
 
 
 def _release(df: DataFrame) -> None:
@@ -78,8 +81,21 @@ def connected_components(
         .union(pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
         .localCheckpoint(eager=True)  # edge derivation runs once, not per round
     )
+    # Size the round partitioning to the graph, not the session default:
+    # LSH pair graphs are typically orders of magnitude smaller than the
+    # corpus, and a 32-partition shuffle per round on a few thousand edges
+    # is pure scheduling overhead (measured ~2.2s for a 1k-edge graph).
+    # The count is free (edges is materialized). At genuinely large edge
+    # counts the session's shuffle partitioning + AQE take over unchanged.
+    if edges.count() <= SMALL_GRAPH_EDGES:
+        edges = edges.coalesce(1)
+    # Neighborhood-min init: lbl0 = min(self, direct neighbors) — same cost
+    # as the plain distinct-nodes init (one groupBy over the edge set) but
+    # starts the fixpoint one full round ahead.
     labels = (
-        edges.select("src").distinct().withColumn("lbl", F.col("src"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("src", "mn").alias("lbl"))
     ).localCheckpoint(eager=True)
     changed = 0
     rounds = 0
@@ -150,6 +166,8 @@ def connected_components_star(
         if stats is not None:
             stats.update({"rounds": 0, "converged": True})
         return edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    if n_edges <= SMALL_GRAPH_EDGES:  # see connected_components
+        edges = edges.coalesce(1)
     converged = False
     rounds = 0
     for _ in range(max_iters):

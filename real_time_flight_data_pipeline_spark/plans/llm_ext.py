@@ -810,6 +810,12 @@ def _decon_inputs(spark: SparkSession, sf_dir: str):
     toks = docs.select(
         "doc_id", TX.tokens(F.col("text")).alias("toks")
     ).localCheckpoint(eager=False)
+    return toks, _decon_bench_grams(toks)
+
+
+def _decon_bench_grams(toks: DataFrame):
+    """Distinct benchmark gram-hash set from a materialized (doc_id, toks)
+    frame — every 13th doc's 16-token excerpt, 8-gram hashed."""
     bench_grams = (
         toks.filter(F.col("doc_id") % 13 == 0)
         .select(
@@ -822,7 +828,7 @@ def _decon_inputs(spark: SparkSession, sf_dir: str):
         .select(TX.md5_long(F.col("g")).alias("gh"))
         .distinct()
     )
-    return toks, bench_grams
+    return bench_grams
 
 
 @_register(
@@ -867,6 +873,12 @@ def _decon_inputs(spark: SparkSession, sf_dir: str):
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks, bench_grams = _decon_inputs(spark, sf_dir)
+    return decontaminate_from(toks, bench_grams)
+
+
+def decontaminate_from(toks: DataFrame, bench_grams: DataFrame) -> DataFrame:
+    """Decontamination counts from a materialized (doc_id, toks) frame and a
+    benchmark gram-hash set (broadcast at the semi join)."""
     dgrams = toks.select(
         "doc_id",
         F.array_distinct(TX.shingles(F.col("toks"), _DECON_N)).alias("gs"),
@@ -1114,9 +1126,14 @@ def _clusters_oracle() -> str:
     tags=("dedup", "northstar", "iterative"),
 )
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_near_dup_pairs(spark, sf_dir).select("a_id", "b_id")
+    return near_dup_clusters_from(pairs)
+
+
+def near_dup_clusters_from(pairs: DataFrame) -> DataFrame:
+    """Connected-components clustering over an (a_id, b_id) pair frame."""
     from ..operators.graph import connected_components
 
-    pairs = q_near_dup_pairs(spark, sf_dir).select("a_id", "b_id")
     comp = connected_components(pairs, src="a_id", dst="b_id", max_iters=_CC_MAX_ITERS)
     w = Window.partitionBy("cluster_id")
     return comp.select(
@@ -1163,9 +1180,15 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _near_corpus(spark, sf_dir).select(
         "doc_id", F.length("text").cast("long").alias("n_chars")
     )
+    return dedup_keep_best_from(clusters, corpus)
+
+
+def dedup_keep_best_from(clusters: DataFrame, corpus_chars: DataFrame) -> DataFrame:
+    """Keep/drop decision from (doc_id, cluster_id) clusters and a
+    (doc_id, n_chars) quality-proxy frame."""
     w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
     return (
-        clusters.join(corpus, "doc_id")
+        clusters.join(corpus_chars, "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .select("doc_id", "cluster_id", "n_chars", (F.col("rn") == 1).alias("keep"))
     )
@@ -1219,26 +1242,59 @@ def _curation_funnel_oracle() -> str:
     tags=("northstar", "dedup", "text"),
 )
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .northstar import q_quality_filter
+    from .northstar import near_dup_pairs_from, quality_filter_from
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # ONE corpus scan + ONE tokenize, materialized, feeds every stage:
+    # quality reads (text, toks), decontamination reads toks, and the
+    # near-dup pipeline reads toks (documents part) + the re-tokenized
+    # synthetic 1/7 tail. Previously each stage re-read and re-tokenized
+    # the corpus independently (~sum-of-parts cost, 8.8s at sf0.1). At
+    # 100 TB the checkpoint becomes a persisted tokenized intermediate
+    # table — the standard shape for multi-stage curation runs.
+    shared = (
+        _spread(spark, _t(spark, sf_dir, "documents"))
+        .select("doc_id", "text", TX.tokens(F.col("text")).alias("toks"))
+        .localCheckpoint(eager=False)
+    )
     # Each stage's survivor/drop set is doc_id-only and tiny relative to the
     # corpus; materializing them (projection barrier) means the quality
-    # scan, the LSH->components->keep-best pipeline, and the decontamination
-    # scan each run ONCE even though the four funnel counts reference them
+    # pass, the LSH->components->keep-best pipeline, and the decontamination
+    # pass each run ONCE even though the four funnel counts reference them
     # in nested combinations.
     quality = (
-        q_quality_filter(spark, sf_dir).select("doc_id").localCheckpoint(eager=False)
+        quality_filter_from(shared).select("doc_id").localCheckpoint(eager=False)
     )
+    synth = (
+        shared.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.regexp_replace("text", r"\s+\S+\s*$", "").alias("text"),
+        )
+        .select("doc_id", "text", TX.tokens(F.col("text")).alias("toks"))
+        .localCheckpoint(eager=False)
+    )
+    corpus = shared.unionByName(synth)  # the near-dup mining corpus
+    clusters = near_dup_clusters_from(
+        near_dup_pairs_from(corpus.select("doc_id", "toks")).select("a_id", "b_id")
+    ).select("doc_id", "cluster_id")
     drop_dup = (
-        q_dedup_keep_best(spark, sf_dir)
+        dedup_keep_best_from(
+            clusters,
+            corpus.select(
+                "doc_id", F.length("text").cast("long").alias("n_chars")
+            ),
+        )
         .filter((~F.col("keep")) & (F.col("doc_id") < 1000000))
         .select("doc_id")
         .localCheckpoint(eager=False)
     )
+    shared_toks = shared.select("doc_id", "toks")
     cont = (
-        q_decontaminate(spark, sf_dir).select("doc_id").localCheckpoint(eager=False)
+        decontaminate_from(shared_toks, _decon_bench_grams(shared_toks))
+        .select("doc_id")
+        .localCheckpoint(eager=False)
     )
+    docs = shared.select("doc_id")
     s2 = docs.join(quality, "doc_id", "left_semi").localCheckpoint(eager=False)
     s3 = s2.join(drop_dup, "doc_id", "left_anti").localCheckpoint(eager=False)
     s4 = s3.join(cont, "doc_id", "left_anti")

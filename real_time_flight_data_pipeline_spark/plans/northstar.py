@@ -265,12 +265,25 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    t = F.col("text")
-    scored = docs.select(
+    return quality_filter_from(
+        docs.select("doc_id", "text", TX.tokens(F.col("text")).alias("toks"))
+    )
+
+
+def quality_filter_from(docs_toks: DataFrame) -> DataFrame:
+    """Quality+language filter over a (doc_id, text, toks) frame.
+
+    Standalone the toks projection collapses back into the scan (same
+    single-pass plan as inlining ``tokens(text)`` everywhere); fed a
+    localCheckpoint'ed frame (docs_curation_funnel) the token-dependent
+    terms read the materialized array instead of re-splitting the text.
+    """
+    t, toks = F.col("text"), F.col("toks")
+    scored = docs_toks.select(
         "doc_id",
-        TX.token_count(t).alias("n_tokens"),
-        TX.quality_score(t).alias("quality_score"),
-        TX.lang_id(t).alias("lang_pred"),
+        F.size(toks).alias("n_tokens"),
+        TX.quality_score_from(t, toks).alias("quality_score"),
+        TX.lang_id_from(toks).alias("lang_pred"),
     )
     return scored.filter(
         (F.col("quality_score") >= 0.75) & (F.col("lang_pred") == "en")
@@ -443,13 +456,24 @@ def _near_dup_oracle() -> str:
 )
 def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _spread(spark, _near_corpus(spark, sf_dir))
-    toks = TX.tokens(F.col("text"))
+    return near_dup_pairs_from(
+        corpus.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    )
+
+
+def near_dup_pairs_from(corpus_toks: DataFrame) -> DataFrame:
+    """MinHash-LSH verified near-dup pairs over a (doc_id, toks) frame.
+
+    Standalone the toks projection collapses into the scan (identical plan
+    to inlining the tokenizer); docs_curation_funnel feeds a materialized
+    token frame so the corpus is tokenized exactly once across stages.
+    """
     # Barrier: downstream references shingles many times (hash pass + both
     # sides of the verify join + intersection sizes); without
     # materialization CollapseProject re-derives tokenize+shingle per
     # occurrence (measured 45s in the verify stage alone at sf0.1).
-    shin = corpus.select(
-        "doc_id", F.array_distinct(TX.shingles(toks, 3)).alias("sh")
+    shin = corpus_toks.select(
+        "doc_id", F.array_distinct(TX.shingles(F.col("toks"), 3)).alias("sh")
     ).localCheckpoint(eager=False)
     # Second barrier: keep the single md5 base-hash pass out of the 8
     # inlined minhash columns (8x md5 otherwise).
@@ -491,7 +515,10 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .dropDuplicates()
-        .localCheckpoint(eager=True)  # materialize once: reused by count + joins
+        # Lazy barrier: materialized once at first use (still a single band
+        # join however many consumers), without forcing a separate
+        # driver-synchronous job at construction time.
+        .localCheckpoint(eager=False)
     )
     sa = shin.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
     sb = shin.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))

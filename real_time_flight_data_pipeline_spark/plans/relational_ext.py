@@ -387,6 +387,100 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RFM_APPROX_ACC = 10_000  # percentile_approx accuracy: rank error <= n/acc
+_RFM_DIMS = ("recency", "frequency", "monetary")
+_RFM_PS = (0.25, 0.5, 0.75)
+
+
+@_register(
+    "rfm_purchase_segments_approx",
+    f"""
+    WITH agg AS (
+      SELECT user_id, max(ts) AS last_ts,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM agg)
+    SELECT d.dim, CAST(d.p AS DOUBLE) AS p, n.c AS n_users, true AS cdf_ok
+    FROM n CROSS JOIN (VALUES
+      {", ".join(f"('{d}', {p})" for d in _RFM_DIMS for p in _RFM_PS)}
+    ) AS d(dim, p)
+    """,
+    "The approx-RFM scale fallback rfm_purchase_segments documents, as "
+    "code: quartile boundaries for recency/frequency/monetary come from "
+    "percentile_approx (Greenwald-Khanna sketch, map-combined — NO global "
+    "sort or single-partition window anywhere in the plan), and the engine "
+    "verifies each boundary's discrete-CDF invariant count(x<=b)/n >= p "
+    "and count(x<b)/n <= p within the sketch's documented rank error "
+    f"(n/{_RFM_APPROX_ACC}, plus 1 row of discreteness slack). The oracle "
+    "predicts the exact user count and cdf_ok=true per (dimension, "
+    "quantile) — the approx_distinct_users pattern: a sketch drifting "
+    "outside its own error bound fails the hash match. Bucket ASSIGNMENT "
+    "at 100 TB is then one broadcast join of the 1-row boundary table "
+    "against the user dimension — ntile's global sort never happens",
+    reference="SURVEY.md §2.11 (RFM segmentation — approx variant of "
+    "rfm_purchase_segments per round-5 verdict task 7)",
+    tags=("approx", "window"),
+)
+def q_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    m = ev.groupBy("user_id").agg(
+        F.unix_micros(F.max("ts")).alias("recency"),
+        F.count(F.lit(1)).cast("double").alias("frequency"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100).alias(
+            "monetary"
+        ),
+    )
+    ps = list(_RFM_PS)
+    bounds = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.percentile_approx(d, ps, _RFM_APPROX_ACC).alias(f"{d}_b")
+            for d in _RFM_DIMS
+        ],
+    )
+    joined = m.crossJoin(F.broadcast(bounds))
+    counts = joined.agg(
+        F.first("n").alias("n"),
+        *[
+            cnt
+            for d in _RFM_DIMS
+            for i in range(len(ps))
+            for cnt in (
+                F.sum(
+                    (F.col(d) <= F.col(f"{d}_b")[i]).cast("long")
+                ).alias(f"le_{d}_{i}"),
+                F.sum(
+                    (F.col(d) < F.col(f"{d}_b")[i]).cast("long")
+                ).alias(f"lt_{d}_{i}"),
+            )
+        ],
+    )
+    # Rank-error band: sketch guarantees |rank(b) - p*n| <= n/accuracy; +1
+    # absorbs the discreteness of count-at-a-value.
+    eps = F.col("n") / _RFM_APPROX_ACC + 1
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("dim"),
+                F.lit(p).alias("p"),
+                F.col("n").alias("n_users"),
+                (
+                    (F.col(f"le_{d}_{i}") >= p * F.col("n") - eps)
+                    & (F.col(f"lt_{d}_{i}") <= p * F.col("n") + eps)
+                ).alias("cdf_ok"),
+            )
+            for d in _RFM_DIMS
+            for i, p in enumerate(ps)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select(
+        "r.dim", "r.p", "r.n_users", "r.cdf_ok"
+    )
+
+
 # ===========================================================================
 # Grouping sets (explicit; rollup/cube are the fixed-shape specializations)
 # ===========================================================================
@@ -552,10 +646,13 @@ _APPROX_RSD = 0.05  # approx_count_distinct's default relative standard dev
     """,
     "approx_count_distinct per event_type, made oracle-checkable: the HLL "
     "sketch value is engine-specific, so the query emits the exact count "
-    "plus approx_ok = |approx-exact|/exact <= 3*rsd computed Spark-side; "
+    "plus approx_ok = |approx-exact|/exact <= 4.5*rsd computed Spark-side; "
     "the oracle predicts (exact_count, true). A sketch drifting outside its "
     "own error bound now fails the hash match instead of hiding behind a "
-    "rows-only row",
+    "rows-only row. 4.5 sigma (not 3): HLL++ error is not strictly "
+    "Gaussian-bounded, so a 3-sigma band carries ~0.3% flake odds per "
+    "group per run; at 4.5 sigma a mismatch is evidence of a real sketch "
+    "regression, not variance",
     reference="SURVEY.md §2.11 (approximate aggregates absent in reference; added)",
     tags=("approx",),
 )
@@ -571,7 +668,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))
             / F.col("exact_users")
-            <= F.lit(3 * _APPROX_RSD)
+            <= F.lit(4.5 * _APPROX_RSD)
         ).alias("approx_ok"),
     )
 

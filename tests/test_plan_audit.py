@@ -26,6 +26,7 @@ _BNLJ_ALLOWED = {
     "embedding_ivf_recall",  # composes embedding_topk_ivf, inherits its plan
     "embedding_ivf_recall_trained",  # composes k-means + IVF, same bounded sides
     "docs_mix_weights",  # 1-row grand-total broadcast cross join (scalar subquery)
+    "rfm_purchase_segments_approx",  # 1-row percentile-boundary broadcast cross join
 }
 
 _ALL = sorted(REGISTRY)
@@ -41,6 +42,73 @@ def test_no_pathological_joins(spark, name):
             f"{name}: unexpected BroadcastNestedLoopJoin — broadcast an "
             "equi-keyed side or add to the documented allowlist"
         )
+    _assert_no_global_window_on_fact(name, df)
+
+
+# --------------------------------------------------------------------------
+# Global-window gate: an unpartitioned Window moves ALL rows to one
+# partition — acceptable only AFTER an aggregation has collapsed the input
+# to dimension cardinality (quantile bucketing over O(users), not a window
+# over the raw fact table), and only for the documented cases below.
+# --------------------------------------------------------------------------
+_GLOBAL_WINDOW_ALLOWED = {
+    # ntile quartiles post-aggregation over O(purchasing users); the
+    # sort-free scale path is rfm_purchase_segments_approx.
+    "rfm_purchase_segments",
+}
+
+
+def _logical_nodes(root):
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        yield node
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+
+
+def _global_windows(df):
+    """Unpartitioned logical Window nodes in df's optimized plan, paired
+    with whether an Aggregate sits below them (post-aggregation input)."""
+    out = []
+    for node in _logical_nodes(df._jdf.queryExecution().optimizedPlan()):
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            post_agg = any(
+                m.nodeName() == "Aggregate"
+                for m in _logical_nodes(node)
+                if m is not node
+            )
+            out.append(post_agg)
+    return out
+
+
+def _assert_no_global_window_on_fact(name, df):
+    for post_agg in _global_windows(df):
+        assert name in _GLOBAL_WINDOW_ALLOWED, (
+            f"{name}: unpartitioned Window in the plan — partition the "
+            "window, pre-aggregate its input, or (for a documented "
+            "dimension-cardinality case) add to _GLOBAL_WINDOW_ALLOWED"
+        )
+        assert post_agg, (
+            f"{name}: allowlisted global window must run post-aggregation; "
+            "this one windows a non-aggregated input"
+        )
+
+
+def test_global_window_gate_catches_raw_fact_window(spark):
+    """The gate must go red for the shape it exists to forbid: a global
+    window directly over the raw events fact table."""
+    from pyspark.sql import Window, functions as F
+
+    from real_time_flight_data_pipeline_spark.sources.parquet import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    bad = ev.withColumn("rn", F.row_number().over(Window.orderBy("ts")))
+    flags = _global_windows(bad)
+    assert flags == [False], flags
+    with pytest.raises(AssertionError, match="unpartitioned Window"):
+        _assert_no_global_window_on_fact("not_allowlisted_query", bad)
 
 
 # --------------------------------------------------------------------------
