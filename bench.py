@@ -1,24 +1,30 @@
-"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+"""Benchmark harness: EVERY registered catalog query at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE SHORT JSON line (the only stdout) so the driver can always parse
 it:
-  {"metric": "...", "value": <total sec>, "unit": "sec", "sf": <sf>,
+  {"metric": "...", "value": <total sec|null>, "unit": "sec", "sf": <sf>,
    "queries": {"<name>": <sec>, ...}, "n_queries": N, "n_errors": E}
 
 Per-query progress goes to stderr and the full detail (runs, errors with
 tracebacks) to BENCH_DETAIL.json next to this file. A query that raises is
 recorded as an error and skipped — one red query must never zero the whole
 round's perf signal (r4: the run crashed at sessionize_events and the round
-had no bench number at all).
+had no bench number at all). When ANY query errors the headline value is
+null: a total missing some queries' seconds would look FASTER than a clean
+round, so it must never be compared as if complete (n_errors says how many;
+BENCH_DETAIL.json says which).
 
 Each query is timed as a full materialization with the noop sink (compute
 measured, driver-transfer excluded). Warmup queries first so JVM/codegen
-startup is not billed to the first headline query, then each query runs
-TWICE and the best run is recorded: r1 showed the driver's fresh-VM numbers
-~4x the same code's warm numbers, and at this data size (sf0.1 ~17 MB) a
-query's time is dominated by per-plan codegen + scheduling + transient host
-load, which best-of-2 absorbs without changing what is measured (the plan's
-steady-state compute).
+startup is not billed to the first query, then each query runs THREE times;
+the headline value sums per-query MEDIANS (robust to one transient host
+stall), with best-of runs kept alongside in BENCH_DETAIL.json: r1 showed
+the driver's fresh-VM numbers ~4x the same code's warm numbers, and at this
+data size (sf0.1 ~17 MB) a query's time is dominated by per-plan codegen +
+scheduling + transient host load. The sweep covers the FULL registry
+(round-5 verdict: 21 never-benched queries can hide perf cliffs), ordered
+by original registration so round-over-round per-query comparison is
+stable.
 """
 
 from __future__ import annotations
@@ -27,98 +33,16 @@ import json
 import os
 import pathlib
 import re
+import statistics
 import sys
 import time
 import traceback
 
+from real_time_flight_data_pipeline_spark.plans import ORIGINAL_ORDER
 from real_time_flight_data_pipeline_spark.plans.catalog import REGISTRY
 from real_time_flight_data_pipeline_spark.session import get_spark
 
-HEADLINE = [
-    "pricing_summary",
-    "shipping_priority_topk",
-    "revenue_by_nation",
-    "latest_event_per_user_type",
-    "curated_event_star_view",
-    "fact_upsert_lww",
-    "clean_ts_normalize_parse",
-    "tumbling_window_daily",
-    "watermark_incremental_export",
-    "resolve_id_coalesce_lookup",
-    # north-star ops (present from round 1+ as implemented)
-    "docs_exact_dedup",
-    "docs_minhash_signatures",
-    "docs_near_dup_pairs",
-    "docs_simhash",
-    "docs_text_stats",
-    "embedding_topk_cosine",
-    "embedding_topk_lsh",
-    "embedding_topk_ivf",
-    "embedding_near_dup_pairs",
-    "docs_winnow_fingerprints",
-    "docs_ngram_jaccard_pairs",
-    "docs_quality_filter",
-    "docs_sequence_packing",
-    "hopping_window_12h",
-    # relational completeness
-    "sessionize_events",
-    "running_total_per_user",
-    "pivot_event_counts",
-    # r3: every operator class tracked (VERDICT r2 item 6)
-    "asof_last_click_before_purchase",
-    "events_value_band_join",
-    "cube_event_stats",
-    "median_value_by_type",
-    "route_lookup_two_key_join",
-    "scalar_subquery_watermark",
-    "user_set_ops",
-    "grouping_sets_docs",
-    "event_rank_analytics",
-    "datetime_functions",
-    "distinct_users_exact",
-    "revenue_by_nation_skewsafe",
-    # r3 LLM-pipeline additions
-    "docs_stratified_sample",
-    "docs_tfidf_top_terms",
-    "docs_domain_cap",
-    "docs_pii_scrub",
-    "docs_repetition_signals",
-    "docs_edit_distance_verify",
-    "trailing_hour_value_per_user",
-    "user_set_ops_all",
-    "docs_line_dedup_stats",
-    "embedding_quantize_int8",
-    "events_daily_full_outer",
-    "user_value_mad",
-    "embedding_kmeans_2iter",
-    "unpivot_user_counts",
-    "forward_fill_values",
-    "promo_revenue_share_by_brand",
-    "supplier_revenue_by_nation",
-    "embedding_ivf_recall",
-    "embedding_ivf_recall_trained",
-    "docs_simhash_near_dup_pairs",
-    "value_quartiles_by_type",
-    "value_histogram_bands",
-    "late_ship_order_priority",
-    "large_basket_customers",
-    "above_avg_events",
-    "docs_decontaminate",
-    "docs_mix_weights",
-    # r5: UDF-vs-builtin measured pair + decontamination span variant
-    "user_value_mad_native",
-    "docs_decontaminate_span",
-    # r5: substring dedup, clustering, funnel, keep-best, bigram LM
-    "docs_dup_spans",
-    "docs_near_dup_clusters",
-    "funnel_view_click_purchase",
-    "docs_dedup_keep_best",
-    "docs_token_bigram_lm",
-    "docs_curation_funnel",
-    "cohort_retention_weekly",
-    "rfm_purchase_segments",
-]
-
+N_RUNS = 3
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -154,13 +78,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     detail: dict[str, dict] = {}
-    for name in HEADLINE:
+    for name in ORIGINAL_ORDER:
         q = REGISTRY.get(name)
         if q is None:
             continue
         runs: list[float] = []
         try:
-            for _ in range(2):
+            for _ in range(N_RUNS):
                 t0 = time.perf_counter()
                 df = q.builder(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
@@ -173,8 +97,12 @@ def main() -> None:
             }
             print(f"  {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
-        timings[name] = round(min(runs), 4)
-        detail[name] = {"runs": [round(r, 4) for r in runs]}
+        timings[name] = round(statistics.median(runs), 4)
+        detail[name] = {
+            "runs": [round(r, 4) for r in runs],
+            "median": timings[name],
+            "best": round(min(runs), 4),
+        }
         print(
             f"  {name}: {timings[name]:.3f}s (runs: {', '.join(f'{r:.3f}' for r in runs)})",
             file=sys.stderr,
@@ -185,7 +113,7 @@ def main() -> None:
     try:
         detail_path.write_text(
             json.dumps(
-                {"sf": sf, "total_sec": total, "detail": detail}, indent=1
+                {"sf": sf, "total_sec": None if errors else total, "n_errors": len(errors), "detail": detail}, indent=1
             )
         )
     except OSError:
@@ -201,7 +129,9 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": total,
+                # null when any query errored: a partial sum would compare
+                # as a (false) improvement over a complete round.
+                "value": None if errors else total,
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),

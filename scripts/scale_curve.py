@@ -1,0 +1,145 @@
+"""Empirical scale curve for the heavy dedup/graph queries (r5 verdict #3).
+
+Synthesizes a 10x corpus from sf0.1 and times the four heavy queries at 1x
+and 10x, reporting the scaling exponent alpha = log10(t10/t1) per query
+(alpha ~ 1.0 = linear; > 1 super-linear). Results land in
+scripts/scale_curve_results.json and the COVERAGE.md scale notes.
+
+The 10x synthesis preserves the statistical shape instead of inflating it:
+
+- documents: 10 copies with re-keyed doc_ids (copy k -> doc_id + k*1e7);
+  copies k>0 get every token salted with a per-copy suffix, so WITHIN a
+  copy the near-dup/dup-span structure is byte-identical to the original
+  while ACROSS copies documents share no tokens, grams, or shingles — the
+  duplicate density stays constant as the corpus grows (a plain 10x
+  self-union would instead make every doc a 10-way exact duplicate and
+  square the pair count, which is a different workload).
+- embeddings: 10 copies with re-keyed vec_ids; copies k>0 flip the sign of
+  every dimension d with (d+1)*k % 3 == 0. A shared flip pattern preserves
+  every intra-copy cosine exactly (sign^2 = 1) while decorrelating copies
+  from each other, so the near-dup pair count scales ~10x, not ~100x.
+
+Run: python scripts/scale_curve.py            (writes /tmp/flightframe_scale)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import pathlib
+import statistics
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from real_time_flight_data_pipeline_spark.plans.catalog import REGISTRY
+from real_time_flight_data_pipeline_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+WORK = pathlib.Path("/tmp/flightframe_scale")
+COPIES = 10
+QUERIES = [
+    "docs_near_dup_clusters",
+    "docs_dedup_keep_best",
+    "docs_dup_spans",
+    "embedding_near_dup_pairs",
+]
+N_RUNS = 3
+
+
+def build_corpora(spark) -> None:
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    (WORK / "sf1x").mkdir(parents=True, exist_ok=True)
+    docs.write.mode("overwrite").parquet(str(WORK / "sf1x" / "documents.parquet"))
+    emb.write.mode("overwrite").parquet(str(WORK / "sf1x" / "embeddings.parquet"))
+
+    doc_parts = []
+    emb_parts = []
+    for k in range(COPIES):
+        if k == 0:
+            doc_parts.append(docs)
+            emb_parts.append(emb)
+            continue
+        salted_text = F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.col("text"), r"\s+"),
+                lambda t: F.concat(t, F.lit(f"_{k}")),
+            ),
+        )
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
+                salted_text.alias("text"),
+                "lang",
+                "source",
+                F.length(salted_text).alias("n_chars"),
+            )
+        )
+        flipped = F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(((i + 1) * k) % 3 == 0, -x).otherwise(x),
+        )
+        emb_parts.append(
+            emb.select(
+                (F.col("vec_id") + k * 10_000_000).alias("vec_id"),
+                flipped.alias("embedding"),
+                "label",
+            )
+        )
+    d10 = doc_parts[0]
+    for p in doc_parts[1:]:
+        d10 = d10.unionByName(p)
+    e10 = emb_parts[0]
+    for p in emb_parts[1:]:
+        e10 = e10.unionByName(p)
+    (WORK / "sf10x").mkdir(parents=True, exist_ok=True)
+    d10.repartition(32).write.mode("overwrite").parquet(
+        str(WORK / "sf10x" / "documents.parquet")
+    )
+    e10.repartition(32).write.mode("overwrite").parquet(
+        str(WORK / "sf10x" / "embeddings.parquet")
+    )
+
+
+def main() -> None:
+    spark = get_spark(app_name="flightframe-scale-curve")
+    build_corpora(spark)
+    # Warmup (codegen/classloading) on the small corpus.
+    for name in QUERIES:
+        REGISTRY[name].builder(spark, str(WORK / "sf1x")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    results: dict[str, dict] = {}
+    for name in QUERIES:
+        row: dict = {}
+        for tag in ("sf1x", "sf10x"):
+            runs = []
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                REGISTRY[name].builder(spark, str(WORK / tag)).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            row[tag] = round(statistics.median(runs), 3)
+            row[f"{tag}_runs"] = [round(r, 3) for r in runs]
+        row["exponent"] = round(
+            math.log10(row["sf10x"] / row["sf1x"]), 3
+        )
+        results[name] = row
+        print(
+            f"{name}: 1x={row['sf1x']}s 10x={row['sf10x']}s "
+            f"alpha={row['exponent']}",
+            flush=True,
+        )
+    out = pathlib.Path(__file__).resolve().parent / "scale_curve_results.json"
+    out.write_text(json.dumps(results, indent=1))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
