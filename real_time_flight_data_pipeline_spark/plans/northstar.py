@@ -1035,7 +1035,14 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("vec_id", "bb.band_idx", "bb.bucket")
+    ).select("vec_id", "bb.band_idx", "bb.bucket").localCheckpoint(eager=True)
+    # ^ EAGER barrier before the self-join, measured 3x (5.1s -> 1.5s at
+    # sf0.1): left fused, both join children re-evaluate the 32
+    # higher-order-function plane dots inside the exchange stage (lambda
+    # evaluation is interpreted, not codegen'd); materializing the tiny
+    # (vec_id, band, bucket) table first makes the join a pure long-key
+    # shuffle. A lazy checkpoint does NOT help here — it materializes
+    # within the join job's stages and pays the same fused cost.
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
