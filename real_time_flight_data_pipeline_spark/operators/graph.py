@@ -185,7 +185,10 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # Lazy: both small-star consumers (groupBy-min + join) sit in
+            # the same job, so this materializes once there — one fewer
+            # driver-synchronous job per round than an eager barrier.
+            .localCheckpoint(eager=False)
         )
         # --- small-star on larger->smaller orientation -------------------
         smins = ls.groupBy("u").agg(F.min("v").alias("m"))

@@ -1130,11 +1130,17 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters_from(pairs)
 
 
-def near_dup_clusters_from(pairs: DataFrame) -> DataFrame:
-    """Connected-components clustering over an (a_id, b_id) pair frame."""
+def near_dup_clusters_from(pairs: DataFrame, algo=None) -> DataFrame:
+    """Connected-components clustering over an (a_id, b_id) pair frame.
+
+    ``algo`` defaults to min-label propagation (right for small-diameter
+    LSH graphs); pass ``connected_components_star`` for the O(log n)
+    variant."""
     from ..operators.graph import connected_components
 
-    comp = connected_components(pairs, src="a_id", dst="b_id", max_iters=_CC_MAX_ITERS)
+    comp = (algo or connected_components)(
+        pairs, src="a_id", dst="b_id", max_iters=_CC_MAX_ITERS
+    )
     w = Window.partitionBy("cluster_id")
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
@@ -1144,6 +1150,30 @@ def near_dup_clusters_from(pairs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+@_register(
+    "docs_near_dup_clusters_star",
+    _clusters_oracle(),
+    "docs_near_dup_clusters computed by the alternating large-star/"
+    "small-star algorithm (Kiveris et al., SoCC'14) instead of min-label "
+    "propagation: each round rewires every node toward its neighborhood "
+    "minimum, collapsing even a diameter-n chain in O(log n) rounds (15 "
+    "rounds for a 10k chain, property-tested) where propagation needs "
+    "O(n). Same exact recursive-CTE oracle — both variants must produce "
+    "identical components. On LSH pair graphs (tiny diameter) min-label "
+    "needs fewer rounds, so the base query keeps it; this is the variant "
+    "a 100 TB deployment switches to when the pair graph's diameter is "
+    "unknown or adversarial",
+    reference="[NORTH-STAR] connected components in MapReduce and beyond "
+    "(Kiveris'14 large-star/small-star); operators/graph.py",
+    tags=("dedup", "northstar", "iterative"),
+)
+def q_near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components_star
+
+    pairs = q_near_dup_pairs(spark, sf_dir).select("a_id", "b_id")
+    return near_dup_clusters_from(pairs, algo=connected_components_star)
 
 
 @_register(
