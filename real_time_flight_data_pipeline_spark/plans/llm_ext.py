@@ -1460,3 +1460,161 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight"
         ),
     )
+
+
+# ===========================================================================
+# Heavy-hitter tokens — Misra-Gries sketch + exact recount (r6)
+# ===========================================================================
+# φ = 1/_HH_PHI_DEN of the token stream. Sketch capacity must satisfy
+# capacity + 1 >= _HH_PHI_DEN for the superset guarantee; 64 > 50 leaves
+# margin. On this corpus (31-word vocab) the sketch never needs to prune —
+# the pruning path and the superset guarantee are property-tested on a
+# crafted Zipf corpus in tests/test_sketch.py, where capacity << vocab.
+_HH_PHI_DEN = 50
+_HH_CAPACITY = 64
+
+
+@_register(
+    "docs_token_heavy_hitters",
+    f"""
+    WITH toks AS (SELECT {_SQL_TOKS} AS toks FROM documents),
+    flat AS (SELECT unnest(toks) AS token FROM toks),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM flat)
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS freq,
+           CAST(count(*) AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM tot) AS share
+    FROM flat GROUP BY token
+    HAVING count(*) * {_HH_PHI_DEN} > (SELECT n FROM tot)
+    """,
+    "Heavy-hitter tokens (frequency > 1/50 of the stream), computed EXACTLY "
+    "via a two-phase sketch: per-partition Misra-Gries summaries (bounded "
+    "memory, one scan, candidates guaranteed a superset of every item over "
+    "N/(capacity+1)) -> broadcast semi-join recount of only the candidates "
+    "-> exact integer threshold freq*50 > N. 100 TB shape: the recount "
+    "shuffle is bounded by O(partitions x capacity) candidates, never by "
+    "vocabulary size — the full-vocab groupBy the oracle runs is exactly "
+    "the shuffle this plan avoids. share = freq/N is one IEEE division on "
+    "exact integers",
+    reference="[NORTH-STAR] corpus token analysis (Misra-Gries 1982; "
+    "mergeable-summaries PODS'12); no reference counterpart",
+    tags=("northstar", "text", "sketch"),
+)
+def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import misra_gries_candidates
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    # One tokenize, checkpointed: the stream feeds the sketch pass, the
+    # total count, and the recount pass.
+    flat = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .localCheckpoint(eager=False)
+    )
+    cands = (
+        misra_gries_candidates(flat, "token", _HH_CAPACITY)
+        .select("token")
+        .distinct()
+    )
+    tot = flat.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        flat.join(F.broadcast(cands), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("freq") * _HH_PHI_DEN > F.col("n"))
+        .select(
+            "token",
+            "freq",
+            (F.col("freq").cast("double") / F.col("n").cast("double")).alias(
+                "share"
+            ),
+        )
+    )
+
+
+# ===========================================================================
+# Per-document bigram plausibility — LM-based fluency scoring (r6)
+# ===========================================================================
+_PLAUS_FX = 1_000_000_000  # fixed-point scale for per-bigram probabilities
+
+
+@_register(
+    "docs_bigram_plausibility",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    big AS (
+      SELECT doc_id,
+             unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+             unnest(list_slice(toks, 2, len(toks))) AS w2
+      FROM toks WHERE len(toks) >= 2
+    ),
+    c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2),
+    lm AS (
+      SELECT w1, w2,
+             CAST(c12 AS DOUBLE) / sum(c12) OVER (PARTITION BY w1) AS p
+      FROM c
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(round(lm.p * {_PLAUS_FX}) AS BIGINT) AS p_fx
+      FROM big b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(p_fx) AS DOUBLE) / ({_PLAUS_FX}.0 * count(*)) AS mean_p
+    FROM scored GROUP BY doc_id
+    """,
+    "Per-document fluency score under the corpus's own bigram LM: mean "
+    "conditional probability p(w_i | w_i-1) over the document's bigrams — "
+    "the model-free stand-in for the KenLM-perplexity filter of "
+    "CCNet-style curation (log-space perplexity is the standard variant; "
+    "mean probability is used here because p = c12/c1 is a division of "
+    "exact integers, bit-identical cross-engine, where log() is "
+    "libm-dependent). Per-bigram p is fixed-pointed to 1e-9 before the "
+    "per-doc sum so the aggregate is exact integer math; one final IEEE "
+    "division. 100 TB shape: one tokenize (checkpointed, feeds LM build "
+    "AND scoring), one map-combined shuffle on (w1,w2) to build the LM, "
+    "one equi join of doc bigrams to the LM keyed on (w1,w2) — the LM is "
+    "O(distinct bigrams), NOT assumed broadcastable — then a per-doc "
+    "aggregation",
+    reference="[NORTH-STAR] LM-based quality filtering (CCNet "
+    "arXiv:1911.00359 perplexity filter, count-based stand-in); composes "
+    "docs_token_bigram_lm",
+    tags=("northstar", "text", "window", "join"),
+)
+def q_bigram_plausibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    big = (
+        docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("w1"),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("w2"),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .localCheckpoint(eager=False)  # one bigram stream feeds LM + scoring
+    )
+    c = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    lm = c.select(
+        "w1",
+        "w2",
+        (
+            F.col("c12").cast("double")
+            / F.sum("c12").over(Window.partitionBy("w1"))
+        ).alias("p"),
+    )
+    scored = big.join(lm, ["w1", "w2"]).select(
+        "doc_id",
+        F.round(F.col("p") * F.lit(_PLAUS_FX)).cast("long").alias("p_fx"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum("p_fx").cast("double")
+            / (F.lit(float(_PLAUS_FX)) * F.count(F.lit(1)))
+        ).alias("mean_p"),
+    )

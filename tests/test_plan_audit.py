@@ -27,6 +27,7 @@ _BNLJ_ALLOWED = {
     "embedding_ivf_recall_trained",  # composes k-means + IVF, same bounded sides
     "docs_mix_weights",  # 1-row grand-total broadcast cross join (scalar subquery)
     "rfm_purchase_segments_approx",  # 1-row percentile-boundary broadcast cross join
+    "docs_token_heavy_hitters",  # 1-row stream-total broadcast cross join
 }
 
 _ALL = sorted(REGISTRY)
