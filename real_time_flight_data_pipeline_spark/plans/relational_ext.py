@@ -1550,3 +1550,175 @@ def q_above_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.join(F.broadcast(avg), "event_type").filter(
         F.col("cents").cast("double") > F.col("avg_cents")
     ).select("event_id", "event_type", "cents", "avg_cents")
+
+
+# ===========================================================================
+# Hourly resample with zero-fill + forward fill (r6) — the time-series
+# gap-fill pass: a dense hour spine per dimension value, observed hours
+# joined on, counts zero-filled, last known hourly average carried forward.
+# ===========================================================================
+@_register(
+    "events_hourly_gapfill",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+      FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds b
+    )
+    SELECT s.event_type, s.hour,
+           COALESCE(h.c, 0) AS n,
+           CAST(h.cents AS DOUBLE) / (100.0 * h.c) AS hour_value,
+           last_value(CAST(h.cents AS DOUBLE) / (100.0 * h.c) IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM spine s LEFT JOIN hourly h
+      ON s.event_type = h.event_type AND s.hour = h.hour
+    """,
+    "Time-series resample: aggregate events to (event_type, hour), build "
+    "the DENSE hour spine via sequence(min_hour, max_hour) exploded per "
+    "event_type, left-join observations onto it, zero-fill counts, and "
+    "forward-fill the last known hourly average across gaps (IGNORE NULLS "
+    "frame window). Hours before a type's first observation stay NULL in "
+    "both engines. 100 TB shape: the expensive side is one map-combined "
+    "aggregation of the fact table; the spine is O(types x hours) — "
+    "dimension-sized — and the window runs on the aggregated table, never "
+    "the raw facts. Hourly average = exact long cents / (100*n), one IEEE "
+    "division",
+    reference="SURVEY.md §2.11 extension (gap-fill/resample; composes the "
+    "forward_fill_values idiom with a generated spine)",
+    tags=("window", "timeseries"),
+)
+def q_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    hour_value = F.col("cents").cast("double") / (F.lit(100.0) * F.col("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n"),
+            hour_value.alias("hour_value"),
+        )
+        .withColumn(
+            "filled_value", F.last("hour_value", ignorenulls=True).over(w)
+        )
+    )
+
+
+# ===========================================================================
+# Data-derived interval join (r6): mine promo windows from the orders
+# table, then range-join the lineitem fact into them with NO equi key —
+# the grid-blocked interval join, this time with ranges that come out of a
+# first aggregation phase instead of a static literal table.
+# ===========================================================================
+_PROMO_TOP_DAYS = 12
+
+
+@_register(
+    "promo_interval_lineitem_join",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    top_days AS (
+      SELECT d, n_orders FROM daily
+      ORDER BY n_orders DESC, d LIMIT {_PROMO_TOP_DAYS}
+    ),
+    iv AS (
+      SELECT n_orders,
+             d - INTERVAL 6 HOUR AS start_ts,
+             d + INTERVAL 30 HOUR AS end_ts
+      FROM top_days
+    )
+    SELECT iv.start_ts, iv.end_ts, iv.n_orders,
+           CAST(count(*) AS BIGINT) AS n_ship,
+           CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+    FROM iv JOIN lineitem l
+      ON l.l_shipdate >= iv.start_ts AND l.l_shipdate < iv.end_ts
+    GROUP BY 1, 2, 3
+    """,
+    "Interval join with data-derived ranges: phase 1 aggregates orders to "
+    "daily counts and keeps the top-12 busiest days (deterministic "
+    "tie-break on the day), each widened to a 36-hour promo window "
+    "[day-6h, day+30h); phase 2 range-joins lineitem shipments into the "
+    "windows via grid blocking on epoch-day cells (operators/ranges.py) — "
+    "an equi hash join plus exact-bound post-filter where the naive "
+    "BETWEEN join is a BroadcastNestedLoopJoin (plan-gate enforced). "
+    "Windows may overlap; a shipment lands in every window covering it. "
+    "100 TB shape: interval mining is a map-combined aggregation + top-N; "
+    "the fact side is scanned once and joined on its own day cell — range "
+    "replication is ceil(36h/24h)+1 cells per window, independent of fact "
+    "size. Quantities are integer-valued; the sum is exact long math",
+    reference="SURVEY.md §2.11 (range join absent in reference; "
+    "data-derived-interval variant of events_value_band_join)",
+    tags=("join", "range", "timeseries"),
+)
+def q_promo_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranges import grid_range_join
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    top = daily.orderBy(F.desc("n_orders"), F.asc("d")).limit(_PROMO_TOP_DAYS)
+    iv = top.select(
+        "n_orders",
+        (F.col("d") - F.expr("interval 6 hours")).alias("start_ts"),
+        (F.col("d") + F.expr("interval 30 hours")).alias("end_ts"),
+    ).select(
+        "n_orders",
+        "start_ts",
+        "end_ts",
+        F.unix_timestamp("start_ts").cast("double").alias("lo"),
+        F.unix_timestamp("end_ts").cast("double").alias("hi"),
+    )
+    facts = li.select(
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        F.unix_timestamp("l_shipdate").cast("double").alias("ship_epoch"),
+    )
+    joined = grid_range_join(
+        facts, F.broadcast(iv), "ship_epoch", "lo", "hi", grid=86400.0
+    )
+    return joined.groupBy("start_ts", "end_ts", "n_orders").agg(
+        F.count(F.lit(1)).alias("n_ship"),
+        F.sum("qty").alias("total_qty"),
+    )

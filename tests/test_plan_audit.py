@@ -28,6 +28,7 @@ _BNLJ_ALLOWED = {
     "docs_mix_weights",  # 1-row grand-total broadcast cross join (scalar subquery)
     "rfm_purchase_segments_approx",  # 1-row percentile-boundary broadcast cross join
     "docs_token_heavy_hitters",  # 1-row stream-total broadcast cross join
+    "events_hourly_gapfill",  # 1-row hour-bounds broadcast cross join (spine)
 }
 
 _ALL = sorted(REGISTRY)
