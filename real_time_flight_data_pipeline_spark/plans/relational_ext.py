@@ -1722,3 +1722,44 @@ def q_promo_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_ship"),
         F.sum("qty").alias("total_qty"),
     )
+
+
+# ===========================================================================
+# ROLLUP (r6) — completes the grouping-set trio (CUBE cube_event_stats,
+# GROUPING SETS grouping_sets_docs): hierarchical subtotals with explicit
+# grouping flags so NULL-as-subtotal and NULL-as-data never collide.
+# ===========================================================================
+@_register(
+    "rollup_lineitem_flag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "ROLLUP over (l_returnflag, l_linestatus): per-pair, per-flag and "
+    "grand-total subtotals in one pass, with GROUPING() flags "
+    "disambiguating subtotal NULLs from data NULLs. Same one-shuffle "
+    "map-combined shape as CUBE but only the hierarchy's prefixes "
+    "(3 grouping sets, not 4). Exact long-cents money math",
+    reference="SURVEY.md §2.11 (rollup absent in reference; completes the "
+    "grouping-set trio with cube_event_stats / grouping_sets_docs)",
+    tags=("rollup",),
+)
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("integer").alias("g_flag"),
+        F.grouping("l_linestatus").cast("integer").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast(
+                "double"
+            )
+            / 100
+        ).alias("sum_price"),
+    )
