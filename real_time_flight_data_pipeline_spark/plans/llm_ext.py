@@ -1618,3 +1618,81 @@ def q_bigram_plausibility(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(float(_PLAUS_FX)) * F.count(F.lit(1)))
         ).alias("mean_p"),
     )
+
+
+# ===========================================================================
+# Weighted sampling (r6) — EXECUTE the mix-reweighting plan: sample each
+# language at probability weight/cap via deterministic hash buckets, making
+# docs_mix_weights an end-to-end pass instead of a report.
+# ===========================================================================
+_WSAMPLE_BUCKETS = 10_000
+
+
+@_register(
+    "docs_weighted_sample",
+    f"""
+    WITH t AS (
+      SELECT lang, CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_langs FROM t),
+    w AS (
+      SELECT lang,
+             least({_MIX_CAP},
+                   (1.0 / n_langs) / (CAST(n_tokens AS DOUBLE) / total)) AS weight
+      FROM t CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.lang, w.weight,
+           CAST({_sql_md5_long("'wsamp:' || CAST(d.doc_id AS VARCHAR)")}
+                % {_WSAMPLE_BUCKETS} AS BIGINT) AS bucket
+    FROM documents d JOIN w ON d.lang = w.lang
+    WHERE CAST({_sql_md5_long("'wsamp:' || CAST(d.doc_id AS VARCHAR)")}
+               % {_WSAMPLE_BUCKETS} AS DOUBLE)
+          < w.weight * ({_WSAMPLE_BUCKETS} / {_MIX_CAP})
+    """,
+    "Executable mix-reweighting: per-language sampling weights (the "
+    "docs_mix_weights chain) applied as keep-probability weight/cap via "
+    "deterministic md5 hash buckets — replay-stable across retries and "
+    "engines, unlike rand()-based sampling. The weight table is 5 rows "
+    "(per-language aggregate) broadcast onto one corpus scan; the hash "
+    "bucket is domain-separated from the stratified-sample hash. Weight "
+    "arithmetic is the same integer-exact IEEE chain as docs_mix_weights, "
+    "so the keep decision is bit-identical cross-engine",
+    reference="[NORTH-STAR] data-mixture execution (DoReMi "
+    "arXiv:2305.10429); composes docs_mix_weights + docs_stratified_sample "
+    "idioms",
+    tags=("northstar", "curation", "sampling"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.groupBy("lang").agg(
+        F.sum(F.size(TX.tokens(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    tot = t.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total")
+    w = (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.least(
+                F.lit(_MIX_CAP), (F.lit(1.0) / F.col("n_langs")) / share
+            ).alias("weight"),
+        )
+    )
+    bucket = F.pmod(
+        TX.md5_long(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))),
+        F.lit(_WSAMPLE_BUCKETS),
+    )
+    return (
+        docs.join(F.broadcast(w), "lang")
+        .withColumn("bucket", bucket.cast("long"))
+        .filter(
+            F.col("bucket").cast("double")
+            < F.col("weight") * F.lit(_WSAMPLE_BUCKETS / _MIX_CAP)
+        )
+        .select("doc_id", "lang", "weight", "bucket")
+    )

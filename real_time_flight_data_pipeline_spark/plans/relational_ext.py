@@ -1763,3 +1763,96 @@ def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("sum_price"),
     )
+
+
+# ===========================================================================
+# Exact-arithmetic anomaly detection (r6): z-score outliers over the dense
+# hourly series WITHOUT any floating point — the z² > 9 test cross-
+# multiplied into pure BIGINT arithmetic, so the flag is exact in both
+# engines (no sqrt, no double variance).
+#   z² = (c - S/n)² / ((n·SS - S²)/n²)  >  9
+#   ⇔ (n·c - S)² > 9·(n·SS - S²)
+# ===========================================================================
+@_register(
+    "events_hourly_anomalies",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+      FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds b
+    ),
+    dense AS (
+      SELECT s.event_type, s.hour, COALESCE(h.c, 0) AS c
+      FROM spine s LEFT JOIN hourly h
+        ON s.event_type = h.event_type AND s.hour = h.hour
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS nh,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM dense GROUP BY event_type
+    )
+    SELECT d.event_type, d.hour, d.c AS n,
+           (d.c * st.nh - st.s) * (d.c * st.nh - st.s)
+             > 9 * (st.nh * st.ss - st.s * st.s) AS is_outlier
+    FROM dense d JOIN stats st ON d.event_type = st.event_type
+    """,
+    "Hourly anomaly flags per event_type: |z| > 3 against the type's own "
+    "hourly-count distribution over the DENSE hour spine (missing hours "
+    "count 0 — a dead hour should be flaggable). The z-test is cross-"
+    "multiplied into integer arithmetic — (n·c - S)² > 9·(n·SS - S²) — so "
+    "no sqrt, no double accumulation, bit-exact in both engines. 100 TB "
+    "shape: one map-combined aggregation of the fact table to "
+    "O(types x hours), per-type stats are a second tiny aggregation "
+    "broadcast back; nothing beyond the first agg touches raw events",
+    reference="SURVEY.md §2.11 extension (anomaly detection over the "
+    "events_hourly_gapfill spine)",
+    tags=("timeseries", "window"),
+)
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    dense = spine.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    stats = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    dev = F.col("c") * F.col("nh") - F.col("s")
+    return dense.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "hour",
+        F.col("c").alias("n"),
+        (
+            dev * dev
+            > F.lit(9) * (F.col("nh") * F.col("ss") - F.col("s") * F.col("s"))
+        ).alias("is_outlier"),
+    )

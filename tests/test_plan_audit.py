@@ -29,6 +29,8 @@ _BNLJ_ALLOWED = {
     "rfm_purchase_segments_approx",  # 1-row percentile-boundary broadcast cross join
     "docs_token_heavy_hitters",  # 1-row stream-total broadcast cross join
     "events_hourly_gapfill",  # 1-row hour-bounds broadcast cross join (spine)
+    "events_hourly_anomalies",  # same 1-row hour-bounds spine broadcast
+    "docs_weighted_sample",  # 1-row grand-total broadcast (mix-weight chain)
 }
 
 _ALL = sorted(REGISTRY)
