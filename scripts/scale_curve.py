@@ -46,6 +46,10 @@ QUERIES = [
     "docs_dedup_keep_best",
     "docs_dup_spans",
     "embedding_near_dup_pairs",
+    # r6: the salted copies grow the LM vocab and bigram stream ~10x — the
+    # right stress for the bigram join and the sketch's candidate sets.
+    "docs_bigram_plausibility",
+    "docs_token_heavy_hitters",
 ]
 N_RUNS = 3
 

@@ -76,12 +76,20 @@ def test_never_verified_queries_inside_driver_window():
 
 
 def test_tail_only_contains_recently_green_queries():
-    """Only queries green in the most recent round may be parked outside the
-    window — and the rotation will cycle them back in as others go green."""
+    """Only recently-green queries may be parked outside the window — and
+    the rotation will cycle them back in as others go green. With N
+    registered queries and a 50-query window, a full verification cycle
+    takes ceil(N/50) rounds, so the achievable freshness bound for parked
+    queries is ceil((N-50)/50) rounds of staleness (exactly 1 while the
+    catalog fit in 100; 2 from the r6 catalog of 106)."""
     last_green = _green_by_round()
     latest = max(last_green.values(), default=0)
-    stale = [n for n in DRIVER_WINDOW_TAIL if last_green.get(n, -1) != latest]
-    assert not stale, f"stale/never-green queries parked outside window: {stale}"
+    max_lag = -(-(len(REGISTRY) - DRIVER_QUERY_CAP) // DRIVER_QUERY_CAP)
+    floor = latest - (max_lag - 1)
+    stale = [n for n in DRIVER_WINDOW_TAIL if last_green.get(n, -1) < floor]
+    assert not stale, (
+        f"queries parked outside window with last green row < r{floor}: {stale}"
+    )
 
 
 def _reconstruct_tail(round_n: int) -> list[str]:
@@ -104,17 +112,36 @@ def _reconstruct_tail(round_n: int) -> list[str]:
 
 
 def test_window_rotation_coverage():
-    """Everything outside round N-1's window must be inside round N's —
-    i.e. no query goes unchecked two rounds in a row. Runs against the
-    committed driver artifacts, so the invariant is re-proven every round."""
+    """Rotation keeps every query's staleness at the achievable minimum.
+    While the universe fit in 2x the window (<=100 queries), nothing may go
+    unchecked two rounds in a row. Beyond that, up to (N - 100) queries
+    MUST be double-parked each round — but only the freshest may be (green
+    exactly two rounds back, i.e. as fresh as a double-parked query can
+    possibly be). Runs against the committed driver artifacts, so the
+    invariant is re-proven every round."""
     rounds = _rounds()
     for rnd in sorted(rounds):
         if rnd <= _FIRST_ROTATED_ROUND:
             continue
+        universe = set()
+        for r2, data in rounds.items():
+            if r2 <= rnd:
+                universe.update(data.keys())
         prev_tail = set(_reconstruct_tail(rnd - 1))
         checked = set(rounds[rnd].keys())
         unchecked_twice = prev_tail - checked
-        assert not unchecked_twice, (
-            f"round {rnd} left round {rnd - 1}'s parked queries unchecked: "
+        max_leftover = max(0, len(universe) - 2 * DRIVER_QUERY_CAP)
+        assert len(unchecked_twice) <= max_leftover, (
+            f"round {rnd} left round {rnd - 1}'s parked queries unchecked "
+            f"beyond the {max_leftover} the window size forces: "
             f"{sorted(unchecked_twice)}"
         )
+        if unchecked_twice:
+            last_green = _green_by_round(upto=rnd - 1)
+            not_freshest = [
+                n for n in unchecked_twice if last_green.get(n, -1) < rnd - 2
+            ]
+            assert not not_freshest, (
+                f"round {rnd} double-parked queries that were already stale: "
+                f"{sorted(not_freshest)}"
+            )
