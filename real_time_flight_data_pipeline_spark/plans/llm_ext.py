@@ -1696,3 +1696,298 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "weight", "bucket")
     )
+
+
+# ===========================================================================
+# SemDeDup (r6): semantic dedup via cluster-blocked cosine — assign
+# normalized embeddings to codebook cells, compare pairs ONLY within a
+# cell, drop the higher-id member of any pair above the similarity
+# threshold. The quadratic term is bounded by cell size (pick K so cells
+# stay O(corpus/K)); no all-pairs join exists anywhere in the plan.
+# ===========================================================================
+_SEM_TAU = 0.99
+_SEM_K = 8
+
+
+def _sem_oracle() -> str:
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding::DOUBLE[], x -> x * 1.01) AS v
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    normed AS (
+      SELECT vec_id, list_transform(v, x -> x / n) AS vn
+      FROM (SELECT *, sqrt(list_dot_product(v, v)) AS n FROM corpus)
+    ),
+    cents AS (
+      SELECT vec_id AS cid, vn AS cv FROM normed
+      WHERE vec_id BETWEEN 0 AND {_SEM_K - 1}
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 (list_dot_product(e.vn, e.vn) - 2*list_dot_product(e.vn, c.cv)
+                  + list_dot_product(c.cv, c.cv)), c.cid) AS rn
+        FROM normed e CROSS JOIN cents c) WHERE rn = 1
+    ),
+    cells AS (
+      SELECT a.vec_id, a.cid, n.vn
+      FROM assign a JOIN normed n ON n.vec_id = a.vec_id
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.vn, b.vn), 6) >= {_SEM_TAU}
+    )
+    SELECT c.vec_id, c.cid,
+           (c.vec_id IN (SELECT vec_id FROM dups)) AS is_dup
+    FROM cells c
+    """
+
+
+@_register(
+    "embedding_semdedup",
+    _sem_oracle(),
+    "SemDeDup (Abbas'23): semantic near-duplicate removal with the "
+    "quadratic term bounded by CLUSTER blocking. Normalize once behind a "
+    "barrier, assign each vector to its nearest codebook cell (broadcast "
+    f"{_SEM_K}-row codebook, argmin-L2 with cid tie-break — no corpus "
+    "shuffle), then self-join ONLY within a cell and mark the higher-id "
+    f"member of any pair with cosine >= {_SEM_TAU} as the duplicate to "
+    "drop (lowest-id representative survives, deterministic). Corpus is "
+    "augmented with scale-variant copies (x1.01 of every 10th vector) so "
+    "the dup set is non-trivial, same augmentation as "
+    "embedding_near_dup_pairs. At 100 TB: K grows with the corpus so "
+    "cell size stays bounded (SemDeDup's own recipe), the cell self-join "
+    "shuffles on cid, and the codebook stays a broadcast — the plan "
+    "never materializes O(n^2) candidates",
+    reference="[NORTH-STAR] semantic dedup (SemDeDup, Abbas et al. 2023); "
+    "composes the kmeans/IVF codebook machinery with the near-dup verify",
+    tags=("dedup", "similarity", "northstar"),
+)
+def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(F.col("v"), lambda x: x * 1.01).alias("v"),
+        )
+    )
+    # Normalize once; barrier so the K cell-distance expressions and both
+    # self-join sides reuse the normalized column instead of re-deriving it
+    # (same CollapseProject guard as embedding_near_dup_pairs).
+    normed = (
+        corpus.withColumn("n", V.norm(F.col("v")))
+        .select(
+            "vec_id",
+            F.transform(F.col("v"), lambda x: x / F.col("n")).alias("vn"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cents = normed.filter(F.col("vec_id").between(0, _SEM_K - 1)).select(
+        F.col("vec_id").alias("cid"), F.col("vn").alias("cv")
+    )
+    d2 = (
+        V.dot(F.col("vn"), F.col("vn"))
+        - 2 * V.dot(F.col("vn"), F.col("cv"))
+        + V.dot(F.col("cv"), F.col("cv"))
+    )
+    assign = (
+        normed.join(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                "cid", F.struct(d2.alias("d"), F.col("cid").alias("c"))
+            ).alias("cid")
+        )
+    )
+    cells = assign.join(normed, "vec_id").localCheckpoint(eager=True)
+    # ^ eager: the cell table feeds both self-join sides and the final
+    # projection; materializing the (vec_id, cid, vn) rows once makes the
+    # self-join a pure cid-key shuffle (same measured pattern as the LSH
+    # band table).
+    a = cells.alias("a")
+    b = cells.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            F.round(V.dot(F.col("a.vn"), F.col("b.vn")), 6) >= _SEM_TAU
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .dropDuplicates()
+    )
+    return cells.select("vec_id", "cid").join(
+        dups.withColumn("is_dup", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id", "cid", F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup")
+    )
+
+
+# ===========================================================================
+# Product quantization + ADC recall (r6): the memory-bound half of IVF-PQ.
+# Split each vector into M subspaces, quantize each subspace to a small
+# codebook, score candidates by Asymmetric Distance Computation — the sum
+# of precomputed query-to-centroid subspace distances — and measure
+# recall@10 against the exact L2 scan. Fixed-point (1e-6) subspace
+# distances make the ADC sum exact integer math, so ranking ties and the
+# recall number are bit-identical cross-engine.
+# ===========================================================================
+_PQ_M = 4          # subspaces
+_PQ_SUB = 16       # dims per subspace (64 / 4)
+_PQ_K = 8          # codes per subspace codebook
+_PQ_SCALE = 1_000_000
+
+
+def _pq_oracle() -> str:
+    subs_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, x[{m * _PQ_SUB + 1}:{(m + 1) * _PQ_SUB}] AS xs FROM e"
+        for m in range(_PQ_M)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    subs AS ({subs_rows}),
+    cents AS (
+      SELECT m, vec_id AS c, xs AS cs FROM subs
+      WHERE vec_id BETWEEN 0 AND {_PQ_K - 1}
+    ),
+    qs AS (SELECT m, xs AS qsub FROM subs WHERE vec_id = 0),
+    centd AS (
+      SELECT c.m, c.c, c.cs,
+             CAST(round((list_dot_product(q.qsub, q.qsub)
+                         - 2*list_dot_product(q.qsub, c.cs)
+                         + list_dot_product(c.cs, c.cs)) * {_PQ_SCALE})
+                  AS BIGINT) AS qd_fp
+      FROM cents c JOIN qs q ON q.m = c.m
+    ),
+    assign AS (
+      SELECT vec_id, m, qd_fp FROM (
+        SELECT s.vec_id, s.m, cd.qd_fp,
+               row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 (list_dot_product(s.xs, s.xs) - 2*list_dot_product(s.xs, cd.cs)
+                  + list_dot_product(cd.cs, cd.cs)), cd.c) AS rn
+        FROM subs s JOIN centd cd ON cd.m = s.m) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT vec_id, CAST(SUM(qd_fp) AS BIGINT) AS adc_fp
+      FROM assign GROUP BY vec_id
+    ),
+    pq10 AS (SELECT vec_id FROM adc ORDER BY adc_fp, vec_id LIMIT 10),
+    qfull AS (SELECT x AS qx FROM e WHERE vec_id = 0),
+    exact10 AS (
+      SELECT e.vec_id FROM e CROSS JOIN qfull
+      ORDER BY round(list_dot_product(e.x, e.x) - 2*list_dot_product(e.x, qx)
+                     + list_dot_product(qx, qx), 6), e.vec_id
+      LIMIT 10
+    )
+    SELECT CAST(10 AS INTEGER) AS k,
+           CAST(count(*) AS BIGINT) AS hits,
+           CAST(count(*) AS DOUBLE) / 10 AS recall_at_10
+    FROM exact10 WHERE vec_id IN (SELECT vec_id FROM pq10)
+    """
+
+
+@_register(
+    "embedding_pq_adc_recall",
+    _pq_oracle(),
+    f"Product quantization, measured: {_PQ_M}x{_PQ_SUB}-dim subspaces, "
+    f"{_PQ_K}-code training-free codebooks (low-id subvectors — "
+    "embedding_kmeans_2iter is the trained upgrade path), ADC scoring, "
+    "and recall@10 against the exact L2 scan as the single output row. "
+    "ADC is the memory-bound web-scale ANN trick: each DB vector "
+    "collapses to M one-byte codes, the query precomputes an "
+    f"O({_PQ_M}x{_PQ_K}) distance table (broadcast, tiny), and scoring "
+    "is M table lookups + an integer sum — never touching raw vectors. "
+    "Subspace distances are fixed-pointed to 1e-6 BEFORE summing so the "
+    "ADC total is exact long arithmetic (no float accumulation order "
+    "hazard across the M partials), making rank ties — and therefore "
+    "recall — bit-identical cross-engine. At 100 TB: codes live with "
+    "the data (4 bytes/vector here vs 256 raw), the distance table "
+    "broadcasts, encode is one scan, and top-k is "
+    "TakeOrderedAndProject; pair with IVF cells for the full IVF-PQ",
+    reference="[NORTH-STAR] PQ/ADC (Jegou'11 'Product Quantization for "
+    "Nearest Neighbor Search'); completes the ANN ladder exact -> LSH -> "
+    "IVF -> trained-IVF -> PQ",
+    tags=("similarity", "northstar"),
+)
+def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _km_load(spark, sf_dir)
+    subs = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(F.col("x"), m * _PQ_SUB + 1, _PQ_SUB).alias("xs"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.xs")
+    cents = subs.filter(F.col("vec_id").between(0, _PQ_K - 1)).select(
+        "m", F.col("vec_id").alias("c"), F.col("xs").alias("cs")
+    )
+    qs = subs.filter(F.col("vec_id") == 0).select(
+        "m", F.col("xs").alias("qsub")
+    )
+    qd = (
+        V.dot(F.col("qsub"), F.col("qsub"))
+        - 2 * V.dot(F.col("qsub"), F.col("cs"))
+        + V.dot(F.col("cs"), F.col("cs"))
+    )
+    centd = (
+        cents.join(F.broadcast(qs), "m")
+        .select(
+            "m",
+            "c",
+            "cs",
+            F.round(qd * _PQ_SCALE).cast("long").alias("qd_fp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    d2 = (
+        V.dot(F.col("xs"), F.col("xs"))
+        - 2 * V.dot(F.col("xs"), F.col("cs"))
+        + V.dot(F.col("cs"), F.col("cs"))
+    )
+    assign = (
+        subs.join(F.broadcast(centd), "m")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min_by(
+                "qd_fp", F.struct(d2.alias("d"), F.col("c").alias("c"))
+            ).alias("qd_fp")
+        )
+    )
+    adc = assign.groupBy("vec_id").agg(F.sum("qd_fp").alias("adc_fp"))
+    pq10 = adc.orderBy("adc_fp", "vec_id").limit(10).select("vec_id")
+    qfull = e.filter(F.col("vec_id") == 0).select(F.col("x").alias("qx"))
+    ed2 = (
+        V.dot(F.col("x"), F.col("x"))
+        - 2 * V.dot(F.col("x"), F.col("qx"))
+        + V.dot(F.col("qx"), F.col("qx"))
+    )
+    exact10 = (
+        e.join(F.broadcast(qfull))
+        .select("vec_id", F.round(ed2, 6).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    return exact10.join(pq10, "vec_id", "semi").agg(
+        F.lit(10).alias("k"),
+        F.count(F.lit(1)).alias("hits"),
+        (F.count(F.lit(1)).cast("double") / 10).alias("recall_at_10"),
+    )

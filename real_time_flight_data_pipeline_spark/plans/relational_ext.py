@@ -1856,3 +1856,200 @@ def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(9) * (F.col("nh") * F.col("ss") - F.col("s") * F.col("s"))
         ).alias("is_outlier"),
     )
+
+
+# ===========================================================================
+# TPC-H-shaped decision-support tier (r6): the three classic query shapes
+# the catalog did not yet cover — returned-items top-k revenue (Q10),
+# small-quantity correlated-average scalar rollup (Q17), and the
+# scalar-subquery + anti-join segment report (Q22). All money math in exact
+# long cents; one IEEE division max per output column.
+# ===========================================================================
+@_register(
+    "returned_item_revenue_topk",
+    """
+    WITH rev AS (
+      SELECT o.o_custkey,
+             CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+        AND l.l_shipdate >= TIMESTAMP '1999-01-01'
+        AND l.l_shipdate < TIMESTAMP '2000-01-01'
+      GROUP BY o.o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, n.n_name, c.c_mktsegment,
+           CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           rev.rev_cents
+    FROM rev
+    JOIN customer c ON c.c_custkey = rev.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ORDER BY rev.rev_cents DESC, c.c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10 shape: revenue lost to returns per customer inside a "
+    "shipdate year, top-20 by revenue with customer/nation context. Plan: "
+    "the returnflag+date filters push into the lineitem scan, the "
+    "lineitem-orders join shuffles only the filtered slice, the per-"
+    "customer aggregate is map-combined, and the two dimension joins "
+    "broadcast (customer rows after the aggregate are O(customers-with-"
+    "returns), nation is 25 rows); the final top-20 is "
+    "TakeOrderedAndProject, never a global sort. Exact long-cents revenue "
+    "with the round-then-sum idiom",
+    reference="SURVEY.md §2.11 (decision-support shapes absent in "
+    "reference; added) — TPC-H Q10 analogue on the driver testdata",
+    tags=("J1", "A6", "topk", "tpch"),
+)
+def q_returned_item_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        li.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+        )
+        .join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("rev_cents")
+        )
+    )
+    return (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+            "rev_cents",
+        )
+        .orderBy(F.desc("rev_cents"), "c_custkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "brand_small_qty_revenue",
+    """
+    WITH pq AS (
+      SELECT l_partkey,
+             CAST(CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_small,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS rev_cents_sum
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13' AND l.l_quantity < 0.2 * pq.avg_qty
+    """,
+    "TPC-H Q17 shape: revenue from small-quantity line items, where "
+    "'small' is correlated to the PART's OWN average quantity (< 20% of "
+    "it). Decorrelated the way Catalyst rewrites it: a per-part average "
+    "aggregate (map-combined, O(parts) output) joined back onto the "
+    "brand-filtered fact slice; the brand filter pushes into the part "
+    "scan and the part side broadcasts. The average is an exact integer "
+    "quantity sum with ONE IEEE division, and the 0.2x comparison is one "
+    "IEEE multiply, so the engine and oracle agree bit-for-bit. Single "
+    "scalar output row — the aggregate of the surviving slice",
+    reference="SURVEY.md §2.11 (correlated-aggregate decision-support "
+    "shape; added) — TPC-H Q17 analogue",
+    tags=("A6", "subquery", "tpch"),
+)
+def q_brand_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    pq = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.round(F.col("l_quantity")).cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    small = (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+            ),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(pq, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "rev_cents_sum"
+        ),
+    )
+
+
+@_register(
+    "idle_rich_customer_segments",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / count(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS totbal_cents
+    FROM customer c CROSS JOIN avg_bal
+    WHERE CAST(CAST(round(c.c_acctbal * 100) AS BIGINT) AS DOUBLE) > avg_bal.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-06-01'
+      )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    "TPC-H Q22 shape: above-average-balance customers with NO recent "
+    "orders, rolled up per market segment. Three classic sub-shapes in "
+    "one plan: a scalar aggregate subquery (1-row broadcast cross join, "
+    "never a shuffle), an anti join against the date-filtered orders "
+    "slice (the date predicate pushes into the orders scan so the anti "
+    "build side is the small recent slice), and a map-combined final "
+    "aggregate over O(segments) groups. Balance math in exact long "
+    "cents; the average is one IEEE division compared against exactly-"
+    "cast cents",
+    reference="SURVEY.md §2.11 (scalar-subquery + anti-join report; "
+    "added) — TPC-H Q22 analogue",
+    tags=("J6", "J7", "A6", "tpch"),
+)
+def q_idle_rich_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("a")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
+    ).select("o_custkey")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(cents.cast("double") > F.col("a"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(cents).alias("totbal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
