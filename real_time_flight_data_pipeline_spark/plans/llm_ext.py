@@ -1991,3 +1991,359 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("hits"),
         (F.count(F.lit(1)).cast("double") / 10).alias("recall_at_10"),
     )
+
+
+# ===========================================================================
+# Context-window chunking (r6): split each document into overlapping
+# token windows — the packing-adjacent stage that turns long documents
+# into training-context-sized pieces with deterministic provenance
+# (doc_id, chunk_idx, token span, content signature).
+# ===========================================================================
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 56  # 8-token overlap between consecutive chunks
+
+
+@_register(
+    "docs_chunk_windows",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {{toks}} AS toks FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) + 1, {_CHUNK_STRIDE}))
+             AS start_tok
+      FROM toks WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST((start_tok - 1) / {_CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+           CAST(start_tok AS INTEGER) AS start_tok,
+           CAST(least(start_tok + {_CHUNK_LEN} - 1, len(toks)) AS INTEGER)
+             AS end_tok,
+           CAST(len(toks[start_tok:least(start_tok + {_CHUNK_LEN} - 1, len(toks))])
+                AS INTEGER) AS n_tokens,
+           md5(array_to_string(
+                 toks[start_tok:least(start_tok + {_CHUNK_LEN} - 1, len(toks))],
+                 ' ')) AS chunk_sig
+    FROM starts
+    """.format(toks=_SQL_TOKS),
+    f"Sliding context-window chunking: each document becomes {_CHUNK_LEN}-"
+    f"token windows at stride {_CHUNK_STRIDE} (8-token overlap so no "
+    "training example straddles a hard boundary blind), with token-span "
+    "provenance and an md5 content signature per chunk — the unit the "
+    "packing stage (docs_sequence_packing) and dedup passes consume "
+    "downstream. One scan, tokenize once behind a projection barrier, "
+    "explode over per-doc start offsets; per-row expression work only, "
+    "shuffle-free — at 100 TB this is embarrassingly parallel and the "
+    "output keys (doc_id, chunk_idx) keep lineage exact",
+    reference="[NORTH-STAR] context-window chunking for LLM training "
+    "(pairs with docs_sequence_packing)",
+    tags=("text", "northstar"),
+)
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+    starts = toks.filter(F.size("toks") > 0).select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(_CHUNK_STRIDE))
+        ).alias("start_tok"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start_tok"), _CHUNK_LEN)
+    return starts.select(
+        "doc_id",
+        ((F.col("start_tok") - 1) / _CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.least(
+            F.col("start_tok") + _CHUNK_LEN - 1, F.size("toks")
+        ).cast("int").alias("end_tok"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_sig"),
+    )
+
+
+# ===========================================================================
+# Hashed linear quality classifier (r6): fastText-style scoring — hashed
+# unigram + bigram features, a broadcast-free weight lookup via the
+# hashing trick (the weight IS a hash-derived fixed-point value, so no
+# weight table ships anywhere), exact integer feature sums.
+# ===========================================================================
+def _clf_w_sql(feat: str, salt: str) -> str:
+    hashed = _sql_md5_long("'" + salt + ":' || " + feat)
+    return f"(({hashed}) % 2001 - 1000)"
+
+
+@_register(
+    "docs_quality_classifier_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {{toks}} AS toks FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS BIGINT) AS n_toks,
+             CAST(COALESCE(list_sum(list_transform(toks,
+                    t -> {_clf_w_sql('t', 'qw')})), 0) AS BIGINT) AS uni_sum,
+             CAST(COALESCE(list_sum(list_transform(
+                    CASE WHEN len(toks) >= 2
+                         THEN list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i+1])
+                         ELSE [] END,
+                    b -> {_clf_w_sql('b', 'qw2')})), 0) AS BIGINT) AS bi_sum
+      FROM toks
+    )
+    SELECT doc_id, lang, n_toks, uni_sum, bi_sum,
+           CASE WHEN n_toks > 0
+                THEN CAST(uni_sum + bi_sum AS DOUBLE) / n_toks
+                ELSE 0.0 END AS score,
+           (uni_sum + bi_sum > 0) AS is_good
+    FROM feats
+    """.format(toks=_SQL_TOKS),
+    "Model-based quality filtering via the hashing trick: a fastText-"
+    "style linear classifier where each unigram/bigram feature's weight "
+    "is derived from a domain-separated md5 hash (fixed-point in "
+    "[-1.000, 1.000] at 1e-3) — standing in for trained weights with "
+    "the exact same plan shape. Feature sums are exact long arithmetic "
+    "(order-free), the per-doc score is ONE IEEE division, and the "
+    "keep/drop decision compares integers so it is bit-exact. The real "
+    "deployment swaps the hash for a broadcast weight map lookup "
+    "(hashing-trick models need no vocabulary at all — the weight "
+    "vector is indexed by hash, which is why fastText scales); either "
+    "way the pass is one scan, zero shuffles, zero UDFs",
+    reference="[NORTH-STAR] model-based quality scoring (fastText-style "
+    "linear classifier with hashed n-gram features, Joulin'16)",
+    tags=("text", "northstar"),
+)
+def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "lang", TX.tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+
+    def w(col, salt):
+        return TX.md5_long(F.concat(F.lit(salt + ":"), col)) % 2001 - 1000
+
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.zip_with(
+            F.slice(F.col("toks"), 1, F.size("toks") - 1),
+            F.slice(F.col("toks"), 2, F.size("toks") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = toks.select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.aggregate(
+            F.transform(F.col("toks"), lambda t: w(t, "qw")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("uni_sum"),
+        F.aggregate(
+            F.transform(bigrams, lambda b: w(b, "qw2")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("bi_sum"),
+    )
+    total = F.col("uni_sum") + F.col("bi_sum")
+    return feats.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        "uni_sum",
+        "bi_sum",
+        F.when(F.col("n_toks") > 0, total.cast("double") / F.col("n_toks"))
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+        (total > 0).alias("is_good"),
+    )
+
+
+# ===========================================================================
+# BPE merge training, two rounds (r6): the tokenizer-training loop as a
+# distributed program. Each round: (1) count adjacent symbol pairs across
+# the corpus (map-combined shuffle, O(distinct pairs)); (2) pick the top
+# pair deterministically (count DESC, pair ASC — a 1-row TakeOrdered);
+# (3) apply the merge greedily left-to-right without overlap (the "a a a"
+# -> "a+a a" rule), which distributes as per-doc windows: candidate
+# positions, gaps-and-islands run ids, odd-parity positions merge;
+# (4) rebuild token arrays and recount. All counts are exact integers and
+# the greedy-application parity rule is engine-independent, so two full
+# BPE iterations are held to the bit-exact oracle bar.
+# ===========================================================================
+def _bpe_round_sql(src: str, r: int) -> str:
+    return f"""
+    pairs_{r} AS (
+      SELECT t.l AS l, t.r AS r, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_transform(range(1, len(toks)),
+               i -> struct_pack(l := toks[i], r := toks[i+1]))) AS t
+        FROM {src} WHERE len(toks) >= 2)
+      GROUP BY t.l, t.r
+    ),
+    top_{r} AS (SELECT l, r, cnt FROM pairs_{r} ORDER BY cnt DESC, l, r LIMIT 1),
+    cand_{r} AS (
+      SELECT p.doc_id, p.pos, p.tok, t.l, t.r, t.cnt,
+             (p.tok = t.l AND COALESCE(lead(p.tok) OVER
+                (PARTITION BY p.doc_id ORDER BY p.pos), '') = t.r) AS cand
+      FROM (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+                   unnest(toks) AS tok FROM {src}) p
+      CROSS JOIN top_{r} t
+    ),
+    isl_{r} AS (
+      SELECT *, CASE WHEN cand THEN pos - row_number() OVER
+                (PARTITION BY doc_id, cand ORDER BY pos) END AS run_id
+      FROM cand_{r}
+    ),
+    mrk_{r} AS (
+      SELECT *, cand AND (row_number() OVER
+                (PARTITION BY doc_id, run_id ORDER BY pos) % 2 = 1) AS m
+      FROM isl_{r}
+    ),
+    nxt_{r} AS (
+      SELECT doc_id, pos,
+             CASE WHEN m THEN tok || '+' || r ELSE tok END AS new_tok,
+             NOT COALESCE(lag(m) OVER
+                (PARTITION BY doc_id ORDER BY pos), false) AS keep
+      FROM mrk_{r}
+    ),
+    out_{r} AS (
+      SELECT doc_id, list(new_tok ORDER BY pos) AS toks
+      FROM nxt_{r} WHERE keep GROUP BY doc_id
+    )"""
+
+
+_BPE_ORACLE = f"""
+    WITH toks0 AS (
+      SELECT doc_id, {{toks}} AS toks FROM documents
+    ),
+    {_bpe_round_sql('toks0', 1)},
+    {_bpe_round_sql('out_1', 2)}
+    SELECT 1 AS round, t.l AS left_tok, t.r AS right_tok, t.cnt AS pair_count,
+           (SELECT CAST(SUM(len(toks)) AS BIGINT) FROM out_1) AS tokens_after
+    FROM top_1 t
+    UNION ALL
+    SELECT 2, t.l, t.r, t.cnt,
+           (SELECT CAST(SUM(len(toks)) AS BIGINT) FROM out_2)
+    FROM top_2 t
+    """.format(toks=_SQL_TOKS)
+
+
+def _bpe_round(toks_df: DataFrame):
+    """One BPE round on (doc_id, toks): returns (merged toks_df, 1-row
+    merge-info df with l, r, cnt)."""
+    n = F.size("toks")
+    pairs = (
+        toks_df.filter(n >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, n - 1),
+                    F.slice(F.col("toks"), 2, n - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p")
+        )
+        .groupBy("p.l", "p.r")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).localCheckpoint(eager=False)
+    pos = toks_df.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    cand_df = pos.join(F.broadcast(top)).withColumn(
+        "cand",
+        (F.col("tok") == F.col("l"))
+        & (F.coalesce(F.lead("tok").over(wdoc), F.lit("")) == F.col("r")),
+    )
+    isl = cand_df.withColumn(
+        "run_id",
+        F.when(
+            F.col("cand"),
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id", "cand").orderBy("pos")
+            ),
+        ),
+    )
+    mrk = isl.withColumn(
+        "m",
+        F.col("cand")
+        & (
+            F.row_number().over(
+                Window.partitionBy("doc_id", "run_id").orderBy("pos")
+            )
+            % 2
+            == 1
+        ),
+    )
+    nxt = mrk.select(
+        "doc_id",
+        "pos",
+        F.when(F.col("m"), F.concat_ws("+", F.col("tok"), F.col("r")))
+        .otherwise(F.col("tok"))
+        .alias("new_tok"),
+        (~F.coalesce(F.lag("m").over(wdoc), F.lit(False))).alias("keep"),
+    )
+    merged = (
+        nxt.filter("keep")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", F.col("new_tok").alias("t")))
+                ),
+                lambda s: s.t,
+            ).alias("toks")
+        )
+        .localCheckpoint(eager=True)
+    )
+    # ^ eager: round 2's pair count, candidate explode, and the token
+    # recount all read this; materializing ends round 1's window lineage.
+    return merged, top
+
+
+@_register(
+    "docs_bpe_top_merges",
+    _BPE_ORACLE,
+    "Two rounds of BPE merge training run as a distributed program: "
+    "exact corpus-wide adjacent-pair counts (one map-combined shuffle, "
+    "O(distinct pairs)), a deterministic top-merge pick (count DESC, "
+    "pair ASC — 1-row TakeOrdered broadcast), and GREEDY NON-OVERLAPPING "
+    "merge application distributed as per-doc windows (candidate flags, "
+    "gaps-and-islands run ids, odd-parity-in-run positions merge — the "
+    "exact 'a a a' -> 'a+a a' left-to-right rule). Output: per round, "
+    "the chosen pair, its count, and the corpus token total after "
+    "applying it — all exact integers. At 100 TB: per-round cost is one "
+    "pair-count shuffle plus doc-partitioned window work (BPE's "
+    "sequential greedy rule only ever needs per-document ordering, so "
+    "parallelism is per-doc); the merge table itself stays a broadcast. "
+    "This is the merges.txt producer whose consumer-side twin is the "
+    "bpe_ish token counter in functions/text.py",
+    reference="[NORTH-STAR] tokenizer training (BPE, Sennrich'16) — the "
+    "iterative-algorithm tier alongside embedding_kmeans_2iter",
+    tags=("text", "northstar", "iterative"),
+)
+def q_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks0 = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+    out1, top1 = _bpe_round(toks0)
+    out2, top2 = _bpe_round(out1)
+    rows = []
+    for rnd, out, top in ((1, out1, top1), (2, out2, top2)):
+        after = out.agg(F.sum(F.size("toks")).cast("long").alias("tokens_after"))
+        rows.append(
+            top.join(F.broadcast(after)).select(
+                F.lit(rnd).alias("round"),
+                F.col("l").alias("left_tok"),
+                F.col("r").alias("right_tok"),
+                F.col("cnt").alias("pair_count"),
+                "tokens_after",
+            )
+        )
+    return rows[0].unionByName(rows[1])

@@ -33,6 +33,7 @@ _BNLJ_ALLOWED = {
     "docs_weighted_sample",  # 1-row grand-total broadcast (mix-weight chain)
     "idle_rich_customer_segments",  # 1-row avg-balance scalar broadcast cross join
     "embedding_pq_adc_recall",  # 1-row query-vector broadcast (exact-scan baseline side)
+    "docs_bpe_top_merges",  # 1-row top-merge-pair + tokens-after broadcasts per round
 }
 
 _ALL = sorted(REGISTRY)
