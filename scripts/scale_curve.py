@@ -50,6 +50,11 @@ QUERIES = [
     # right stress for the bigram join and the sketch's candidate sets.
     "docs_bigram_plausibility",
     "docs_token_heavy_hitters",
+    # r6b: the two new heavy corpus passes. embedding_semdedup's data-
+    # derived K = ceil(sqrt(n)/2) predicts alpha ~ 1.5 (the flat-codebook
+    # bound); docs_bpe_top_merges should track the token stream ~linearly.
+    "embedding_semdedup",
+    "docs_bpe_top_merges",
 ]
 N_RUNS = 3
 
