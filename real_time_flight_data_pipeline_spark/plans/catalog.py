@@ -891,3 +891,108 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
     )
+
+
+# ===========================================================================
+# Semi-structured schema-drift monitor (r6): the guard the reference's
+# fixed-StructType stance (P2) needs in production — per-key presence,
+# value-shape histogram, and distinct-value counts over a JSON props
+# column whose schema is NOT declared. Drift variants are synthesized
+# deterministically in-query (a new "tag" key on every 5th event, a
+# string-typed "k" on every 11th) so the monitor has real drift to catch,
+# same inline-augmentation idiom as embedding_near_dup_pairs.
+# ===========================================================================
+@_register(
+    "events_props_schema_drift",
+    """
+    WITH drifted AS (
+      SELECT event_id,
+             CASE
+               WHEN event_id % 11 = 0 THEN
+                 '{"k": "' || json_extract_string(props, '$.k') || 's"}'
+               WHEN event_id % 5 = 0 THEN
+                 '{"k": ' || json_extract_string(props, '$.k')
+                 || ', "tag": "v' ||
+                 CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7
+                      AS VARCHAR) || '"}'
+               ELSE props
+             END AS props
+      FROM events
+    ),
+    kv AS (
+      SELECT d.event_id, k.key,
+             json_extract_string(d.props, '$."' || k.key || '"') AS val
+      FROM drifted d, (SELECT event_id, unnest(json_keys(props)) AS key
+                       FROM drifted) k
+      WHERE d.event_id = k.event_id
+    )
+    SELECT key,
+           CAST(count(*) AS BIGINT) AS n_present,
+           CAST(count(*) FILTER (regexp_full_match(val, '-?[0-9]+'))
+                AS BIGINT) AS n_int_shaped,
+           CAST(count(*) FILTER (regexp_full_match(val, '-?[0-9]*\\.[0-9]+'))
+                AS BIGINT) AS n_float_shaped,
+           CAST(count(*) FILTER (NOT regexp_full_match(val, '-?[0-9]+')
+                AND NOT regexp_full_match(val, '-?[0-9]*\\.[0-9]+'))
+                AS BIGINT) AS n_other,
+           CAST(count(DISTINCT val) AS BIGINT) AS n_distinct
+    FROM kv
+    GROUP BY key
+    ORDER BY key
+    """,
+    "Schema-drift monitor for an undeclared JSON column: parse each blob "
+    "as map<string,string> (no StructType — the point is to catch keys "
+    "nobody declared), explode entries, and roll up per key: presence, "
+    "value-SHAPE histogram (int-shaped / float-shaped / other via full-"
+    "match regex — catches the every-11th-event type drift where k "
+    "becomes a string), and exact distinct-value counts. One scan + one "
+    "map-combined aggregate keyed on (key); output is O(distinct keys). "
+    "At 100 TB this is the cheap always-on guard in front of the fixed-"
+    "schema from_json stage (P2): the reference silently NULLs drifted "
+    "fields, this query makes drift observable",
+    reference="flight_stream.py:106-144 + :203 (declared-schema parse "
+    "whose failure mode — silent NULLs — this monitor detects); SURVEY "
+    "§1.2 'never infer'",
+    tags=("P2", "quality"),
+)
+def q_props_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    drifted = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 11 == 0,
+            F.concat(F.lit('{"k": "'), k, F.lit('s"}')),
+        )
+        .when(
+            F.col("event_id") % 5 == 0,
+            F.concat(
+                F.lit('{"k": '),
+                k,
+                F.lit(', "tag": "v'),
+                (k.cast("long") % 7).cast("string"),
+                F.lit('"}'),
+            ),
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    kv = drifted.select(
+        "event_id",
+        F.explode(F.from_json("props", "map<string,string>")).alias(
+            "key", "val"
+        ),
+    )
+    is_int = F.col("val").rlike("^-?[0-9]+$")
+    is_float = F.col("val").rlike("^-?[0-9]*\\.[0-9]+$")
+    return (
+        kv.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(is_int.cast("long")).alias("n_int_shaped"),
+            F.sum(is_float.cast("long")).alias("n_float_shaped"),
+            F.sum((~is_int & ~is_float).cast("long")).alias("n_other"),
+            F.count_distinct("val").alias("n_distinct"),
+        )
+        .orderBy("key")
+    )

