@@ -2581,3 +2581,154 @@ def q_embedding_semdedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+# ===========================================================================
+# Bloom-filter decontamination (r6): the compressed-membership variant of
+# docs_decontaminate. The broadcast gram SET works while the eval set is
+# small; at 100 TB the eval corpus's distinct grams can run to billions,
+# and the scalable form is a Bloom filter — fixed bits, zero false
+# negatives, a known false-positive tax. Built here from deterministic
+# md5-derived bit positions (not the JVM's internal bloom), so DuckDB
+# computes the IDENTICAL filter and the oracle verifies the whole thing —
+# false positives included — bit-for-bit, alongside the exact counts so
+# the FP tax is a measured column.
+# ===========================================================================
+_BLOOM_M = 16384  # bits
+_BLOOM_K = 3      # hash functions
+
+
+def _bloom_oracle() -> str:
+    def pos(i: int, gh: str) -> str:
+        h = f"md5('bf{i}:' || CAST({gh} AS VARCHAR))"
+        return f"(('0x' || substring({h}, 1, 15))::BIGINT % {_BLOOM_M})"
+
+    bench_pos = " UNION ALL ".join(
+        f"SELECT {pos(i, 'gh')} AS p FROM bench" for i in range(_BLOOM_K)
+    )
+    gram_flag = " AND ".join(
+        f"{pos(i, 'gh')} IN (SELECT p FROM bits)" for i in range(_BLOOM_K)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT ('0x' || substring(md5(g), 1, 15))::BIGINT AS gh FROM (
+        SELECT unnest({_sql_ngrams(f'toks[{_DECON_SLICE_START}:{_DECON_SLICE_START + _DECON_SLICE_LEN - 1}]', _DECON_N)}) AS g
+        FROM toks WHERE doc_id % 13 = 0)
+    ),
+    bits AS (SELECT DISTINCT p FROM ({bench_pos})),
+    dgrams AS (
+      SELECT doc_id, n_grams,
+             ('0x' || substring(md5(g), 1, 15))::BIGINT AS gh
+      FROM (
+        SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM (
+          SELECT doc_id,
+                 list_distinct({_sql_ngrams('toks', _DECON_N)}) AS gs
+          FROM toks))
+    ),
+    flagged AS (
+      SELECT doc_id, n_grams, gh,
+             ({gram_flag}) AS bloom_hit,
+             gh IN (SELECT gh FROM bench) AS exact_hit
+      FROM dgrams
+    )
+    SELECT doc_id,
+           CAST(max(n_grams) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (bloom_hit) AS BIGINT) AS n_hit_bloom,
+           CAST(count(*) FILTER (exact_hit) AS BIGINT) AS n_hit_exact,
+           CAST(count(*) FILTER (bloom_hit AND NOT exact_hit) AS BIGINT)
+             AS n_false_pos
+    FROM flagged
+    GROUP BY doc_id
+    HAVING count(*) FILTER (bloom_hit) > 0
+    """
+
+
+@_register(
+    "docs_decontaminate_bloom",
+    _bloom_oracle(),
+    f"Decontamination through a {_BLOOM_M}-bit / {_BLOOM_K}-hash Bloom "
+    "filter instead of the broadcast gram set: benchmark grams set bits "
+    "(distinct positions, a tiny broadcast), corpus grams are flagged "
+    "when ALL their positions are set — zero false negatives by "
+    "construction, and the false-positive tax is REPORTED per doc "
+    "(n_hit_bloom vs n_hit_exact vs n_false_pos) rather than assumed. "
+    "Bit positions are domain-separated md5 hashes, so the filter is a "
+    "pure deterministic function both engines compute identically — the "
+    "oracle verifies the Bloom behavior itself, FPs included. At 100 TB "
+    "the eval set's distinct grams outgrow any broadcastable set; "
+    f"{_BLOOM_M} bits here stand in for the gigabit filter that still "
+    "ships to every executor while the exact set cannot — same plan "
+    "shape as docs_decontaminate (one corpus scan, map-side membership, "
+    "one aggregate), different memory ceiling",
+    reference="[NORTH-STAR] Bloom-filter membership at scale (pairs with "
+    "docs_decontaminate's broadcast-set form and the runtime bloom-join "
+    "pruning proven in tests/test_runtime_bloom_filter.py)",
+    tags=("dedup", "northstar", "quality"),
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks, bench_grams = _decon_inputs(spark, sf_dir)
+
+    def pos(i: int):
+        return TX.md5_long(
+            F.concat(F.lit(f"bf{i}:"), F.col("gh").cast("string"))
+        ) % _BLOOM_M
+
+    bits = (
+        bench_grams.select(
+            F.explode(F.array(*[pos(i) for i in range(_BLOOM_K)])).alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bench_set = bench_grams.withColumn("exact_hit", F.lit(True))
+    dgrams = (
+        toks.select(
+            "doc_id",
+            F.array_distinct(TX.shingles(F.col("toks"), _DECON_N)).alias("gs"),
+        )
+        .select(
+            "doc_id",
+            F.size("gs").alias("n_grams"),
+            F.explode("gs").alias("g"),
+        )
+        .withColumn("gh", TX.md5_long(F.col("g")))
+    )
+    bitset = bits.withColumn("set_", F.lit(True))
+    flagged = dgrams
+    for i in range(_BLOOM_K):
+        flagged = (
+            flagged.withColumn("p", pos(i))
+            .join(
+                F.broadcast(bitset.withColumnRenamed("set_", f"s{i}")),
+                "p",
+                "left",
+            )
+            .drop("p")
+        )
+    bloom_hit = None
+    for i in range(_BLOOM_K):
+        c = F.col(f"s{i}").isNotNull()
+        bloom_hit = c if bloom_hit is None else (bloom_hit & c)
+    flagged = flagged.withColumn("bloom_hit", bloom_hit).join(
+        F.broadcast(bench_set), "gh", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.max("n_grams").cast("long").alias("n_grams"),
+            F.sum(F.col("bloom_hit").cast("long")).alias("n_hit_bloom"),
+            F.sum(
+                F.coalesce(F.col("exact_hit"), F.lit(False)).cast("long")
+            ).alias("n_hit_exact"),
+            F.sum(
+                (
+                    F.col("bloom_hit")
+                    & ~F.coalesce(F.col("exact_hit"), F.lit(False))
+                ).cast("long")
+            ).alias("n_false_pos"),
+        )
+        .filter(F.col("n_hit_bloom") > 0)
+    )
