@@ -2105,3 +2105,163 @@ def q_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value(cents, 3).over(wf).alias("third_cents"),
         F.cume_dist().over(wo).alias("cdist"),
     )
+
+
+# ===========================================================================
+# Snapshot diff (r6): CDC-style change detection between two table
+# versions — the read-side twin of the merge/versioned-table machinery in
+# operators/merge.py + streaming/pipeline.py. Two snapshots are derived
+# deterministically from orders (v1 = orders before the cutoff; v2 = v1
+# with every 7th order's totalprice bumped 10% and the post-cutoff orders
+# arriving as inserts), then diffed with ONE keyed full outer join into
+# added / removed / changed / unchanged row classes.
+# ===========================================================================
+@_register(
+    "orders_snapshot_diff",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(round(o_totalprice * 110) AS BIGINT)
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+             END AS price_cents
+      FROM orders
+    )
+    SELECT
+      CASE
+        WHEN v1.o_orderkey IS NULL THEN 'added'
+        WHEN v2.o_orderkey IS NULL THEN 'removed'
+        WHEN v1.price_cents != v2.price_cents
+             OR v1.o_orderstatus != v2.o_orderstatus THEN 'changed'
+        ELSE 'unchanged'
+      END AS change_type,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(SUM(COALESCE(v2.price_cents, 0) - COALESCE(v1.price_cents, 0))
+           AS BIGINT) AS net_cents_delta
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    "CDC-style snapshot diff: one keyed FULL OUTER join classifies every "
+    "row of two table versions as added / removed / changed / unchanged "
+    "and accumulates the net value delta per class — the read-side audit "
+    "for the engine's versioned-parquet pointer-flip tables (the write "
+    "side is operators/merge.py; this is how a consumer reconciles two "
+    "pointers). Both snapshots derive deterministically from orders (v2 "
+    "bumps every 7th order's price 10% and gains the post-cutoff "
+    "inserts) so the oracle is exact; money in long cents, the delta is "
+    "pure integer arithmetic. Scale shape: both sides shuffle once on "
+    "the key (or co-located bucketing makes it shuffle-free — "
+    "tests/test_bucketing.py proves that layout), aggregate output is "
+    "4 rows",
+    reference="SURVEY.md §2.7 M7 (versioned tables) read-side "
+    "complement; [NORTH-STAR] CDC/snapshot reconciliation",
+    tags=("M7", "J8", "cdc"),
+)
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    v1 = orders.filter(
+        F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")
+    ).select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_orderstatus").alias("s1"),
+        cents.alias("p1"),
+    )
+    v2 = orders.select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_orderstatus").alias("s2"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.round(F.col("o_totalprice") * 110).cast("long"),
+        )
+        .otherwise(cents)
+        .alias("p2"),
+    )
+    change = (
+        F.when(F.col("k1").isNull(), F.lit("added"))
+        .when(F.col("k2").isNull(), F.lit("removed"))
+        .when(
+            (F.col("p1") != F.col("p2")) | (F.col("s1") != F.col("s2")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        v1.join(v2, F.col("k1") == F.col("k2"), "full_outer")
+        .select(
+            change.alias("change_type"),
+            (
+                F.coalesce(F.col("p2"), F.lit(0))
+                - F.coalesce(F.col("p1"), F.lit(0))
+            ).alias("delta"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("delta").alias("net_cents_delta"),
+        )
+        .orderBy("change_type")
+    )
+
+
+# ===========================================================================
+# Key-skew diagnostics (r6): the measurement that decides when a join or
+# aggregation needs the salting treatment (operators/skew.py). Per-key
+# cardinalities reduced to the skew signature: key count, hottest-key
+# share, top-10 share — exact integers plus one division per share.
+# ===========================================================================
+@_register(
+    "events_key_skew_stats",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    top10 AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS top10_c
+      FROM (SELECT c FROM c ORDER BY c DESC, user_id LIMIT 10)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c.c) AS BIGINT) AS n_rows,
+           CAST(MAX(c.c) AS BIGINT) AS max_key_rows,
+           CAST(MAX(c.c) AS DOUBLE) / SUM(c.c) AS max_key_share,
+           CAST(MAX(t.top10_c) AS DOUBLE) / SUM(c.c) AS top10_share
+    FROM c CROSS JOIN top10 t
+    """,
+    "Key-skew signature for the events fact keyed on user_id: distinct "
+    "keys, total rows, hottest key's row count, and the hot-key / top-10 "
+    "row shares — the diagnostic that decides whether a downstream "
+    "join/agg on this key needs salting (operators/skew.py) or AQE skew "
+    "handling. One map-combined aggregation to O(keys), a top-10 "
+    "TakeOrdered, and a 4-long-column reduction; shares are single IEEE "
+    "divisions over exact longs. At 100 TB this runs as a cheap profile "
+    "pass before the expensive job, not after it fails",
+    reference="[NORTH-STAR] skew profiling (pairs with "
+    "revenue_by_nation_skewsafe and operators/skew.py)",
+    tags=("A6", "skew"),
+)
+def q_events_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    top10 = (
+        c.orderBy(F.desc("c"), "user_id")
+        .limit(10)
+        .agg(F.sum("c").alias("top10_c"))
+    )
+    return (
+        c.join(F.broadcast(top10))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_key_rows"),
+            (F.max("c").cast("double") / F.sum("c")).alias("max_key_share"),
+            (F.max("top10_c").cast("double") / F.sum("c")).alias(
+                "top10_share"
+            ),
+        )
+    )

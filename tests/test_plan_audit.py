@@ -34,6 +34,7 @@ _BNLJ_ALLOWED = {
     "idle_rich_customer_segments",  # 1-row avg-balance scalar broadcast cross join
     "embedding_pq_adc_recall",  # 1-row query-vector broadcast (exact-scan baseline side)
     "docs_bpe_top_merges",  # 1-row top-merge-pair + tokens-after broadcasts per round
+    "events_key_skew_stats",  # 1-row top-10-sum broadcast cross join
 }
 
 _ALL = sorted(REGISTRY)
