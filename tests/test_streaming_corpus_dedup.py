@@ -70,3 +70,80 @@ def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
     # History survives as a new committed version (pointer flip), not an
     # in-place mutation.
     assert len(store.table.versions()) >= 2
+
+
+def _near_dup_input(spark):
+    """Documents plus exact copies (every 4th) and PERTURBED copies (every
+    5th doc with two appended tokens — Jaccard vs the original well above
+    the 0.5 detector threshold but a different fingerprint)."""
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    exact = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source"
+    )
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz zzzz")).alias("text"),
+        "lang",
+        "source",
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def test_near_dup_store_accepts_no_near_duplicates(spark, tmp_path):
+    """Invariant check with the CATALOG's own batch detector: after
+    streaming ingest through NearDupCorpusStore, running
+    near_dup_pairs_from over the accepted corpus finds ZERO pairs — the
+    store's screening and the batch detector agree on what a near-dup
+    is. Also: near-dups were actually present and dropped."""
+    from real_time_flight_data_pipeline_spark.plans.northstar import (
+        near_dup_pairs_from,
+    )
+    from real_time_flight_data_pipeline_spark.functions import text as TX
+    from real_time_flight_data_pipeline_spark.streaming.corpus import (
+        NearDupCorpusStore,
+        run_file_replay_corpus,
+    )
+
+    docs = _near_dup_input(spark)
+    src = tmp_path / "src"
+    docs.repartition(3).write.mode("overwrite").parquet(str(src))
+
+    store = NearDupCorpusStore(spark, str(tmp_path / "ndstore"))
+    run_file_replay_corpus(
+        spark, str(src), store, str(tmp_path / "ckpt"), docs.schema
+    )
+
+    accepted = store.read()
+    n_in, n_acc = docs.count(), accepted.count()
+    assert 0 < n_acc < n_in  # something accepted, something dropped
+
+    pairs = near_dup_pairs_from(
+        accepted.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    ).collect()
+    assert pairs == [], f"accepted corpus still contains near-dups: {pairs[:5]}"
+
+    # Nearly all perturbed copies are gone. NOT all: MinHash-LSH recall is
+    # below 1 by design (4 bands x 2 rows miss a j~0.8 pair with p~1.2%;
+    # doc 480's pair is a deterministic miss at these parameters), and the
+    # store's contract is agreement with the detector — asserted above —
+    # not perfect recall. 100 perturbed copies went in; allow a handful of
+    # deterministic LSH misses to coexist with their originals.
+    ids = {r.doc_id for r in accepted.select("doc_id").collect()}
+    coexisting = [i for i in ids if i + 200000 in ids]
+    assert len(coexisting) <= 5, coexisting
+
+
+def test_near_dup_store_replay_is_idempotent(spark, tmp_path):
+    from real_time_flight_data_pipeline_spark.streaming.corpus import (
+        NearDupCorpusStore,
+    )
+
+    docs = _near_dup_input(spark)
+    store = NearDupCorpusStore(spark, str(tmp_path / "ndstore"))
+    store.ingest_batch(docs)
+    first = sorted(map(tuple, store.read().collect()))
+    store.ingest_batch(docs)
+    second = sorted(map(tuple, store.read().collect()))
+    assert first == second
