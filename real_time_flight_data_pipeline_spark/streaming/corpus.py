@@ -43,14 +43,32 @@ CORPUS_SCHEMA = T.StructType(
 
 
 class CorpusStore:
-    """Accepted-document store with exact-dedup ingest."""
+    """Accepted-document store with exact-dedup ingest.
 
-    def __init__(self, spark: SparkSession, root: str, keep_versions: int = 2):
+    ``accept`` (optional) is a quality gate: a function of the batch
+    DataFrame returning a boolean Column; rows where it is false are
+    rejected BEFORE dedup, so a rejected document never claims a
+    fingerprint (a later better-quality duplicate can still land). This
+    is where the catalog's quality passes (classifier score, language /
+    repetition filters, decontamination flags) plug into ingest — the
+    gate runs inside the same scan, no extra job."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        keep_versions: int = 2,
+        accept=None,
+    ):
         self.spark = spark
+        self.accept = accept
         self.table = ParquetTable(spark, root, CORPUS_SCHEMA, keep_versions)
 
     def read(self) -> DataFrame:
         return self.table.read()
+
+    def _gated(self, batch: DataFrame) -> DataFrame:
+        return batch.filter(self.accept(batch)) if self.accept else batch
 
     def ingest_batch(self, batch: DataFrame) -> None:
         """Dedup ``batch`` within itself and against history, then commit.
@@ -59,7 +77,7 @@ class CorpusStore:
         fingerprint), so replays and retries converge to the same table
         contents — the exactly-once-via-idempotence contract the flight
         pipeline's fact merge uses (T3), applied to corpus curation."""
-        fp = batch.select(
+        fp = self._gated(batch).select(
             "doc_id",
             "text",
             "lang",
@@ -227,7 +245,7 @@ class NearDupCorpusStore(CorpusStore):
         )
 
     def ingest_batch(self, batch: DataFrame) -> None:
-        fp = batch.select(
+        fp = self._gated(batch).select(
             "doc_id",
             "text",
             "lang",

@@ -147,3 +147,28 @@ def test_near_dup_store_replay_is_idempotent(spark, tmp_path):
     store.ingest_batch(docs)
     second = sorted(map(tuple, store.read().collect()))
     assert first == second
+
+
+def test_ingest_quality_gate_rejects_before_dedup(spark, tmp_path):
+    """A gated-out document must never claim a fingerprint: if a short
+    (rejected) doc and a later acceptable doc share text... they can't by
+    construction, so assert the two observable properties instead: gated
+    docs are absent, and gating does not disturb dedup of accepted docs."""
+    from real_time_flight_data_pipeline_spark.functions import text as TX
+    from real_time_flight_data_pipeline_spark.streaming.corpus import (
+        CorpusStore,
+    )
+
+    docs = _input_docs(spark)
+    gate = lambda df: TX.token_count(F.col("text")) >= 12
+    store = CorpusStore(spark, str(tmp_path / "gated"), accept=gate)
+    store.ingest_batch(docs)
+
+    accepted = store.read()
+    n_short_in = docs.filter(TX.token_count(F.col("text")) < 12).count()
+    assert n_short_in > 0  # the gate had something to reject
+    assert accepted.filter(TX.token_count(F.col("text")) < 12).count() == 0
+    # Accepted set == gated batch deduped exactly (one row per fingerprint).
+    kept = docs.filter(TX.token_count(F.col("text")) >= 12)
+    n_fp = kept.select(F.md5("text")).distinct().count()
+    assert accepted.count() == n_fp
