@@ -2272,6 +2272,14 @@ def _bpe_round(toks_df: DataFrame):
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).localCheckpoint(eager=False)
+    return bpe_apply_merge(toks_df, top), top
+
+
+def bpe_apply_merge(toks_df: DataFrame, top: DataFrame) -> DataFrame:
+    """Greedy non-overlapping application of the 1-row (l, r) merge to
+    every (doc_id, toks) row — factored out of the round so the run-parity
+    window logic is property-testable against a sequential reference
+    (tests/test_properties.py)."""
     pos = toks_df.select(
         "doc_id", F.posexplode("toks").alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
@@ -2323,7 +2331,7 @@ def _bpe_round(toks_df: DataFrame):
     )
     # ^ eager: round 2's pair count, candidate explode, and the token
     # recount all read this; materializing ends round 1's window lineage.
-    return merged, top
+    return merged
 
 
 @_register(

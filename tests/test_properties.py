@@ -131,3 +131,49 @@ def test_minhash_union_is_min_of_minhashes(spark, cases, seed):
     ).collect()
     for r in out:
         assert r.mh_union == r.min_of_mh, f"case {r.case_id}: {r}"
+
+
+# ---------------------------------------------------------------------------
+# BPE greedy merge application: the distributed window formulation
+# (candidate flags -> run starts -> offset parity) must equal the
+# sequential left-to-right non-overlapping rule. Tiny alphabet forces
+# overlapping candidate runs ("a a a a"), the case the parity logic exists
+# for.
+# ---------------------------------------------------------------------------
+def _greedy_merge_ref(toks, l, r):
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+            out.append(f"{l}+{r}")
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    pair=st.sampled_from([("a", "a"), ("a", "b"), ("b", "a")]),
+)
+def test_bpe_apply_matches_sequential_greedy(spark, docs, pair):
+    from real_time_flight_data_pipeline_spark.plans.llm_ext import (
+        bpe_apply_merge,
+    )
+
+    l, r = pair
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, toks array<string>"
+    )
+    top = spark.createDataFrame([(l, r, 1)], "l string, r string, cnt long")
+    got = {
+        row.doc_id: row.toks
+        for row in bpe_apply_merge(df, top).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == _greedy_merge_ref(d, l, r), (i, d, l, r, got[i])
