@@ -2265,3 +2265,62 @@ def q_events_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ===========================================================================
+# Year-over-year growth (r6): the reporting staple — monthly revenue with
+# a 12-row lag comparison on the AGGREGATED month series. The lag window
+# runs on O(months) rows, never the fact table.
+# ===========================================================================
+@_register(
+    "lineitem_monthly_revenue_yoy",
+    """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY 1
+    )
+    SELECT month, rev_cents,
+           lag(rev_cents, 12) OVER (ORDER BY month) AS rev_cents_prev_year,
+           CASE WHEN lag(rev_cents, 12) OVER (ORDER BY month) > 0
+                THEN CAST(rev_cents - lag(rev_cents, 12) OVER (ORDER BY month)
+                          AS DOUBLE)
+                     / lag(rev_cents, 12) OVER (ORDER BY month)
+           END AS yoy_growth
+    FROM monthly
+    ORDER BY month
+    """,
+    "Monthly discounted revenue with year-over-year comparison: one "
+    "map-combined aggregation of the fact table to O(months) rows, then "
+    "a 12-step lag and growth ratio ON THE AGGREGATE — the global window "
+    "is over ~80 month rows, which is the legitimate shape the "
+    "plan-audit global-window gate allowlists (post-aggregation, "
+    "dimension cardinality). Exact long-cents revenue; growth is one "
+    "IEEE division, NULL for the first year and for zero baselines",
+    reference="SURVEY.md §2.11 extension (time-series reporting tier "
+    "with events_hourly_gapfill / events_hourly_anomalies)",
+    tags=("timeseries", "window", "A6"),
+)
+def q_monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.to_date(F.date_trunc("month", F.col("l_shipdate"))).alias("month")
+    ).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).alias("rev_cents")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_cents", 12).over(w)
+    return monthly.select(
+        "month",
+        "rev_cents",
+        prev.alias("rev_cents_prev_year"),
+        F.when(
+            prev > 0,
+            (F.col("rev_cents") - prev).cast("double") / prev,
+        ).alias("yoy_growth"),
+    ).orderBy("month")

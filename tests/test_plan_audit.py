@@ -63,6 +63,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     # ntile quartiles post-aggregation over O(purchasing users); the
     # sort-free scale path is rfm_purchase_segments_approx.
     "rfm_purchase_segments",
+    # 12-step lag post-aggregation over O(months) rows (~80 at any SF).
+    "lineitem_monthly_revenue_yoy",
 }
 
 
