@@ -49,9 +49,16 @@ class CorpusStore:
     DataFrame returning a boolean Column; rows where it is false are
     rejected BEFORE dedup, so a rejected document never claims a
     fingerprint (a later better-quality duplicate can still land). This
-    is where the catalog's quality passes (classifier score, language /
-    repetition filters, decontamination flags) plug into ingest — the
-    gate runs inside the same scan, no extra job."""
+    is where the catalog's column-expression quality passes (classifier
+    score, language / repetition filters) plug into ingest — the gate
+    runs inside the same scan, no extra job.
+
+    ``prefilter`` (optional) is the JOIN-shaped gate: a DataFrame ->
+    DataFrame transform applied before ``accept``, for passes that need
+    more than a per-row expression — benchmark decontamination (semi/anti
+    join against a broadcast gram set), allow/deny-list joins. It must
+    only FILTER (never rewrite doc_id/text), since dedup fingerprints the
+    text it returns."""
 
     def __init__(
         self,
@@ -59,15 +66,19 @@ class CorpusStore:
         root: str,
         keep_versions: int = 2,
         accept=None,
+        prefilter=None,
     ):
         self.spark = spark
         self.accept = accept
+        self.prefilter = prefilter
         self.table = ParquetTable(spark, root, CORPUS_SCHEMA, keep_versions)
 
     def read(self) -> DataFrame:
         return self.table.read()
 
     def _gated(self, batch: DataFrame) -> DataFrame:
+        if self.prefilter is not None:
+            batch = self.prefilter(batch)
         return batch.filter(self.accept(batch)) if self.accept else batch
 
     def ingest_batch(self, batch: DataFrame) -> None:
