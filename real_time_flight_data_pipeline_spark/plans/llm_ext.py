@@ -2740,3 +2740,267 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_hit_bloom") > 0)
     )
+
+
+# ===========================================================================
+# Positional inverted index + phrase search (r6). The retrieval primitive a
+# corpus store needs next to ANN: exact phrase lookup. The token posting
+# list (doc_id, pos, term) IS the inverted index; a phrase match is an
+# equi self-join of the two terms' postings on (doc_id, adjacent pos) —
+# a hash join on the index, never a LIKE scan over raw text. At 100 TB
+# the posting table is the persisted intermediate (partitioned by term
+# bucket); each phrase query touches only its terms' postings.
+# ===========================================================================
+_PHRASE = ("vector", "window")
+
+
+@_register(
+    "docs_phrase_search",
+    f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    posting AS (
+      SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+             unnest(toks) AS term
+      FROM tok
+    )
+    SELECT a.doc_id, count(*) AS n_hits,
+           CAST(min(a.pos) AS INTEGER) AS first_pos
+    FROM posting a JOIN posting b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = '{_PHRASE[0]}' AND b.term = '{_PHRASE[1]}'
+    GROUP BY a.doc_id
+    """,
+    f"Exact phrase search ('{_PHRASE[0]} {_PHRASE[1]}') via a positional "
+    "inverted index: posexplode builds (doc_id, pos, term) postings, the "
+    "phrase is an equi join of the first term's postings with the second "
+    "term's shifted by one position, grouped to per-doc hit counts. Both "
+    "posting branches push their term filter into the scan side, so the "
+    "join sides are each O(df(term)), not O(corpus); the join is a hash "
+    "join on (doc_id, pos) — the plan-gate-enforced alternative to a "
+    "BNLJ LIKE '%phrase%' scan. first_pos is the 0-based token offset of "
+    "the earliest occurrence",
+    reference="[NORTH-STAR] corpus retrieval tier; token idiom as "
+    "explode_tokens_with_pos",
+    tags=("text", "search", "northstar"),
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    posting = docs.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "term")
+    )
+    a = posting.filter(F.col("term") == _PHRASE[0]).select("doc_id", "pos")
+    b = posting.filter(F.col("term") == _PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("pos").cast("int").alias("first_pos"),
+        )
+    )
+
+
+# ===========================================================================
+# CCNet-style boilerplate strip (r6): a line that repeats across >= 2
+# DISTINCT documents of the SAME source is boilerplate (nav bars, footers,
+# cookie banners in a real crawl); every doc is returned with its kept-line
+# stats and an md5 signature of the cleaned text, so the strip itself is
+# verified content-for-content, not just counted. Differs from
+# docs_line_dedup_stats (global first-occurrence ranking): the predicate
+# here is per-source document frequency, and the output is the CLEANED doc.
+# ===========================================================================
+@_register(
+    "docs_strip_boilerplate",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, source, text
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    tok AS (SELECT doc_id, source, {_SQL_TOKS} AS toks FROM corpus),
+    chunked AS (
+      SELECT doc_id, source,
+             list_transform(range(0, (len(toks) + {_LINE_TOKS - 1}) // {_LINE_TOKS}),
+                            i -> array_to_string(toks[(i*{_LINE_TOKS}+1):(i*{_LINE_TOKS}+{_LINE_TOKS})], ' ')) AS lines
+      FROM tok
+    ),
+    lines AS (
+      SELECT doc_id, source, generate_subscripts(lines, 1) - 1 AS pos,
+             unnest(lines) AS line
+      FROM chunked
+    ),
+    boiler AS (
+      SELECT source, md5(line) AS line_hash FROM lines
+      GROUP BY source, md5(line)
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (
+      SELECT l.doc_id, l.pos, l.line,
+             b.line_hash IS NOT NULL AS is_boiler
+      FROM lines l LEFT JOIN boiler b
+        ON l.source = b.source AND md5(l.line) = b.line_hash
+    )
+    SELECT doc_id, count(*) AS n_lines,
+           count(*) FILTER (WHERE NOT is_boiler) AS n_kept,
+           md5(coalesce(string_agg(line, ' ' ORDER BY pos)
+                          FILTER (WHERE NOT is_boiler), '')) AS kept_sig
+    FROM flagged GROUP BY doc_id
+    """,
+    "Per-source boilerplate removal (CCNet-shaped): fixed-token 'lines' "
+    "whose hash appears in >= 2 distinct docs of the same source are "
+    "dropped; each doc reports total/kept line counts plus an md5 of the "
+    "kept lines rejoined in original position order — the cleaned "
+    "content is hash-verified end-to-end. Corpus gains the dedup-suite "
+    "exact-copy tail so the boilerplate signal is real. Scale shape: one "
+    "explode, one (source, line_hash) map-combined aggregate for the "
+    "frequency table, one keyed left join back (no broadcast assumption "
+    "on the boilerplate set), one keyed re-agg — shuffle is O(lines), "
+    "the same plan CCNet runs per-shard on a crawl",
+    reference="[NORTH-STAR] CCNet/C4 boilerplate filtering; corpus "
+    "convention as docs_line_dedup_stats",
+    tags=("dedup", "text", "northstar"),
+)
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "source", "text"
+        )
+    )
+    tok = corpus.select(
+        "doc_id", "source", TX.tokens(F.col("text")).alias("toks")
+    )
+    chunked = tok.select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"transform(sequence(0, ((size(toks) + {_LINE_TOKS - 1}) div {_LINE_TOKS}) - 1), "
+            f"i -> array_join(slice(toks, i*{_LINE_TOKS}+1, {_LINE_TOKS}), ' '))"
+        ).alias("lines"),
+    )
+    lines = chunked.select(
+        "doc_id", "source", F.posexplode("lines").alias("pos", "line")
+    ).withColumn("line_hash", F.md5("line"))
+    boiler = (
+        lines.groupBy("source", "line_hash")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("source", "line_hash", F.lit(True).alias("is_boiler"))
+    )
+    flagged = lines.join(boiler, ["source", "line_hash"], "left")
+    kept = F.when(F.col("is_boiler").isNull(), F.struct("pos", "line"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(kept).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda x: x["line"]
+                ),
+                " ",
+            )
+        ).alias("kept_sig"),
+    )
+
+
+# ===========================================================================
+# Gopher-style quality rules (r6): the published rule battery (Rae et al.,
+# public) as named per-rule flags — word count bounds, mean word length
+# band, alphabetic-token fraction, stopword presence — so downstream mixes
+# can filter on individual rules, not just a scalar score (which
+# docs_quality_filter / docs_quality_classifier_score already cover).
+# ===========================================================================
+_GQ_STOP = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+@_register(
+    "docs_gopher_quality",
+    f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+               / len(toks) AS mean_word_len,
+             CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+                  AS DOUBLE) / len(toks) AS alpha_frac,
+             len(list_filter(toks,
+                 t -> list_contains({list(_GQ_STOP)}, t))) AS n_stop_hits
+      FROM tok WHERE len(toks) > 0
+    )
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, mean_word_len,
+           alpha_frac, CAST(n_stop_hits AS INTEGER) AS n_stop_hits,
+           n_tokens BETWEEN 50 AND 100000 AS ok_n_tokens,
+           mean_word_len BETWEEN 3 AND 10 AS ok_mean_word_len,
+           alpha_frac >= 0.8 AS ok_alpha,
+           n_stop_hits >= 2 AS ok_stopwords,
+           (n_tokens BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3 AND 10)
+             AND alpha_frac >= 0.8 AND n_stop_hits >= 2 AS passes
+    FROM m
+    """,
+    "Gopher rule battery as named flags: token-count bounds [50, 1e5], "
+    "mean word length in [3, 10], alphabetic-token fraction >= 0.8, and "
+    ">= 2 English stopword hits, plus the conjunction. Pure codegen'd "
+    "array expressions over one tokenize — zero shuffles, zero UDFs; "
+    "ratios are single IEEE divisions of integer-exact numerators so "
+    "both engines emit identical bits. Complements the scalar "
+    "quality-score tier: mixes can now condition on WHICH rule failed",
+    reference="[NORTH-STAR] Gopher (Rae et al. 2021) quality heuristics, "
+    "public; scalar tier at docs_quality_filter",
+    tags=("text", "quality", "northstar"),
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    toks = TX.tokens(F.col("text"))
+    m = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+    ).filter(F.size("toks") > 0)
+    stop_arr = F.array(*[F.lit(w) for w in _GQ_STOP])
+    m = m.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (
+            F.aggregate(
+                F.transform("toks", lambda t: F.length(t)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.size("toks")
+        ).alias("mean_word_len"),
+        (
+            F.size(
+                F.filter("toks", lambda t: t.rlike("^[a-z]+$"))
+            ).cast("double")
+            / F.size("toks")
+        ).alias("alpha_frac"),
+        F.size(
+            F.filter("toks", lambda t: F.array_contains(stop_arr, t))
+        ).alias("n_stop_hits"),
+    )
+    ok_n = F.col("n_tokens").between(50, 100000)
+    ok_mwl = F.col("mean_word_len").between(3, 10)
+    ok_alpha = F.col("alpha_frac") >= 0.8
+    ok_stop = F.col("n_stop_hits") >= 2
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "alpha_frac",
+        "n_stop_hits",
+        ok_n.alias("ok_n_tokens"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_n & ok_mwl & ok_alpha & ok_stop).alias("passes"),
+    )

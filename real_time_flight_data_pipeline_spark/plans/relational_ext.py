@@ -2324,3 +2324,172 @@ def q_monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev_cents") - prev).cast("double") / prev,
         ).alias("yoy_growth"),
     ).orderBy("month")
+
+
+# ===========================================================================
+# SCD2 dimension history (r6): gaps-and-islands over the event stream. The
+# reference's dims are type-1 (overwrite, load_warehouse.py upserts); a
+# warehouse that needs history builds type-2 rows (valid_from / valid_to /
+# is_current) instead. Built from change detection: lag() flags a state
+# change, a running sum numbers the islands, one aggregate collapses each
+# island to a versioned row, and lead() closes the interval.
+# ===========================================================================
+@_register(
+    "user_state_scd2",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), isl AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM ordered
+    ), g AS (
+      SELECT user_id, CAST(island AS INTEGER) AS version,
+             min(event_type) AS state, min(ts) AS valid_from,
+             count(*) AS n_events
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, version, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             IS NULL AS is_current,
+           n_events
+    FROM g
+    """,
+    "Type-2 slowly-changing-dimension build (gaps-and-islands): runs of "
+    "consecutive same event_type per user become versioned rows with "
+    "half-open [valid_from, valid_to) intervals and an is_current flag. "
+    "lag() detects changes, a running sum numbers islands, lead() ON THE "
+    "COLLAPSED ISLANDS closes intervals. Every window is partitioned by "
+    "user_id (plan-gate clean); the interval-closing window runs on "
+    "O(islands), not O(events). Ordering is made total with the event_id "
+    "tie-break so both engines see identical change sequences. At 100 TB "
+    "this is the standard SCD2 merge shape: shuffle-by-key once, all "
+    "three window passes reuse the same partitioning",
+    reference="SURVEY.md §1.4 fact grain (type-1 latest-wins, "
+    "00_warehous.sql:113); type-2 history is the §2.11 extension",
+    tags=("window", "warehouse", "M4"),
+)
+def q_user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(
+        prev.isNull() | (prev != F.col("event_type")), 1
+    ).otherwise(0)
+    isl = ev.withColumn(
+        "island",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    g = isl.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("island")
+    nxt = F.lead("valid_from").over(w2)
+    return g.select(
+        "user_id",
+        F.col("island").cast("int").alias("version"),
+        "state",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+# ===========================================================================
+# Mergeable distinct sketches (r6): Datasketches HLL via hll_sketch_agg /
+# hll_union_agg — the 100 TB distinct-count pattern is "sketch each
+# partition/day once, merge at rollup" instead of re-scanning raw data per
+# reporting grain. Sketch bytes are engine-specific, so (like
+# approx_distinct_users) the query emits exact counts plus Spark-side
+# band-check booleans; the oracle predicts (exact, true).
+# ===========================================================================
+_HLL_LG_K = 14  # rsd = 1.04 / sqrt(2^14) ~= 0.0081
+_HLL_TOL = 4.5 * 1.04 / (2 ** 7)
+
+
+@_register(
+    "segment_distinct_users_hll",
+    """
+    SELECT coalesce(event_type, 'ALL') AS scope,
+           count(DISTINCT user_id) AS exact_users,
+           true AS approx_ok
+    FROM events GROUP BY ROLLUP(event_type)
+    UNION ALL
+    SELECT 'MERGED' AS scope, count(DISTINCT user_id) AS exact_users,
+           true AS approx_ok
+    FROM events
+    """,
+    "Mergeable HLL distinct-user rollup: one pass builds a Datasketches "
+    "HLL sketch and the exact count per event_type AND for the grand "
+    "total (ROLLUP); a second tiny aggregate (O(event types) rows) merges "
+    "the per-type sketches with hll_union_agg and band-checks the merged "
+    "estimate against the grand-total exact — proving sketch "
+    "mergeability, the property that lets 100 TB pipelines sketch each "
+    "day/partition once and answer any rollup by union instead of "
+    "rescanning. Sketch bytes differ per engine, so correctness is the "
+    "approx_distinct_users pattern: exact counts hash-compared, approx "
+    "checked Spark-side at 4.5x rsd (lgK=14 -> rsd 0.81%). The MERGED "
+    "row's join to the ALL row is a broadcast of two single-row "
+    "aggregates (the literal equi key constant-folds away; bounded by "
+    "construction, plan-audit allowlisted)",
+    reference="SURVEY.md §2.11 approximate aggregates; merge pattern per "
+    "Datasketches HLL (public)",
+    tags=("approx", "sketch"),
+)
+def q_segment_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    roll = ev.rollup("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.hll_sketch_agg("user_id", F.lit(_HLL_LG_K)).alias("sk"),
+    ).localCheckpoint(eager=False)
+    ok = (
+        F.abs(
+            F.hll_sketch_estimate(F.col("sk")) - F.col("exact_users")
+        )
+        / F.col("exact_users")
+        <= F.lit(_HLL_TOL)
+    )
+    base = roll.select(
+        F.coalesce("event_type", F.lit("ALL")).alias("scope"),
+        "exact_users",
+        ok.alias("approx_ok"),
+    )
+    # Explicit union-merge proof: per-type sketches -> hll_union_agg ->
+    # estimate, band-checked against the grand-total exact count.
+    typed = roll.filter(F.col("event_type").isNotNull())
+    merged = (
+        typed.agg(F.hll_union_agg("sk").alias("sk"))
+        .withColumn("k", F.lit(1))
+    )
+    total = (
+        roll.filter(F.col("event_type").isNull())
+        .select("exact_users")
+        .withColumn("k", F.lit(1))
+    )
+    merged_row = merged.join(total, "k").select(
+        F.lit("MERGED").alias("scope"),
+        "exact_users",
+        (
+            F.abs(
+                F.hll_sketch_estimate(F.col("sk")) - F.col("exact_users")
+            )
+            / F.col("exact_users")
+            <= F.lit(_HLL_TOL)
+        ).alias("approx_ok"),
+    )
+    return base.unionByName(merged_row)

@@ -35,6 +35,9 @@ _BNLJ_ALLOWED = {
     "embedding_pq_adc_recall",  # 1-row query-vector broadcast (exact-scan baseline side)
     "docs_bpe_top_merges",  # 1-row top-merge-pair + tokens-after broadcasts per round
     "events_key_skew_stats",  # 1-row top-10-sum broadcast cross join
+    "segment_distinct_users_hll",  # 1-row merged-sketch x 1-row grand-total
+    # broadcast join (the lit-key equi join constant-folds to a BNLJ of two
+    # single-row aggregates — bounded by construction)
 }
 
 _ALL = sorted(REGISTRY)
