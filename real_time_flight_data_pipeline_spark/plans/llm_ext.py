@@ -3004,3 +3004,101 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_n & ok_mwl & ok_alpha & ok_stop).alias("passes"),
     )
+
+
+# ===========================================================================
+# Triangle counting on the near-dup graph (r6): graph analytics beyond
+# connected components. Per-doc triangle counts are the numerator of the
+# local clustering coefficient — high-triangle docs sit in densely
+# mutually-similar groups (template families), a stronger signal than
+# pairwise similarity alone. Engine uses the degree-ordered orientation
+# (Suri & Vassilvitskii MapReduce triangle counting, public): every edge
+# points from the lower-(degree, id) endpoint to the higher, so each
+# wedge is generated at its LOWEST-degree vertex — the hub node of a
+# skewed graph never fans out its O(deg^2) wedges.
+# ===========================================================================
+def _triangles_oracle() -> str:
+    return f"""
+    WITH pairs AS ({_near_dup_oracle()}),
+    e AS (SELECT a_id AS u, b_id AS v FROM pairs),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT doc_id, count(*) AS n_triangles
+    FROM (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ) t
+    GROUP BY doc_id
+    """
+
+
+@_register(
+    "docs_near_dup_triangles",
+    _triangles_oracle(),
+    "Per-doc triangle counts over the MinHash-LSH verified near-dup "
+    "graph: wedges are generated from each edge's lower-(degree, id) "
+    "endpoint and closed by probing the oriented edge set — each "
+    "triangle is enumerated exactly once, and the degree ordering caps "
+    "wedge fan-out at the hub nodes, the property that keeps the plan "
+    "alive on power-law graphs at 100 TB (id-ordered wedges would "
+    "square the hub degree). Three shuffles total: degree count over "
+    "O(edges), wedge self-join keyed on the pivot vertex, closing probe "
+    "keyed on the (v, w) pair. Oracle enumerates a < b < c triples "
+    "exactly — orientation schemes differ, the triangle SET is "
+    "identical",
+    reference="[NORTH-STAR] Suri & Vassilvitskii WWW'11 degree-ordered "
+    "triangle counting; pair graph as docs_near_dup_pairs",
+    tags=("dedup", "graph", "northstar"),
+)
+def q_near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_near_dup_pairs(spark, sf_dir).select("a_id", "b_id")
+    # Degrees over the undirected edge set (one map-combined aggregate).
+    deg = (
+        pairs.select(F.col("a_id").alias("id"))
+        .unionByName(pairs.select(F.col("b_id").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        pairs.join(deg.withColumnsRenamed({"id": "a_id", "deg": "da"}), "a_id")
+        .join(deg.withColumnsRenamed({"id": "b_id", "deg": "db"}), "b_id")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a_id") < F.col("b_id"))
+    )
+    oriented = e.select(
+        F.when(lower_first, F.col("a_id")).otherwise(F.col("b_id")).alias("src"),
+        F.when(lower_first, F.col("b_id")).otherwise(F.col("a_id")).alias("dst"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+    ).localCheckpoint(eager=False)
+    # Wedges at the pivot (lowest-rank) vertex; enforce rank(v) < rank(w)
+    # so each unordered wedge appears once.
+    w1 = oriented.select(
+        F.col("src").alias("pivot"),
+        F.col("dst").alias("v"),
+        F.col("dst_deg").alias("v_deg"),
+    )
+    w2 = oriented.select(
+        F.col("src").alias("pivot"),
+        F.col("dst").alias("w"),
+        F.col("dst_deg").alias("w_deg"),
+    )
+    wedges = w1.join(w2, "pivot").filter(
+        (F.col("v_deg") < F.col("w_deg"))
+        | ((F.col("v_deg") == F.col("w_deg")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).select("pivot", "v", "w")
+    verts = (
+        tri.select(F.col("pivot").alias("doc_id"))
+        .unionByName(tri.select(F.col("v").alias("doc_id")))
+        .unionByName(tri.select(F.col("w").alias("doc_id")))
+    )
+    return verts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))

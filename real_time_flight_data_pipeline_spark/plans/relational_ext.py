@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import _register, _t
+from .catalog import MERGE_SPLIT_LIT, _register, _t
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -2381,6 +2381,12 @@ def q_user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
     )
+    return user_state_scd2_from(ev)
+
+
+def user_state_scd2_from(ev: DataFrame) -> DataFrame:
+    """SCD2 build over a (user_id, event_type, ts, event_id) frame —
+    shared by user_state_scd2 and user_state_durations."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("event_type").over(w)
     chg = F.when(
@@ -2493,3 +2499,159 @@ def q_segment_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_ok"),
     )
     return base.unionByName(merged_row)
+
+
+# ===========================================================================
+# Time-in-state rollup (r6): composes the SCD2 build — interval durations
+# per state, open intervals closed at an injected horizon (the engine's
+# injected-clock convention; events end 2024-01-30).
+# ===========================================================================
+_SCD2_CLOSE_LIT = "2024-01-31 00:00:00"
+
+_SCD2_SQL_CTE = """
+    ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), isl AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM ordered
+    ), g AS (
+      SELECT user_id, CAST(island AS INTEGER) AS version,
+             min(event_type) AS state, min(ts) AS valid_from,
+             count(*) AS n_events
+      FROM isl GROUP BY user_id, island
+    ), scd AS (
+      SELECT user_id, version, state, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to,
+             n_events
+      FROM g
+    )
+"""
+
+
+@_register(
+    "user_state_durations",
+    f"""
+    WITH {_SCD2_SQL_CTE},
+    d AS (
+      SELECT state,
+             CAST(floor(epoch(coalesce(valid_to,
+                    TIMESTAMP '{_SCD2_CLOSE_LIT}'))) AS BIGINT)
+               - CAST(floor(epoch(valid_from)) AS BIGINT) AS dur_s
+      FROM scd
+    )
+    SELECT state,
+           count(*) AS n_intervals,
+           CAST(SUM(dur_s) AS BIGINT) AS total_seconds,
+           CAST(SUM(dur_s) AS DOUBLE) / count(*) AS avg_seconds,
+           CAST(MAX(dur_s) AS BIGINT) AS max_seconds
+    FROM d GROUP BY state
+    """,
+    "Time-in-state analytics composed on the SCD2 build: every interval's "
+    "duration in whole seconds (epoch truncation matches Spark's "
+    "timestamp->long cast), open intervals closed at the injected horizon "
+    "literal, rolled up per state. The rollup runs on O(islands) rows "
+    "already partitioned by user from the SCD2 shuffle — no extra fact "
+    "scan. Integer-exact seconds; avg is one IEEE division",
+    reference="SURVEY.md §2.11 extension; composes user_state_scd2",
+    tags=("window", "warehouse", "timeseries"),
+)
+def q_user_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    scd = user_state_scd2_from(ev)
+    close = F.lit(_SCD2_CLOSE_LIT).cast("timestamp")
+    dur = (
+        F.coalesce(F.col("valid_to"), close).cast("long")
+        - F.col("valid_from").cast("long")
+    )
+    d = scd.select("state", dur.alias("dur_s"))
+    return d.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur_s").alias("total_seconds"),
+        (F.sum("dur_s").cast("double") / F.count(F.lit(1))).alias(
+            "avg_seconds"
+        ),
+        F.max("dur_s").alias("max_seconds"),
+    )
+
+
+# ===========================================================================
+# Incremental view maintenance by partial-aggregate merge (r6): the daily
+# rollup is maintained as mergeable state (sum/count/min/max), a new
+# micro-batch contributes its own partials, and the view is the MERGE of
+# the two — never a rescan of history. avg is intentionally NOT stored:
+# it is non-mergeable and must be derived from (sum, count) at read, which
+# is exactly how streaming engines (and this repo's foreachBatch sink)
+# keep aggregates exactly-once-updatable. Oracle recomputes from scratch,
+# proving merge == recompute.
+# ===========================================================================
+@_register(
+    "events_daily_agg_ivm",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_value,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             / count(*) AS avg_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1
+    """,
+    "Incremental aggregate maintenance: history (ts < '{split}') and the "
+    "new batch (ts >= '{split}') are aggregated into mergeable partials "
+    "(count, exact-cents sum, min, max) independently, then MERGED by a "
+    "second tiny aggregate (sum of sums, min of mins) on O(days) rows — "
+    "the view update never rescans history. avg is derived from "
+    "(sum, count) at read because it does not merge. The oracle computes "
+    "the same rollup from scratch over all events: merge == recompute is "
+    "the exactness property that makes foreachBatch aggregate sinks "
+    "idempotent at 100 TB".format(split=MERGE_SPLIT_LIT),
+    reference="SURVEY.md §2.7 M1-M4 (upsert family); additive-state "
+    "variant of the streaming pipeline's merge sink "
+    "(streaming/pipeline.py foreachBatch)",
+    tags=("merge", "ivm", "A6"),
+)
+def q_events_daily_agg_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    split = F.lit(MERGE_SPLIT_LIT).cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    hist = partials(ev.filter(F.col("ts") < split))
+    batch = partials(ev.filter(F.col("ts") >= split))
+    merged = hist.unionByName(batch).groupBy("day").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_cents").alias("sum_cents"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    sum_value = F.col("sum_cents").cast("double") / 100
+    return merged.select(
+        "day",
+        "n_events",
+        sum_value.alias("sum_value"),
+        (sum_value / F.col("n_events")).alias("avg_value"),
+        "min_value",
+        "max_value",
+    )
