@@ -3057,6 +3057,13 @@ def _triangles_oracle() -> str:
 )
 def q_near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_near_dup_pairs(spark, sf_dir).select("a_id", "b_id")
+    return triangle_counts_from(pairs)
+
+
+def triangle_counts_from(pairs: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts over an (a_id, b_id) undirected edge
+    frame (each edge once, a_id != b_id). Degree-ordered wedge generation;
+    property-tested against brute force in tests/test_graph.py."""
     # Degrees over the undirected edge set (one map-combined aggregate).
     deg = (
         pairs.select(F.col("a_id").alias("id"))
@@ -3102,3 +3109,211 @@ def q_near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tri.select(F.col("w").alias("doc_id")))
     )
     return verts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# ===========================================================================
+# Classifier evaluation tier (r6): rank-sum AUC of the hashed-linear
+# quality score, per language. Distributed AUC needs no sort of the full
+# corpus into one place: ranks come from a PARTITIONED window (per-lang),
+# and the Mann-Whitney U statistic is exact integer arithmetic — the
+# pattern that evaluates a filter model on a 100 TB corpus without a
+# global sort (per-shard/stratum AUC, aggregated).
+# ===========================================================================
+_AUC_LABEL_SQL = "length(source) = 4"  # src0..src9 vs src10..src19
+
+
+@_register(
+    "docs_quality_auc_by_lang",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, {_SQL_TOKS} AS toks FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang, source,
+             CAST(len(toks) AS BIGINT) AS n_toks,
+             CAST(COALESCE(list_sum(list_transform(toks,
+                    t -> {_clf_w_sql('t', 'qw')})), 0) AS BIGINT) AS uni_sum,
+             CAST(COALESCE(list_sum(list_transform(
+                    CASE WHEN len(toks) >= 2
+                         THEN list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i+1])
+                         ELSE [] END,
+                    b -> {_clf_w_sql('b', 'qw2')})), 0) AS BIGINT) AS bi_sum
+      FROM toks
+    ),
+    scored AS (
+      SELECT doc_id, lang, {_AUC_LABEL_SQL} AS label,
+             CASE WHEN n_toks > 0
+                  THEN CAST(uni_sum + bi_sum AS DOUBLE) / n_toks
+                  ELSE 0.0 END AS score
+      FROM feats
+    ),
+    rk AS (
+      SELECT lang, label,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY score, doc_id) AS rn
+      FROM scored
+    ),
+    agg AS (
+      SELECT lang,
+             CAST(count(*) FILTER (WHERE label) AS BIGINT) AS n_pos,
+             CAST(count(*) FILTER (WHERE NOT label) AS BIGINT) AS n_neg,
+             CAST(SUM(CASE WHEN label THEN rn END) AS BIGINT)
+               AS pos_rank_sum
+      FROM rk GROUP BY lang
+    )
+    SELECT lang, n_pos, n_neg, pos_rank_sum,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             CAST(pos_rank_sum - n_pos * (n_pos + 1) // 2 AS DOUBLE)
+               / (n_pos * n_neg)
+           END AS auc
+    FROM agg
+    """,
+    "Mann-Whitney rank-sum AUC of the hashed-linear quality score "
+    "against a held-out split label (short-named sources vs long), "
+    "computed per language: ranks from a lang-PARTITIONED window (never "
+    "a global sort — the plan-gate-compliant way to rank a corpus), U "
+    "statistic in exact long arithmetic, AUC as one IEEE division. "
+    "Ties are broken by doc_id so both engines rank identically. This "
+    "is the evaluation loop for filter models: per-stratum AUC at "
+    "corpus scale with one shuffle (rank) and one aggregate",
+    reference="[NORTH-STAR] filter-model evaluation (Mann-Whitney U, "
+    "public); score as docs_quality_classifier_score",
+    tags=("text", "quality", "northstar"),
+)
+def q_quality_auc_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    score_df = q_quality_classifier_score(spark, sf_dir).select(
+        "doc_id", "lang", "score"
+    )
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = score_df.join(src, "doc_id").select(
+        "doc_id",
+        "lang",
+        (F.length("source") == 4).alias("label"),
+        "score",
+    )
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    rk = scored.select(
+        "lang", "label", F.row_number().over(w).alias("rn")
+    )
+    agg = rk.groupBy("lang").agg(
+        F.count(F.when(F.col("label"), 1)).alias("n_pos"),
+        F.count(F.when(~F.col("label"), 1)).alias("n_neg"),
+        F.sum(F.when(F.col("label"), F.col("rn"))).alias("pos_rank_sum"),
+    )
+    u = F.col("pos_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2
+    return agg.select(
+        "lang",
+        "n_pos",
+        "n_neg",
+        "pos_rank_sum",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            u.cast("double") / (F.col("n_pos") * F.col("n_neg")),
+        ).alias("auc"),
+    )
+
+
+# ===========================================================================
+# Per-source quantile calibration (r6): raw classifier scores are not
+# comparable across domains (each crawl source has its own score
+# distribution); the standard fix is a within-source quantile transform.
+# percent_rank + decile per source — all windows partitioned.
+# ===========================================================================
+@_register(
+    "docs_quality_calibrated",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source,
+             CAST(len(toks) AS BIGINT) AS n_toks,
+             CAST(COALESCE(list_sum(list_transform(toks,
+                    t -> {_clf_w_sql('t', 'qw')})), 0) AS BIGINT) AS uni_sum,
+             CAST(COALESCE(list_sum(list_transform(
+                    CASE WHEN len(toks) >= 2
+                         THEN list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i+1])
+                         ELSE [] END,
+                    b -> {_clf_w_sql('b', 'qw2')})), 0) AS BIGINT) AS bi_sum
+      FROM toks
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             CASE WHEN n_toks > 0
+                  THEN CAST(uni_sum + bi_sum AS DOUBLE) / n_toks
+                  ELSE 0.0 END AS score
+      FROM feats
+    )
+    SELECT doc_id, source, score,
+           percent_rank() OVER (PARTITION BY source
+                                ORDER BY score, doc_id) AS pct_rank,
+           CAST(ntile(10) OVER (PARTITION BY source
+                                ORDER BY score, doc_id) AS INTEGER)
+             AS decile
+    FROM scored
+    """,
+    "Within-source quantile calibration of the classifier score: "
+    "percent_rank and decile over a source-PARTITIONED window make "
+    "scores comparable across domains with different score "
+    "distributions — the normalization step before a single global "
+    "keep-threshold is applied to a multi-domain corpus. doc_id "
+    "tie-break gives both engines identical rank sequences; "
+    "percent_rank is one IEEE division of exact ranks. One shuffle on "
+    "source, window state bounded per source partition",
+    reference="[NORTH-STAR] per-domain score calibration; score as "
+    "docs_quality_classifier_score",
+    tags=("text", "quality", "sampling", "northstar"),
+)
+def q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "source", TX.tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+
+    def w_(col, salt):
+        return TX.md5_long(F.concat(F.lit(salt + ":"), col)) % 2001 - 1000
+
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.zip_with(
+            F.slice(F.col("toks"), 1, F.size("toks") - 1),
+            F.slice(F.col("toks"), 2, F.size("toks") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = toks.select(
+        "doc_id",
+        "source",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.aggregate(
+            F.transform(F.col("toks"), lambda t: w_(t, "qw")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("uni_sum"),
+        F.aggregate(
+            F.transform(bigrams, lambda b: w_(b, "qw2")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("bi_sum"),
+    )
+    scored = feats.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("n_toks") > 0,
+            (F.col("uni_sum") + F.col("bi_sum")).cast("double")
+            / F.col("n_toks"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )
+    win = Window.partitionBy("source").orderBy("score", "doc_id")
+    return scored.select(
+        "doc_id",
+        "source",
+        "score",
+        F.percent_rank().over(win).alias("pct_rank"),
+        F.ntile(10).over(win).cast("int").alias("decile"),
+    )

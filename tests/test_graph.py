@@ -142,3 +142,72 @@ def test_star_collapses_long_chain_in_log_rounds(spark):
     )
     assert ref == _union_find(lsh_like)
     assert ref_stats["rounds"] <= 6, ref_stats
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered wedges) vs brute force.
+# ---------------------------------------------------------------------------
+from real_time_flight_data_pipeline_spark.plans.llm_ext import (  # noqa: E402
+    triangle_counts_from,
+)
+
+
+def _brute_triangles(edges):
+    """Local ground truth: per-vertex triangle counts via adjacency sets."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts: dict[int, int] = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in adj[u]:
+            if v <= u:
+                continue
+            for w in adj[u] & adj[v]:
+                if w > v:
+                    for x in (u, v, w):
+                        counts[x] = counts.get(x, 0) + 1
+    return counts
+
+
+def _spark_triangles(spark, edges):
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges if a != b],
+        "a_id long, b_id long",
+    ).dropDuplicates()
+    return {
+        r.doc_id: r.n_triangles for r in triangle_counts_from(df).collect()
+    }
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_triangles_match_brute_force_random(spark, seed):
+    rng = random.Random(seed)
+    edges = {
+        (rng.randrange(30), rng.randrange(30)) for _ in range(120)
+    }
+    edges = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    assert _spark_triangles(spark, sorted(edges)) == _brute_triangles(
+        sorted(edges)
+    )
+
+
+def test_triangles_clique_and_skew_hub(spark):
+    # K5: every vertex is in C(4,2) = 6 triangles.
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    assert _spark_triangles(spark, k5) == {i: 6 for i in range(5)}
+    # Star graph (hub 0): no triangles at all — and the degree ordering
+    # means the hub generates ZERO wedges (every edge points INTO it).
+    star = [(0, i) for i in range(1, 40)]
+    assert _spark_triangles(spark, star) == {}
+    # Star plus one rim edge: exactly one triangle.
+    assert _spark_triangles(spark, star + [(1, 2)]) == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangles_empty_and_triangle_free(spark):
+    assert _spark_triangles(spark, []) == {}
+    path = [(i, i + 1) for i in range(20)]
+    assert _spark_triangles(spark, path) == {}
