@@ -3317,3 +3317,94 @@ def q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(win).alias("pct_rank"),
         F.ntile(10).over(win).cast("int").alias("decile"),
     )
+
+
+# ===========================================================================
+# Cross-source contamination matrix (r6): pairwise trigram overlap between
+# sources — the corpus-level audit that finds mirror sites, syndicated
+# content, and benchmark bleed BETWEEN crawl domains before any per-doc
+# dedup runs. The join key is the gram hash (shuffle O(distinct grams)),
+# and the per-gram fan-out is bounded by the number of sources carrying
+# that gram — the df-cap convention from the winnowing index applies when
+# source count is large.
+# ===========================================================================
+_OVERLAP_N = 3
+
+
+@_register(
+    "sources_gram_overlap_matrix",
+    f"""
+    WITH tok AS (SELECT source, {_SQL_TOKS} AS toks FROM documents),
+    grams AS (SELECT source, {_sql_ngrams('toks', _OVERLAP_N)} AS gs FROM tok),
+    gd AS (
+      SELECT DISTINCT source, {_sql_md5_long('g')} AS gh
+      FROM (SELECT source, unnest(gs) AS g FROM grams)
+    ),
+    tot AS (SELECT source, count(*) AS n FROM gd GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS c
+      FROM gd a JOIN gd b ON a.gh = b.gh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, CAST(c AS BIGINT) AS shared_grams,
+           CAST(c AS DOUBLE) / (ta.n + tb.n - c) AS jaccard
+    FROM shared
+    JOIN tot ta ON ta.source = source_a
+    JOIN tot tb ON tb.source = source_b
+    """,
+    "Pairwise source-level trigram overlap: distinct (source, gram-hash) "
+    "postings self-joined on the hash, counted per source pair, with "
+    "per-source totals joined back for an exact Jaccard. One tokenize "
+    "behind a projection barrier, gram set distinct'd once and reused "
+    "for both the totals and the pair join; shuffle is O(distinct "
+    "grams) and per-gram pair fan-out is bounded by sources-per-gram. "
+    "The matrix is the triage view ABOVE document dedup: a hot "
+    "(source_a, source_b) cell says where mirror/syndication dedup "
+    "should focus",
+    reference="[NORTH-STAR] corpus-level contamination audit; gram "
+    "idiom as docs_decontaminate",
+    tags=("dedup", "text", "northstar"),
+)
+def q_sources_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    # Projection barrier (CollapseProject guard, as the gram family).
+    toks = docs.select(
+        "source", TX.tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+    gd = (
+        toks.select(
+            "source",
+            F.explode(TX.shingles(F.col("toks"), _OVERLAP_N)).alias("g"),
+        )
+        .select("source", TX.md5_long(F.col("g")).alias("gh"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused: totals + both join sides
+    )
+    tot = gd.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = gd.select(F.col("source").alias("source_a"), "gh")
+    b = gd.select(F.col("source").alias("source_b"), "gh")
+    shared = (
+        a.join(b, "gh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    out = (
+        shared.join(
+            tot.withColumnsRenamed({"source": "source_a", "n": "na"}),
+            "source_a",
+        )
+        .join(
+            tot.withColumnsRenamed({"source": "source_b", "n": "nb"}),
+            "source_b",
+        )
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "shared_grams",
+        (
+            F.col("shared_grams").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared_grams"))
+        ).alias("jaccard"),
+    )
