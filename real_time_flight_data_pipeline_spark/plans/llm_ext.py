@@ -2885,9 +2885,16 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"i -> array_join(slice(toks, i*{_LINE_TOKS}+1, {_LINE_TOKS}), ' '))"
         ).alias("lines"),
     )
-    lines = chunked.select(
-        "doc_id", "source", F.posexplode("lines").alias("pos", "line")
-    ).withColumn("line_hash", F.md5("line"))
+    # Materialization barrier: `lines` feeds BOTH the frequency table and
+    # the join-back side — without it each consumer re-tokenizes and
+    # re-explodes the corpus (the CollapseProject gate pins this).
+    lines = (
+        chunked.select(
+            "doc_id", "source", F.posexplode("lines").alias("pos", "line")
+        )
+        .withColumn("line_hash", F.md5("line"))
+        .localCheckpoint(eager=False)
+    )
     boiler = (
         lines.groupBy("source", "line_hash")
         .agg(F.countDistinct("doc_id").alias("df"))
