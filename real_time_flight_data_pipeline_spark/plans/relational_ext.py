@@ -2655,3 +2655,171 @@ def q_events_daily_agg_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+# ===========================================================================
+# TPC-H Q7 shape (r6): bilateral trade volume — the 6-relation star-of-two-
+# stars join (fact -> supplier-side dims AND order -> customer-side dims)
+# with a disjunctive nation-pair filter. Completes the decision-support
+# join shapes (Q1/Q3/Q4/Q5/Q10/Q17/Q18/Q22 already in the catalog).
+# ===========================================================================
+@_register(
+    "bilateral_trade_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS DOUBLE) / 100 AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+    "TPC-H Q7-shaped bilateral trade: lineitem resolves its supplier "
+    "nation AND (via orders -> customer) its customer nation, keeps the "
+    "two directed nation pairs, and rolls revenue up by (supp_nation, "
+    "cust_nation, ship year). Supplier and both nation dims broadcast; "
+    "the orders join is the one real shuffle, keyed on l_orderkey. The "
+    "disjunctive pair predicate is applied AFTER dim resolution on two "
+    "tiny equi-joined columns — never a disjunctive join condition (the "
+    "J3 decomposition rule). Exact long-cents revenue",
+    reference="TPC-H Q7 (public spec) re-shaped to the driver schema; "
+    "join family as revenue_by_nation (Q5)",
+    tags=("join", "tpch", "A6"),
+)
+def q_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    df = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return df.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(
+        (
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).cast("double")
+            / 100
+        ).alias("revenue")
+    )
+
+
+# ===========================================================================
+# TPC-H Q8 shape (r6): market share — a conditional-aggregation ratio
+# (one nation's revenue over total revenue) within a region's customer
+# base, per ship year. The share is two exact long-cents sums and ONE
+# IEEE division, so it is bit-deterministic.
+# ===========================================================================
+@_register(
+    "market_share_by_year",
+    """
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                         THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                         * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS nation_cents,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                         THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                         * 100) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE)
+             / SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS mkt_share
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = cn.n_regionkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY 1
+    """,
+    "TPC-H Q8-shaped market share: within EUROPE's customer orders, the "
+    "fraction of revenue supplied by NATION_3 per ship year — the "
+    "conditional-aggregation-ratio pattern (CASE inside SUM, share as "
+    "one division of two exact integer sums, no self-join and no "
+    "second scan for the denominator). Region/nation/supplier "
+    "broadcast; orders/customer shuffle-joined on their keys. The "
+    "region filter prunes the customer-nation side before the fact "
+    "join (predicate pushdown through the dim chain)",
+    reference="TPC-H Q8 (public spec) re-shaped to the driver schema",
+    tags=("join", "tpch", "A6"),
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cn = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_name")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    df = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    agg = df.groupBy(F.year("l_shipdate").cast("int").alias("l_year")).agg(
+        F.sum(
+            F.when(F.col("supp_name") == "NATION_3", cents).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("nation_cents"),
+        F.sum(cents).alias("total_cents"),
+    )
+    return agg.select(
+        "l_year",
+        "nation_cents",
+        "total_cents",
+        (
+            F.col("nation_cents").cast("double") / F.col("total_cents")
+        ).alias("mkt_share"),
+    )

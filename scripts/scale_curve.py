@@ -55,6 +55,13 @@ QUERIES = [
     # bound); docs_bpe_top_merges should track the token stream ~linearly.
     "embedding_semdedup",
     "docs_bpe_top_merges",
+    # r6c: graph analytics on the pair graph (triangles scale with wedge
+    # count — degree-ordered, so bounded by edges at constant dup
+    # density) and the source-level overlap matrix (shuffle O(distinct
+    # grams); salted copies multiply the gram vocabulary ~10x while the
+    # source count stays fixed).
+    "docs_near_dup_triangles",
+    "sources_gram_overlap_matrix",
 ]
 N_RUNS = 3
 
