@@ -2787,8 +2787,15 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, _t(spark, sf_dir, "documents")).select(
         "doc_id", "text"
     )
-    posting = docs.select(
-        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "term")
+    # One tokenize pass: keep only the phrase's terms' postings, then
+    # split — without the barrier each branch re-tokenizes the corpus.
+    posting = (
+        docs.select(
+            "doc_id",
+            F.posexplode(TX.tokens(F.col("text"))).alias("pos", "term"),
+        )
+        .filter(F.col("term").isin(*_PHRASE))
+        .localCheckpoint(eager=False)
     )
     a = posting.filter(F.col("term") == _PHRASE[0]).select("doc_id", "pos")
     b = posting.filter(F.col("term") == _PHRASE[1]).select(
