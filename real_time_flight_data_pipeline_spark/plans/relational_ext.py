@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import MERGE_SPLIT_LIT, _register, _t
+from .northstar import _sql_md5_long
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -2822,4 +2823,116 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("nation_cents").cast("double") / F.col("total_cents")
         ).alias("mkt_share"),
+    )
+
+
+# ===========================================================================
+# Partition-level table fingerprinting (r6): the CDC triage ABOVE the row
+# diff — order-independent, mergeable content hashes per month, compared
+# across two snapshots to locate WHICH partitions changed before any
+# row-level full-outer join runs. bit_xor of per-row md5-hashes: XOR is
+# commutative/associative (shuffle-order-proof), overflow-free, and
+# partially aggregable map-side — the property sum-of-hashes lacks
+# cross-engine (Spark wraps long overflow, DuckDB widens to HUGEINT).
+# ===========================================================================
+@_register(
+    "orders_partition_fingerprint",
+    f"""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+      FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(round(o_totalprice * 110) AS BIGINT)
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+             END AS price_cents,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+      FROM orders
+    ),
+    f1 AS (
+      SELECT month, count(*) AS n1,
+             bit_xor({_sql_md5_long(
+                 "o_orderkey || '|' || o_orderstatus || '|' || price_cents"
+             )}) AS fp1
+      FROM v1 GROUP BY month
+    ),
+    f2 AS (
+      SELECT month, count(*) AS n2,
+             bit_xor({_sql_md5_long(
+                 "o_orderkey || '|' || o_orderstatus || '|' || price_cents"
+             )}) AS fp2
+      FROM v2 GROUP BY month
+    )
+    SELECT coalesce(f1.month, f2.month) AS month,
+           CAST(coalesce(n1, 0) AS BIGINT) AS n_v1,
+           CAST(coalesce(n2, 0) AS BIGINT) AS n_v2,
+           CAST(fp1 AS BIGINT) AS fp_v1, CAST(fp2 AS BIGINT) AS fp_v2,
+           (n1 IS NOT NULL AND n2 IS NOT NULL
+            AND n1 = n2 AND fp1 = fp2) AS partitions_match
+    FROM f1 FULL OUTER JOIN f2 ON f1.month = f2.month
+    """,
+    "Snapshot reconciliation at partition grain: each month's content "
+    "fingerprint is bit_xor over md5-derived row hashes (row = key | "
+    "status | exact cents) — order-independent and map-side combinable, "
+    "so at 100 TB each snapshot is fingerprinted in one pass with "
+    "shuffle O(months), and only months whose (count, fingerprint) "
+    "differ proceed to the row-level orders_snapshot_diff. Same v1/v2 "
+    "snapshot convention as that query (v2 bumps every 7th price 10% "
+    "and gains post-cutoff inserts). XOR chosen over sum: immune to "
+    "the long-overflow semantics split (Spark wraps, DuckDB widens)",
+    reference="SURVEY.md §2.7 versioned tables (streaming/pipeline.py "
+    "ParquetTable); row tier at orders_snapshot_diff",
+    tags=("merge", "cdc", "approx"),
+)
+def q_orders_partition_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import md5_long
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    bumped = F.when(
+        F.col("o_orderkey") % 7 == 0,
+        F.round(F.col("o_totalprice") * 110).cast("long"),
+    ).otherwise(cents)
+    month = F.to_date(F.date_trunc("month", F.col("o_orderdate")))
+
+    def fp(df: DataFrame, price, n_name: str, fp_name: str) -> DataFrame:
+        row_hash = md5_long(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey"),
+                F.col("o_orderstatus"),
+                price,
+            )
+        )
+        return df.select(
+            month.alias("month"), row_hash.alias("h")
+        ).groupBy("month").agg(
+            F.count(F.lit(1)).alias(n_name),
+            F.bit_xor("h").alias(fp_name),
+        )
+
+    f1 = fp(
+        orders.filter(F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")),
+        cents,
+        "n1",
+        "fp1",
+    )
+    f2 = fp(orders, bumped, "n2", "fp2")
+    j = f1.join(f2, "month", "full_outer")
+    return j.select(
+        "month",
+        F.coalesce("n1", F.lit(0)).alias("n_v1"),
+        F.coalesce("n2", F.lit(0)).alias("n_v2"),
+        F.col("fp1").alias("fp_v1"),
+        F.col("fp2").alias("fp_v2"),
+        (
+            F.col("n1").isNotNull()
+            & F.col("n2").isNotNull()
+            & (F.col("n1") == F.col("n2"))
+            & (F.col("fp1") == F.col("fp2"))
+        ).alias("partitions_match"),
     )
