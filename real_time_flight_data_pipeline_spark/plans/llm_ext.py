@@ -2143,6 +2143,23 @@ def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", TX.tokens(F.col("text")).alias("toks")
     ).localCheckpoint(eager=False)
+    feats = classifier_features(toks, "doc_id", "lang")
+    total = F.col("uni_sum") + F.col("bi_sum")
+    return feats.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        "uni_sum",
+        "bi_sum",
+        "score",
+        (total > 0).alias("is_good"),
+    )
+
+
+def classifier_features(toks: DataFrame, *keep: str) -> DataFrame:
+    """Hashed-linear feature sums + score over a frame carrying ``toks``;
+    ``keep`` columns pass through. Shared by the classifier score, the
+    AUC evaluation, and the per-source calibration queries."""
 
     def w(col, salt):
         return TX.md5_long(F.concat(F.lit(salt + ":"), col)) % 2001 - 1000
@@ -2156,8 +2173,7 @@ def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     feats = toks.select(
-        "doc_id",
-        "lang",
+        *keep,
         F.size("toks").cast("long").alias("n_toks"),
         F.aggregate(
             F.transform(F.col("toks"), lambda t: w(t, "qw")),
@@ -2171,16 +2187,10 @@ def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bi_sum"),
     )
     total = F.col("uni_sum") + F.col("bi_sum")
-    return feats.select(
-        "doc_id",
-        "lang",
-        "n_toks",
-        "uni_sum",
-        "bi_sum",
+    return feats.withColumn(
+        "score",
         F.when(F.col("n_toks") > 0, total.cast("double") / F.col("n_toks"))
-        .otherwise(F.lit(0.0))
-        .alias("score"),
-        (total > 0).alias("is_good"),
+        .otherwise(F.lit(0.0)),
     )
 
 
@@ -3285,43 +3295,8 @@ def q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "source", TX.tokens(F.col("text")).alias("toks")
     ).localCheckpoint(eager=False)
-
-    def w_(col, salt):
-        return TX.md5_long(F.concat(F.lit(salt + ":"), col)) % 2001 - 1000
-
-    bigrams = F.when(
-        F.size("toks") >= 2,
-        F.zip_with(
-            F.slice(F.col("toks"), 1, F.size("toks") - 1),
-            F.slice(F.col("toks"), 2, F.size("toks") - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    feats = toks.select(
-        "doc_id",
-        "source",
-        F.size("toks").cast("long").alias("n_toks"),
-        F.aggregate(
-            F.transform(F.col("toks"), lambda t: w_(t, "qw")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("uni_sum"),
-        F.aggregate(
-            F.transform(bigrams, lambda b: w_(b, "qw2")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("bi_sum"),
-    )
-    scored = feats.select(
-        "doc_id",
-        "source",
-        F.when(
-            F.col("n_toks") > 0,
-            (F.col("uni_sum") + F.col("bi_sum")).cast("double")
-            / F.col("n_toks"),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("score"),
+    scored = classifier_features(toks, "doc_id", "source").select(
+        "doc_id", "source", "score"
     )
     win = Window.partitionBy("source").orderBy("score", "doc_id")
     return scored.select(
