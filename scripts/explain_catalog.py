@@ -1,0 +1,82 @@
+"""Generate PLANS.md: a physical-plan digest for every catalog query.
+
+For each registered query, builds the plan at sf0.001 and counts the
+execution-shaping nodes: parquet scans, shuffles (Exchange), sorts, join
+strategies, window nodes, and whole-stage-codegen spans. The table makes
+plan regressions reviewable in diffs — a query whose Exchange count jumps
+shows up in version control, not in a 3am pager.
+
+Run: python scripts/explain_catalog.py   (rewrites PLANS.md at repo root)
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from real_time_flight_data_pipeline_spark.plans import ORIGINAL_ORDER
+from real_time_flight_data_pipeline_spark.plans.catalog import REGISTRY
+from real_time_flight_data_pipeline_spark.session import get_spark
+
+SF = "/root/testdata/sf0.001"
+
+_COUNTS = [
+    ("scans", r"FileScan parquet"),
+    ("xchg", r"Exchange (?:hash|range|Single)"),
+    ("bcast", r"BroadcastExchange"),
+    ("sort", r"\bSort \["),
+    ("bhj", r"BroadcastHashJoin"),
+    ("smj", r"SortMergeJoin"),
+    ("shj", r"ShuffledHashJoin"),
+    ("bnlj", r"BroadcastNestedLoopJoin"),
+    ("win", r"\bWindow(?:Group)? \["),
+    ("wsc", r"WholeStageCodegen"),
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="flightframe-explain")
+    lines = [
+        "# PLANS.md — physical-plan digest (auto-generated)",
+        "",
+        "`python scripts/explain_catalog.py` regenerates this file. Plans",
+        "built at sf0.001 with the engine session (AQE on, initial plans).",
+        "Columns: parquet scans / shuffle exchanges / broadcast exchanges /",
+        "sorts / broadcast-hash / sort-merge / shuffled-hash /",
+        "broadcast-nested-loop joins / window nodes / whole-stage-codegen",
+        "spans. BNLJ > 0 only on the documented bounded-broadcast",
+        "allowlist (tests/test_plan_audit.py).",
+        "",
+        "| query | scans | xchg | bcast | sort | BHJ | SMJ | SHJ | BNLJ | win | WSC |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    failures: list[str] = []
+    for name in ORIGINAL_ORDER:
+        q = REGISTRY.get(name)
+        if q is None:
+            continue
+        try:
+            plan = (
+                q.builder(spark, SF)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as e:  # keep generating; record the failure
+            failures.append(f"{name}: {type(e).__name__}")
+            continue
+        counts = [len(re.findall(pat, plan)) for _, pat in _COUNTS]
+        lines.append("| " + " | ".join([name] + [str(c) for c in counts]) + " |")
+        print(name, counts, file=sys.stderr)
+    if failures:
+        lines += ["", "Plan-build failures: " + ", ".join(failures)]
+    out = pathlib.Path(__file__).resolve().parents[1] / "PLANS.md"
+    out.write_text("\n".join(lines) + "\n")
+    print(f"wrote {out} ({len(lines)} lines, {len(failures)} failures)")
+
+
+if __name__ == "__main__":
+    main()
