@@ -1272,6 +1272,28 @@ def _curation_funnel_oracle() -> str:
     tags=("northstar", "dedup", "text"),
 )
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, quality, drop_dup, cont = _curation_stage_sets(spark, sf_dir)
+    s2 = docs.join(quality, "doc_id", "left_semi").localCheckpoint(eager=False)
+    s3 = s2.join(drop_dup, "doc_id", "left_anti").localCheckpoint(eager=False)
+    s4 = s3.join(cont, "doc_id", "left_anti")
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage(1, "total", docs)
+        .unionByName(stage(2, "lang_quality", s2))
+        .unionByName(stage(3, "near_dup_kept", s3))
+        .unionByName(stage(4, "decontaminated", s4))
+    )
+
+
+def _curation_stage_sets(spark: SparkSession, sf_dir: str):
+    """Shared stage sets for the curation funnel family: (all docs,
+    quality survivors, near-dup drops, contaminated docs) — each a
+    materialized doc_id frame computed exactly once."""
     from .northstar import near_dup_pairs_from, quality_filter_from
 
     # ONE corpus scan + ONE tokenize, materialized, feeds every stage:
@@ -1325,21 +1347,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     docs = shared.select("doc_id")
-    s2 = docs.join(quality, "doc_id", "left_semi").localCheckpoint(eager=False)
-    s3 = s2.join(drop_dup, "doc_id", "left_anti").localCheckpoint(eager=False)
-    s4 = s3.join(cont, "doc_id", "left_anti")
-
-    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "n_docs"
-        )
-
-    return (
-        stage(1, "total", docs)
-        .unionByName(stage(2, "lang_quality", s2))
-        .unionByName(stage(3, "near_dup_kept", s3))
-        .unionByName(stage(4, "decontaminated", s4))
-    )
+    return docs, quality, drop_dup, cont
 
 
 # ===========================================================================
@@ -3396,4 +3404,70 @@ def q_sources_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("shared_grams").cast("double")
             / (F.col("na") + F.col("nb") - F.col("shared_grams"))
         ).alias("jaccard"),
+    )
+
+
+# ===========================================================================
+# Per-doc curation audit (r6): the provenance inverse of the funnel —
+# WHICH stage dropped each document. The counts query answers "how much
+# survived"; this answers the data-governance question "why is doc X not
+# in the training set", per doc, in one pass over the same materialized
+# stage sets.
+# ===========================================================================
+def _curation_audit_oracle() -> str:
+    from .catalog import REGISTRY as _REG
+
+    quality_sql = _REG["docs_quality_filter"].oracle
+    keep_best_sql = _REG["docs_dedup_keep_best"].oracle
+    decon_sql = _REG["docs_decontaminate"].oracle
+    return f"""
+    WITH q AS ({quality_sql}),
+    kb AS ({keep_best_sql}),
+    drop_dup AS (SELECT doc_id FROM kb WHERE NOT keep AND doc_id < 1000000),
+    cont AS (SELECT doc_id FROM ({decon_sql}))
+    SELECT d.doc_id,
+           CASE
+             WHEN d.doc_id NOT IN (SELECT doc_id FROM q)
+               THEN 'drop_quality'
+             WHEN d.doc_id IN (SELECT doc_id FROM drop_dup)
+               THEN 'drop_near_dup'
+             WHEN d.doc_id IN (SELECT doc_id FROM cont)
+               THEN 'drop_contaminated'
+             ELSE 'kept'
+           END AS verdict
+    FROM documents d
+    """
+
+
+@_register(
+    "docs_curation_audit",
+    _curation_audit_oracle(),
+    "Per-document curation provenance: every corpus doc labeled with the "
+    "FIRST stage that rejected it (drop_quality -> drop_near_dup -> "
+    "drop_contaminated) or 'kept' — the lineage record a data-governance "
+    "audit needs next to the funnel's survivor counts. Same one-scan/"
+    "one-tokenize materialized stage sets as docs_curation_funnel (the "
+    "three stage frames compute once and LEFT-join back as doc_id "
+    "booleans); verdict is a CASE over three tiny join flags, so the "
+    "audit costs one extra keyed join pass, not a pipeline re-run",
+    reference="[NORTH-STAR] curation lineage; stage sets as "
+    "docs_curation_funnel",
+    tags=("dedup", "text", "northstar", "pipeline"),
+)
+def q_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, quality, drop_dup, cont = _curation_stage_sets(spark, sf_dir)
+    flagged = (
+        docs.join(
+            quality.withColumn("q_ok", F.lit(True)), "doc_id", "left"
+        )
+        .join(drop_dup.withColumn("is_dup", F.lit(True)), "doc_id", "left")
+        .join(cont.withColumn("is_cont", F.lit(True)), "doc_id", "left")
+    )
+    return flagged.select(
+        "doc_id",
+        F.when(F.col("q_ok").isNull(), F.lit("drop_quality"))
+        .when(F.col("is_dup").isNotNull(), F.lit("drop_near_dup"))
+        .when(F.col("is_cont").isNotNull(), F.lit("drop_contaminated"))
+        .otherwise(F.lit("kept"))
+        .alias("verdict"),
     )

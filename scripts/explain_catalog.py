@@ -33,8 +33,13 @@ _COUNTS = [
     ("shj", r"ShuffledHashJoin"),
     ("bnlj", r"BroadcastNestedLoopJoin"),
     ("win", r"\bWindow(?:Group)? \["),
-    ("wsc", r"WholeStageCodegen"),
 ]
+
+
+def _codegen_spans(plan: str) -> int:
+    """Distinct whole-stage-codegen span ids. AQE plan strings mark spans
+    as `*(n)` operator prefixes rather than WholeStageCodegen nodes."""
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))
 
 
 def main() -> None:
@@ -43,7 +48,8 @@ def main() -> None:
         "# PLANS.md — physical-plan digest (auto-generated)",
         "",
         "`python scripts/explain_catalog.py` regenerates this file. Plans",
-        "built at sf0.001 with the engine session (AQE on, initial plans).",
+        "are FINAL adaptive plans (each query executed once at sf0.001 on",
+        "the engine session, AQE on).",
         "Columns: parquet scans / shuffle exchanges / broadcast exchanges /",
         "sorts / broadcast-hash / sort-merge / shuffled-hash /",
         "broadcast-nested-loop joins / window nodes / whole-stage-codegen",
@@ -59,16 +65,17 @@ def main() -> None:
         if q is None:
             continue
         try:
-            plan = (
-                q.builder(spark, SF)
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
-            )
+            df = q.builder(spark, SF)
+            # Execute first: under AQE the initial plan shows no codegen
+            # spans and no final join/partition choices — the digest
+            # records the FINAL adaptive plan.
+            df.write.format("noop").mode("overwrite").save()
+            plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # keep generating; record the failure
             failures.append(f"{name}: {type(e).__name__}")
             continue
         counts = [len(re.findall(pat, plan)) for _, pat in _COUNTS]
+        counts.append(_codegen_spans(plan))
         lines.append("| " + " | ".join([name] + [str(c) for c in counts]) + " |")
         print(name, counts, file=sys.stderr)
     if failures:
