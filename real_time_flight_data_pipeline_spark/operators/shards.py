@@ -1,0 +1,91 @@
+"""Deterministic training-shard writer.
+
+The last step of a curation pipeline: materialize the kept corpus as N
+shards whose membership is a PURE FUNCTION of the document key — so a
+re-run after adding documents only rewrites the shards whose membership
+changed, downstream trainers can address shards independently, and two
+pipelines (or a pipeline and its audit) agree on placement without
+coordination. ``repartition(n)`` round-robins and is NOT stable across
+runs/cluster sizes; hash-of-key modulo is.
+
+Writes ``shard=K/`` partition directories plus a ``_MANIFEST`` parquet of
+per-shard (row count, content fingerprint) — the handoff contract a
+training job validates before reading. The fingerprint is the mergeable
+XOR of md5-derived row-key hashes (same construction as the
+orders_partition_fingerprint catalog query), so manifest validation
+never re-sorts anything.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_long
+
+SHARD_COL = "shard"
+
+
+def assign_shard(key: F.Column, n_shards: int) -> F.Column:
+    """Stable shard id in [0, n_shards): md5-derived hash of the key,
+    modulo shard count. md5 (not xxhash64/hash) so the assignment is
+    reproducible across engines and Spark versions — shard layout is a
+    CONTRACT, not an implementation detail."""
+    return (md5_long(key.cast("string")) % n_shards).cast("int")
+
+
+def write_sharded(
+    df: DataFrame, key: str, n_shards: int, path: str
+) -> DataFrame:
+    """Write ``df`` as shard-partitioned parquet plus a manifest; returns
+    the manifest DataFrame. One pass: the shard column drives both the
+    directory layout (partitionBy) and the manifest aggregate."""
+    sharded = df.withColumn(SHARD_COL, assign_shard(F.col(key), n_shards))
+    (
+        sharded.repartition(n_shards, F.col(SHARD_COL))
+        .write.mode("overwrite")
+        .partitionBy(SHARD_COL)
+        .parquet(path)
+    )
+    manifest = (
+        sharded.groupBy(SHARD_COL)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(md5_long(F.col(key).cast("string"))).alias(
+                "key_fingerprint"
+            ),
+        )
+        .orderBy(SHARD_COL)
+    )
+    manifest.write.mode("overwrite").parquet(os.path.join(path, "_MANIFEST"))
+    return manifest
+
+
+def validate_manifest(spark, path: str, key: str) -> DataFrame:
+    """Recompute per-shard counts/fingerprints from the written shards
+    and join against the manifest; ``ok`` is False for any shard that
+    drifted (partial write, manual edit, replication fault) and for
+    manifest rows with no data (lost shard) or data with no manifest row
+    (orphan shard)."""
+    data = spark.read.parquet(path)
+    manifest = spark.read.parquet(os.path.join(path, "_MANIFEST"))
+    recomputed = data.groupBy(SHARD_COL).agg(
+        F.count(F.lit(1)).alias("n_rows_actual"),
+        F.bit_xor(md5_long(F.col(key).cast("string"))).alias(
+            "key_fingerprint_actual"
+        ),
+    )
+    j = manifest.join(recomputed, SHARD_COL, "full_outer")
+    return j.select(
+        SHARD_COL,
+        "n_rows",
+        "n_rows_actual",
+        (
+            F.col("n_rows").isNotNull()
+            & F.col("n_rows_actual").isNotNull()
+            & (F.col("n_rows") == F.col("n_rows_actual"))
+            & (F.col("key_fingerprint") == F.col("key_fingerprint_actual"))
+        ).alias("ok"),
+    )

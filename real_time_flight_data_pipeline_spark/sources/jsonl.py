@@ -1,0 +1,78 @@
+"""JSONL corpus source with an explicit corrupt-record policy.
+
+Web-scale text corpora ship as JSONL shards; at 100 TB some lines are
+always broken (truncated uploads, encoding damage, concatenated crawler
+records). The reference's policy for malformed data is parse-to-NULL-
+never-crash (flight_stream.py from_json semantics; SURVEY.md T6) — this
+source applies the same discipline to file corpora and makes the failure
+path OBSERVABLE instead of silent:
+
+* schema is explicit (never inferred — inference at corpus scale costs a
+  full pre-scan and drifts between runs);
+* PERMISSIVE mode + ``columnNameOfCorruptRecord`` captures each broken
+  line verbatim in a quarantine column;
+* :func:`split_corrupt` separates clean rows from a dead-letter frame
+  carrying the raw line, mirroring streaming/pipeline.dead_letter_split.
+
+FAILFAST is the right mode for small trusted fixtures; for a crawl shard
+it turns one bad byte into a dead job — quarantine-and-continue is the
+scale policy, with the DLQ row count as the monitoring signal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+DOCUMENTS_JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField(CORRUPT_COL, T.StringType()),
+    ]
+)
+
+
+def load_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Read JSONL with the quarantine column attached. ``schema`` must
+    include ``CORRUPT_COL`` (string) — Spark populates it with the raw
+    line for any record that fails to parse, and leaves it NULL for
+    clean rows."""
+    if CORRUPT_COL not in schema.fieldNames():
+        raise ValueError(f"schema must include {CORRUPT_COL!r}")
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean rows without the quarantine column, dead-letter rows).
+
+    A corrupt line arrives with every schema field NULL except the
+    quarantine column; clean rows have it NULL. The dead-letter frame
+    keeps the raw line plus an ingest timestamp, matching the streaming
+    DLQ shape.
+
+    The cache() barrier is REQUIRED, not an optimization: Spark forbids
+    querying a raw JSON source through the corrupt column alone
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN — the column exists only during
+    parsing), and the documented contract is to cache/materialize before
+    filtering on it. It also means the file is parsed once for both
+    branches."""
+    df = df.cache()
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    dead = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line"),
+        F.current_timestamp().alias("quarantined_at"),
+    )
+    return clean, dead

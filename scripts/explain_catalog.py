@@ -66,10 +66,11 @@ def main() -> None:
             continue
         try:
             df = q.builder(spark, SF)
-            # Execute first: under AQE the initial plan shows no codegen
-            # spans and no final join/partition choices — the digest
-            # records the FINAL adaptive plan.
-            df.write.format("noop").mode("overwrite").save()
+            # Execute THIS DataFrame's own QueryExecution (collect, not a
+            # write — a write builds a separate QueryExecution and leaves
+            # this one's AdaptiveSparkPlan un-finalized), then read the
+            # FINAL adaptive plan: real join choices, codegen spans.
+            df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # keep generating; record the failure
             failures.append(f"{name}: {type(e).__name__}")

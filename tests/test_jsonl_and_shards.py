@@ -1,0 +1,108 @@
+"""JSONL quarantine source + deterministic shard writer.
+
+The two ends of the corpus lifecycle: ingest (JSONL with a visible
+dead-letter path for broken lines — the T6 malformed-data policy applied
+to file corpora) and export (hash-stable training shards with a
+validated manifest).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from real_time_flight_data_pipeline_spark.operators.shards import (
+    assign_shard,
+    validate_manifest,
+    write_sharded,
+)
+from real_time_flight_data_pipeline_spark.sources.jsonl import (
+    CORRUPT_COL,
+    DOCUMENTS_JSONL_SCHEMA,
+    load_jsonl,
+    split_corrupt,
+)
+from real_time_flight_data_pipeline_spark.sources.parquet import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _write_fixture(tmp_path, n_good=50, n_bad=3) -> str:
+    p = tmp_path / "corpus.jsonl"
+    lines = [
+        json.dumps(
+            {"doc_id": i, "text": f"doc {i} text", "lang": "en", "source": f"src{i % 3}"}
+        )
+        for i in range(n_good)
+    ]
+    lines.insert(10, '{"doc_id": 900, "text": "truncated...')  # broken JSON
+    lines.insert(25, "not json at all")
+    lines.insert(40, '{"doc_id": "NaN-ish", "text": 42, "lang": {}}')  # type damage
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_jsonl_quarantines_broken_lines(spark, tmp_path):
+    path = _write_fixture(tmp_path)
+    df = load_jsonl(spark, path, DOCUMENTS_JSONL_SCHEMA)
+    clean, dead = split_corrupt(df)
+    assert clean.count() == 50
+    assert CORRUPT_COL not in clean.columns
+    dead_rows = dead.collect()
+    assert len(dead_rows) == 3
+    # the raw line survives verbatim for forensics
+    assert any("not json at all" in r.raw_line for r in dead_rows)
+    # clean rows parsed fully typed
+    got = clean.filter(F.col("doc_id") == 7).collect()[0]
+    assert got.text == "doc 7 text" and got.source == "src1"
+
+
+def test_jsonl_rejects_schema_without_quarantine_column(spark):
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    with _pytest.raises(ValueError, match="_corrupt_record"):
+        load_jsonl(
+            spark, "/nonexistent", T.StructType([T.StructField("a", T.StringType())])
+        )
+
+
+def test_shard_assignment_is_stable_and_balanced(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    a = docs.select("doc_id", assign_shard(F.col("doc_id"), 8).alias("s"))
+    b = docs.select("doc_id", assign_shard(F.col("doc_id"), 8).alias("s"))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    sizes = [r.n for r in a.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert len(sizes) == 8
+    assert max(sizes) < 2.5 * min(sizes)  # hash balance at n=100 docs
+
+
+def test_write_sharded_manifest_validates_and_detects_drift(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "source"
+    )
+    out = str(tmp_path / "shards")
+    manifest = write_sharded(docs, "doc_id", 4, out)
+    rows = manifest.collect()
+    assert {r.shard for r in rows} == {0, 1, 2, 3}
+    assert sum(r.n_rows for r in rows) == docs.count()
+
+    v = validate_manifest(spark, out, "doc_id")
+    assert all(r.ok for r in v.collect())
+
+    # membership is content-addressed: re-writing yields the same manifest
+    manifest2 = write_sharded(docs, "doc_id", 4, str(tmp_path / "shards2"))
+    assert sorted(map(tuple, manifest.collect())) == sorted(
+        map(tuple, manifest2.collect())
+    )
+
+    # drift detection: corrupt one shard by deleting a file
+    import glob
+    import os
+
+    victim = glob.glob(out + "/shard=2/*.parquet")[0]
+    os.remove(victim)
+    v2 = {r.shard: r.ok for r in validate_manifest(spark, out, "doc_id").collect()}
+    assert v2[2] is False
+    assert v2[0] and v2[1] and v2[3]
