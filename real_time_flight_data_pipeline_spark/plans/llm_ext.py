@@ -3471,3 +3471,58 @@ def q_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("kept"))
         .alias("verdict"),
     )
+
+
+# ===========================================================================
+# Shard plan (r6): the training-shard layout contract as an oracle-paired
+# query — per-shard membership counts and XOR key fingerprints for the
+# hash-stable assignment operators/shards.py writes. Putting the plan
+# under the driver gate means the shard CONTRACT (md5-derived assignment,
+# mergeable fingerprint) is verified cross-engine, not just exercised.
+# ===========================================================================
+_N_SHARDS = 8
+
+
+@_register(
+    "docs_shard_plan",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id,
+             CAST(({_sql_md5_long("CAST(doc_id AS VARCHAR)")}) % {_N_SHARDS}
+                  AS INTEGER) AS shard
+      FROM documents
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc,
+           bit_xor({_sql_md5_long("CAST(doc_id AS VARCHAR)")})
+             AS key_fingerprint
+    FROM assigned GROUP BY shard
+    """,
+    f"The {_N_SHARDS}-way training-shard plan for the corpus: stable "
+    "md5-derived assignment (shard layout is a cross-engine contract — "
+    "xxhash64/hash would pin it to one engine's implementation), with "
+    "per-shard counts and mergeable bit_xor key fingerprints — exactly "
+    "what operators/shards.write_sharded records in its _MANIFEST and "
+    "validate_manifest re-derives. One map-combined aggregate; the "
+    "write path adds only the partitionBy",
+    reference="[NORTH-STAR] training-data export; writer at "
+    "operators/shards.py, fingerprint idiom as orders_partition_fingerprint",
+    tags=("sampling", "northstar", "pipeline"),
+)
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.shards import assign_shard
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id")
+    assigned = docs.select(
+        "doc_id", assign_shard(F.col("doc_id"), _N_SHARDS).alias("shard")
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.bit_xor(
+            TX.md5_long(F.col("doc_id").cast("string"))
+        ).alias("key_fingerprint"),
+    )
