@@ -3526,3 +3526,144 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             TX.md5_long(F.col("doc_id").cast("string"))
         ).alias("key_fingerprint"),
     )
+
+
+# ===========================================================================
+# LSH candidate recall, measured (r6): the text-dedup twin of
+# embedding_ivf_recall. Banded MinHash (4 bands x 2 rows) is probabilistic
+# — at the 0.5 Jaccard verify threshold its candidate probability is
+# 1-(1-s^2)^4 ~= 0.68 at s=0.5, rising steeply with s — and this query
+# turns that formula into a measured number on the real corpus: exact
+# shingle-Jaccard ground truth over a doc SAMPLE (the measuring harness,
+# bounded O(sample x inverted-index matches)) vs the production LSH pair
+# set restricted to the same sample.
+# ===========================================================================
+_LSH_RECALL_SAMPLE_MOD = 29
+
+
+def _lsh_recall_oracle() -> str:
+    from .northstar import (
+        _JACCARD_THRESHOLD,
+        _NEAR_CORPUS_SQL,
+        _SQL_SHINGLES,
+        _SQL_TOKS,
+    )
+
+    return f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+    shin AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM tok),
+    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shin),
+    post AS (
+      SELECT doc_id, {_sql_md5_long('s')} AS gh
+      FROM (SELECT doc_id, unnest(sh) AS s FROM shin)
+    ),
+    sample_post AS (
+      SELECT doc_id, gh FROM post WHERE doc_id % {_LSH_RECALL_SAMPLE_MOD} = 0
+    ),
+    inter AS (
+      SELECT s.doc_id AS a_id, p.doc_id AS b_id, count(*) AS inter
+      FROM sample_post s JOIN post p
+        ON s.gh = p.gh AND s.doc_id < p.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i.a_id, i.b_id
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.a_id
+      JOIN sizes sb ON sb.doc_id = i.b_id
+      WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter)
+              >= {_JACCARD_THRESHOLD}
+    ),
+    lsh AS (
+      SELECT a_id, b_id FROM ({_near_dup_oracle()})
+      WHERE a_id % {_LSH_RECALL_SAMPLE_MOD} = 0
+    ),
+    hit AS (SELECT t.a_id, t.b_id FROM truth t
+            JOIN lsh l ON l.a_id = t.a_id AND l.b_id = t.b_id)
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_found,
+           CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
+             CAST((SELECT count(*) FROM hit) AS DOUBLE)
+               / (SELECT count(*) FROM truth)
+           END AS recall
+    """
+
+
+@_register(
+    "docs_lsh_recall",
+    _lsh_recall_oracle(),
+    "Measured candidate recall of the banded MinHash-LSH dedup plan: "
+    "exact trigram-shingle Jaccard ground truth for a 1-in-"
+    f"{_LSH_RECALL_SAMPLE_MOD} doc sample (computed on the inverted "
+    "gram index — only pairs sharing a shingle are scored, never "
+    "all-pairs) against the production LSH pair set restricted to the "
+    "same sample anchors. The number quantifies the band/row trade "
+    "(P(candidate) = 1-(1-s^2)^4) exactly as embedding_ivf_recall does "
+    "for the ANN index; raising recall means more bands, costed by the "
+    "same bench. Exact integer counts, one final division",
+    reference="[NORTH-STAR] MMDS ch.3 S-curve; measured-recall pattern "
+    "as embedding_ivf_recall; pair plan as docs_near_dup_pairs",
+    tags=("dedup", "northstar", "measured"),
+)
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .northstar import _JACCARD_THRESHOLD, _near_corpus
+
+    corpus = _spread(spark, _near_corpus(spark, sf_dir))
+    toks = corpus.select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+    shin = toks.select(
+        "doc_id",
+        F.array_distinct(TX.shingles(F.col("toks"), 3)).alias("sh"),
+    ).localCheckpoint(eager=False)
+    sizes = shin.select("doc_id", F.size("sh").alias("n_sh"))
+    post = shin.select(
+        "doc_id", F.explode("sh").alias("s")
+    ).select("doc_id", TX.md5_long(F.col("s")).alias("gh"))
+    sample_post = post.filter(
+        F.col("doc_id") % _LSH_RECALL_SAMPLE_MOD == 0
+    ).withColumnsRenamed({"doc_id": "a_id"})
+    inter = (
+        sample_post.join(
+            post.withColumnsRenamed({"doc_id": "b_id"}), "gh"
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    truth = (
+        inter.join(
+            sizes.withColumnsRenamed({"doc_id": "a_id", "n_sh": "na"}), "a_id"
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "b_id", "n_sh": "nb"}), "b_id"
+        )
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= F.lit(_JACCARD_THRESHOLD)
+        )
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    lsh = (
+        q_near_dup_pairs(spark, sf_dir)
+        .filter(F.col("a_id") % _LSH_RECALL_SAMPLE_MOD == 0)
+        .select("a_id", "b_id")
+    )
+    hit = truth.join(lsh, ["a_id", "b_id"], "left_semi")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true")).withColumn(
+        "k", F.lit(1)
+    )
+    n_found = hit.agg(F.count(F.lit(1)).alias("n_found")).withColumn(
+        "k", F.lit(1)
+    )
+    return n_true.join(n_found, "k").select(
+        "n_true",
+        "n_found",
+        F.when(
+            F.col("n_true") > 0,
+            F.col("n_found").cast("double") / F.col("n_true"),
+        ).alias("recall"),
+    )

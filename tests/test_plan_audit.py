@@ -38,6 +38,7 @@ _BNLJ_ALLOWED = {
     "segment_distinct_users_hll",  # 1-row merged-sketch x 1-row grand-total
     # broadcast join (the lit-key equi join constant-folds to a BNLJ of two
     # single-row aggregates — bounded by construction)
+    "docs_lsh_recall",  # same shape: 1-row truth-count x 1-row hit-count
 }
 
 _ALL = sorted(REGISTRY)
