@@ -2936,3 +2936,71 @@ def q_orders_partition_fingerprint(spark: SparkSession, sf_dir: str) -> DataFram
             & (F.col("fp1") == F.col("fp2"))
         ).alias("partitions_match"),
     )
+
+
+# ===========================================================================
+# TPC-H Q19 shape (r6): disjunction-of-brackets join. The join key is a
+# plain equi key (p_partkey); the OR-of-ANDs bracket predicate is a
+# RESIDUAL filter evaluated after the hash join — the planning lesson Q19
+# teaches: never encode the disjunction into the join condition (that
+# shape degenerates to a nested loop), keep the equi key clean and let
+# the brackets prune rows post-join. Brackets adapted to the driver
+# schema (brand x part-size band x quantity band).
+# ===========================================================================
+@_register(
+    "bracket_revenue_q19",
+    """
+    SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+    "TPC-H Q19-shaped bracket revenue: lineitem hash-joined to part on "
+    "the clean equi key, with the three-way OR-of-ANDs bracket "
+    "predicate applied as a residual filter — the part-side conjuncts "
+    "common to all brackets (brand IN, size <= max) could push below "
+    "the join; the disjunction itself must NOT enter the join "
+    "condition or the plan degenerates to a nested loop (the gate "
+    "enforces it did not). Exact long-cents revenue, one aggregate row",
+    reference="TPC-H Q19 (public spec) re-shaped to the driver schema; "
+    "disjunction-decomposition rule as J3",
+    tags=("join", "tpch", "A6"),
+)
+def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return j.filter(bracket).agg(
+        (
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).cast("double")
+            / 100
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
