@@ -3004,3 +3004,55 @@ def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# ===========================================================================
+# Deterministic per-key sample (r6): k events per user, chosen by hash
+# rank — the distributed per-entity downsampler (debug slices, per-user
+# training caps, fairness baselines). Hash rank instead of rand(): the
+# sample is reproducible across runs/engines and stable under partial
+# recomputation, which rand() never is on a cluster.
+# ===========================================================================
+_PER_KEY_K = 3
+
+
+@_register(
+    "events_sample_per_user",
+    f"""
+    SELECT user_id, event_id, event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT,
+                        event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn <= {_PER_KEY_K}
+    """,
+    f"Hash-ranked sample of {_PER_KEY_K} events per user: row_number "
+    "over a user-partitioned window ordered by the md5-derived rank of "
+    "the event key (event_id tie-break) — an unbiased-per-key, fully "
+    "deterministic downsample. One shuffle on user_id; window state is "
+    "bounded per key, and a bounded-rank window prunes via "
+    "TakeOrdered-style limits in each partition rather than sorting "
+    "the world. rand()-based sampling cannot give this: it changes "
+    "under retries, re-partitioning, and engine choice",
+    reference="SURVEY.md §2.11 sampling (absent in reference); "
+    "hash-determinism convention as docs_stratified_sample",
+    tags=("sampling",),
+)
+def q_sample_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import md5_long
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        md5_long(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PER_KEY_K)
+        .select("user_id", "event_id", "event_type")
+    )
