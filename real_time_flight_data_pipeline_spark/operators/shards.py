@@ -40,9 +40,14 @@ def write_sharded(
     df: DataFrame, key: str, n_shards: int, path: str
 ) -> DataFrame:
     """Write ``df`` as shard-partitioned parquet plus a manifest; returns
-    the manifest DataFrame. One pass: the shard column drives both the
-    directory layout (partitionBy) and the manifest aggregate."""
-    sharded = df.withColumn(SHARD_COL, assign_shard(F.col(key), n_shards))
+    the manifest read BACK from disk (so the caller's next action reads
+    a tiny parquet, not the export pipeline a third time). The barrier
+    on the sharded frame means the upstream pipeline runs once for the
+    data write and feeds the manifest aggregate from the materialized
+    rows, not a recompute."""
+    sharded = df.withColumn(
+        SHARD_COL, assign_shard(F.col(key), n_shards)
+    ).localCheckpoint(eager=False)
     (
         sharded.repartition(n_shards, F.col(SHARD_COL))
         .write.mode("overwrite")
@@ -59,8 +64,10 @@ def write_sharded(
         )
         .orderBy(SHARD_COL)
     )
-    manifest.write.mode("overwrite").parquet(os.path.join(path, "_MANIFEST"))
-    return manifest
+    mpath = os.path.join(path, "_MANIFEST")
+    manifest.write.mode("overwrite").parquet(mpath)
+    spark = df.sparkSession
+    return spark.read.parquet(mpath).orderBy(SHARD_COL)
 
 
 def validate_manifest(spark, path: str, key: str) -> DataFrame:

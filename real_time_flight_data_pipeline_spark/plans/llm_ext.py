@@ -435,7 +435,12 @@ def q_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
     )
-    tok = corpus.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    # size(toks) > 0: a zero-token doc would hit Spark's descending
+    # sequence(0, -1) = [0, -1] and emit two phantom empty lines where
+    # the oracle's range(0, 0) emits none.
+    tok = corpus.select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") > 0)
     chunked = tok.select(
         "doc_id",
         F.expr(
@@ -2899,9 +2904,12 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 1000000).alias("doc_id"), "source", "text"
         )
     )
+    # size(toks) > 0: a zero-token doc would hit Spark's descending
+    # sequence(0, -1) = [0, -1] and emit two phantom empty lines where
+    # the oracle's range(0, 0) emits none.
     tok = corpus.select(
         "doc_id", "source", TX.tokens(F.col("text")).alias("toks")
-    )
+    ).filter(F.size("toks") > 0)
     chunked = tok.select(
         "doc_id",
         "source",
@@ -2994,10 +3002,17 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     toks = TX.tokens(F.col("text"))
-    m = docs.select(
-        "doc_id",
-        toks.alias("toks"),
-    ).filter(F.size("toks") > 0)
+    # Token barrier (family convention): without it predicate pushdown +
+    # CollapseProject inline the tokenizer into BOTH the size() filter
+    # and the stats projection — two regex-split passes per row.
+    m = (
+        docs.select(
+            "doc_id",
+            toks.alias("toks"),
+        )
+        .localCheckpoint(eager=False)
+        .filter(F.size("toks") > 0)
+    )
     stop_arr = F.array(*[F.lit(w) for w in _GQ_STOP])
     m = m.select(
         "doc_id",
@@ -3233,7 +3248,10 @@ def q_quality_auc_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~F.col("label"), 1)).alias("n_neg"),
         F.sum(F.when(F.col("label"), F.col("rn"))).alias("pos_rank_sum"),
     )
-    u = F.col("pos_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2
+    # Exact LONG arithmetic for U (n*(n+1) is even, so DIV 2 is exact):
+    # the double-division form loses ulps once n_pos*(n_pos+1) passes
+    # 2^53 — exactly the corpus scale this query claims exactness at.
+    u = F.col("pos_rank_sum") - F.expr("n_pos * (n_pos + 1) DIV 2")
     return agg.select(
         "lang",
         "n_pos",

@@ -32,7 +32,7 @@ _COUNTS = [
     ("smj", r"SortMergeJoin"),
     ("shj", r"ShuffledHashJoin"),
     ("bnlj", r"BroadcastNestedLoopJoin"),
-    ("win", r"\bWindow(?:Group)? \["),
+    ("win", r"\bWindow(?:GroupLimit)? \["),
 ]
 
 
