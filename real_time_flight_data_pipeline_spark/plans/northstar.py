@@ -1360,3 +1360,109 @@ def q_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("q_id", "n_id", "sim")
     )
+
+
+# ===========================================================================
+# Multimodal audio: REAL binary decode (r6). PCM is codec-free — 16-bit
+# little-endian samples need numpy, not ffmpeg — so unlike the image/video
+# stubs above, this stage actually decodes its binary column and computes
+# real signal features (per-frame energy, zero-crossing rate). The
+# payloads are synthesized from an integer pseudo-signal so the oracle
+# can recompute every feature exactly in SQL: the decode is real, the
+# signal is deterministic.
+# ===========================================================================
+_PCM_N = 1024          # samples per clip
+_PCM_FRAME = 256       # samples per analysis frame
+_PCM_SCHEMA = "vec_id long, pcm binary"
+_PCM_OUT_SCHEMA = "vec_id long, frame_idx int, energy long, zero_crossings int"
+
+
+def _pcm_synth(batches):
+    """Encode stage: integer pseudo-signal -> 16-bit LE PCM bytes.
+    sample_i = ((seed * i) % 65536) - 32768 for i in 1.._PCM_N — exactly
+    reproducible in SQL, packable as int16 without rounding."""
+    import numpy as np
+    import pandas as pd
+
+    i = None
+    for pdf in batches:
+        if i is None:
+            i = np.arange(1, _PCM_N + 1, dtype=np.int64)
+        payloads = [
+            (((int(seed) * i) % 65536) - 32768).astype("<i2").tobytes()
+            for seed in pdf["vec_id"]
+        ]
+        yield pd.DataFrame({"vec_id": pdf["vec_id"], "pcm": payloads})
+
+
+def _pcm_features(batches):
+    """Decode stage — REAL: np.frombuffer on the binary column, framed
+    energy (sum of squares, exact int64) and zero-crossing counts
+    (adjacent-sample sign products, within-frame only)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        ids, frames, energies, zcs = [], [], [], []
+        for vec_id, buf in zip(pdf["vec_id"], pdf["pcm"]):
+            s = np.frombuffer(bytes(buf), dtype="<i2").astype(np.int64)
+            for f in range(len(s) // _PCM_FRAME):
+                fr = s[f * _PCM_FRAME : (f + 1) * _PCM_FRAME]
+                ids.append(vec_id)
+                frames.append(f)
+                energies.append(int((fr * fr).sum()))
+                zcs.append(int(((fr[:-1] * fr[1:]) < 0).sum()))
+        yield pd.DataFrame(
+            {
+                "vec_id": ids,
+                "frame_idx": frames,
+                "energy": energies,
+                "zero_crossings": zcs,
+            }
+        )
+
+
+@_register(
+    "multimodal_pcm_frame_energy",
+    f"""
+    WITH seeds AS (SELECT vec_id FROM embeddings),
+    idx AS (SELECT unnest(range(1, {_PCM_N + 1})) AS i),
+    samples AS (
+      SELECT vec_id, i, ((vec_id * i) % 65536) - 32768 AS s
+      FROM seeds CROSS JOIN idx
+    ),
+    framed AS (
+      SELECT vec_id, CAST((i - 1) // {_PCM_FRAME} AS INTEGER) AS frame_idx,
+             i, s
+      FROM samples
+    ),
+    adj AS (
+      SELECT vec_id, frame_idx, s,
+             lead(s) OVER (PARTITION BY vec_id, frame_idx ORDER BY i) AS s2
+      FROM framed
+    )
+    SELECT vec_id, frame_idx,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(count(*) FILTER (WHERE s * s2 < 0) AS INTEGER)
+             AS zero_crossings
+    FROM adj GROUP BY vec_id, frame_idx
+    """,
+    "Multimodal audio with a REAL decode: 16-bit LE PCM payloads are "
+    "synthesized from an integer pseudo-signal (encode mapInPandas), "
+    "then a second Arrow-batched mapInPandas np.frombuffer-decodes the "
+    "opaque binary column and computes per-frame energy (exact int64 "
+    "sum of squares) and zero-crossing counts — the feature-extraction "
+    "shape speech pipelines run at corpus scale. Unlike the image/video "
+    "stubs (PIL/ffmpeg env-blocked), PCM needs no codec library, so "
+    "this path exercises true bytes->signal->features end-to-end; the "
+    "oracle recomputes every feature from the closed-form signal in "
+    "SQL. Zero shuffles on the engine side — both stages are "
+    "partition-local Arrow passes",
+    reference="[NORTH-STAR] multimodal columns — codec-free audio tier; "
+    "stubbed image/video tier above (env blocker in COVERAGE.md)",
+    tags=("multimodal", "northstar", "pandas-udf"),
+)
+def q_multimodal_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings")).select("vec_id")
+    pcm = emb.mapInPandas(_pcm_synth, schema=_PCM_SCHEMA)
+    return pcm.mapInPandas(_pcm_features, schema=_PCM_OUT_SCHEMA)
