@@ -106,3 +106,40 @@ def test_write_sharded_manifest_validates_and_detects_drift(spark, tmp_path):
     v2 = {r.shard: r.ok for r in validate_manifest(spark, out, "doc_id").collect()}
     assert v2[2] is False
     assert v2[0] and v2[1] and v2[3]
+
+
+# ---------------------------------------------------------------------------
+# Fuzz: arbitrary byte-ish lines must never crash the loader — every line
+# lands in exactly one of {clean, quarantined}.
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_line = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\n\r"),
+    max_size=80,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lines=st.lists(_line, min_size=1, max_size=12))
+def test_jsonl_fuzz_total_partition(spark, tmp_path_factory, lines):
+    tmp = tmp_path_factory.mktemp("fuzz")
+    p = tmp / "fuzz.jsonl"
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    df = load_jsonl(spark, str(p), DOCUMENTS_JSONL_SCHEMA)
+    clean, dead = split_corrupt(df)
+    n_clean, n_dead = clean.count(), dead.count()
+    # Spark's JSON reader skips blank lines, where "blank" is Jackson's
+    # ASCII whitespace (space/tab) — NOT Python's unicode strip(): a line
+    # of U+00A0 or vertical tab is quarantined, not skipped (hypothesis
+    # found exactly that). Every non-blank line lands in exactly one
+    # bucket; a valid JSON *scalar* like `123` quarantines (not an
+    # object).
+    n_nonblank = sum(1 for ln in lines if ln.strip(" \t"))
+    assert n_clean + n_dead == n_nonblank
+    df.unpersist()
