@@ -437,10 +437,14 @@ def q_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # size(toks) > 0: a zero-token doc would hit Spark's descending
     # sequence(0, -1) = [0, -1] and emit two phantom empty lines where
-    # the oracle's range(0, 0) emits none.
-    tok = corpus.select(
-        "doc_id", TX.tokens(F.col("text")).alias("toks")
-    ).filter(F.size("toks") > 0)
+    # the oracle's range(0, 0) emits none. Token barrier BEFORE the
+    # filter: pushdown would otherwise duplicate the tokenize into the
+    # Filter node (CollapseProject gate).
+    tok = (
+        corpus.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+        .localCheckpoint(eager=False)
+        .filter(F.size("toks") > 0)
+    )
     chunked = tok.select(
         "doc_id",
         F.expr(
