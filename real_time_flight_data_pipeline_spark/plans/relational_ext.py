@@ -3056,3 +3056,118 @@ def q_sample_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _PER_KEY_K)
         .select("user_id", "event_id", "event_type")
     )
+
+
+# ===========================================================================
+# Event transition matrix (r6): first-order Markov view of user behavior —
+# the full (prev_type -> next_type) count/probability matrix that funnel
+# analysis is a slice of. One user-partitioned lag, one map-combined
+# aggregate on O(types^2) cells.
+# ===========================================================================
+@_register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from
+      FROM pairs GROUP BY prev_type
+    )
+    SELECT p.prev_type, p.next_type, CAST(p.n AS BIGINT) AS n,
+           CAST(p.n AS DOUBLE) / t.n_from AS p_next
+    FROM pairs p JOIN totals t ON t.prev_type = p.prev_type
+    """,
+    "First-order transition matrix over the event stream: per user, each "
+    "event's predecessor type via a user-partitioned lag (ts + event_id "
+    "total order), transitions counted into the O(types^2) matrix with "
+    "row-normalized probabilities (exact counts, one IEEE division "
+    "against the row total — joined back, not re-scanned). The general "
+    "form of the funnel family: any path query is a filter over this "
+    "matrix's support. One shuffle on user_id, one tiny aggregate",
+    reference="SURVEY.md §2.11 sequence analytics; funnel slice at "
+    "funnel_view_click_purchase",
+    tags=("window", "funnel", "timeseries"),
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(totals, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_from")).alias("p_next"),
+    )
+
+
+# ===========================================================================
+# Inter-arrival statistics (r6): whole-second gaps between consecutive
+# events per user, rolled up per event type of the LATER event — the
+# latency/engagement-cadence profile. Exact integer seconds.
+# ===========================================================================
+@_register(
+    "event_interarrival_stats",
+    """
+    WITH seq AS (
+      SELECT event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(prev_ts)) AS BIGINT) AS gap_s
+      FROM seq WHERE prev_ts IS NOT NULL
+    )
+    SELECT event_type,
+           count(*) AS n_gaps,
+           CAST(SUM(gap_s) AS BIGINT) AS total_gap_s,
+           CAST(SUM(gap_s) AS DOUBLE) / count(*) AS mean_gap_s,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM gaps GROUP BY event_type
+    """,
+    "Inter-arrival cadence per event type: consecutive-event gaps from a "
+    "user-partitioned lag (whole seconds — epoch truncation matches "
+    "Spark's timestamp->long cast), aggregated into count / exact total "
+    "/ mean / min / max. The engagement-cadence profile sessionization "
+    "thresholds are tuned from (sessionize_events hardcodes 30 min; "
+    "this query is where that number comes from). One shuffle on "
+    "user_id, then a map-combined rollup on O(types) rows",
+    reference="SURVEY.md §2.11 sequence analytics; threshold consumer "
+    "at sessionize_events",
+    tags=("window", "timeseries"),
+)
+def q_event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        (
+            F.col("ts").cast("long")
+            - F.lag("ts").over(w).cast("long")
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_s").alias("total_gap_s"),
+        (F.sum("gap_s").cast("double") / F.count(F.lit(1))).alias("mean_gap_s"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
