@@ -75,3 +75,32 @@ def test_compaction_preserves_view_and_bounds_state(spark, tmp_path):
     # post-compaction epochs keep working
     state.apply_batch(batches[3], 3)
     assert _rows(state.view()) == before
+
+
+def test_real_stream_drives_the_sink(spark, tmp_path):
+    """The same sink under an actual readStream: spool the events table as
+    parquet shards, stream them with availableNow, foreachBatch applies
+    epochs — final view equals the batch recompute. (The unit tests above
+    drive epochs by hand; this closes the loop on the real API.)"""
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "ts", "value")
+    spool = str(tmp_path / "spool")
+    # three files so the file source has several batches available
+    ev.filter(F.col("event_id") % 3 == 0).write.parquet(spool)
+    ev.filter(F.col("event_id") % 3 == 1).write.mode("append").parquet(spool)
+    ev.filter(F.col("event_id") % 3 == 2).write.mode("append").parquet(spool)
+
+    state = DailyAggState(spark, str(tmp_path / "agg"))
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(spool)
+        .writeStream.foreachBatch(
+            lambda batch, epoch: state.apply_batch(batch, epoch)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    want = _rows(REGISTRY["events_daily_agg_ivm"].builder(spark, SF_SMOKE))
+    assert _rows(state.view()) == want
