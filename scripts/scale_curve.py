@@ -62,6 +62,10 @@ QUERIES = [
     # source count stays fixed).
     "docs_near_dup_triangles",
     "sources_gram_overlap_matrix",
+    # r6c: the full multi-stage composition — quality + LSH/CC dedup +
+    # decontamination sharing one tokenize. Its curve bounds the whole
+    # curation pipeline, not just single operators.
+    "docs_curation_funnel",
 ]
 N_RUNS = 3
 

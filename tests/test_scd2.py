@@ -74,3 +74,72 @@ def test_event_counts_and_coverage(spark):
     for u, (lo, hi) in bounds.items():
         assert span[u][0] == lo  # first interval opens at first event
         assert span[u][1] <= hi  # last interval opens at/before last event
+
+
+# ---------------------------------------------------------------------------
+# Incremental SCD2 maintenance (operators/scd2.py) vs the batch rebuild.
+# ---------------------------------------------------------------------------
+from pyspark.sql import Window
+
+from real_time_flight_data_pipeline_spark.operators.scd2 import scd2_apply
+
+
+def _fold_batches(spark, ev):
+    """Feed each user's events one at a time (nth-event batches), folding
+    through scd2_apply; with one observation per key per batch this must
+    reproduce the rebuild exactly."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).cache()
+    n_max = ranked.agg(F.max("rn")).collect()[0][0]
+    state = spark.createDataFrame(
+        [], "user_id long, version int, state string, valid_from timestamp, valid_to timestamp"
+    )
+    for i in range(1, n_max + 1):
+        batch = ranked.filter(F.col("rn") == i).select(
+            "user_id", F.col("event_type").alias("state"), "ts"
+        )
+        state = scd2_apply(state, batch).localCheckpoint(eager=True)
+    return state
+
+
+def test_incremental_apply_matches_rebuild(spark):
+    from real_time_flight_data_pipeline_spark.sources.parquet import load_table
+
+    ev = (
+        load_table(spark, SF, "events")
+        .filter(F.col("user_id") < 6)
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    # bound the fold depth: first 8 events per user
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 8).drop("rn")
+
+    got = _fold_batches(spark, ev)
+    want = user_state_scd2_from(ev).select(
+        "user_id", "version", "state", "valid_from", "valid_to"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_apply_is_idempotent_and_ignores_stale(spark):
+    import datetime as dt
+
+    state = spark.createDataFrame(
+        [], "user_id long, version int, state string, valid_from timestamp, valid_to timestamp"
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 2)
+    b = lambda rows: spark.createDataFrame(rows, "user_id long, state string, ts timestamp")
+
+    s1 = scd2_apply(state, b([(1, "view", t0)]))
+    assert [(r.version, r.state, r.valid_to) for r in s1.collect()] == [(1, "view", None)]
+    # same observation replayed: no-op
+    s2 = scd2_apply(s1, b([(1, "view", t1)]))
+    assert sorted(map(tuple, s2.collect())) == sorted(map(tuple, s1.collect()))
+    # stale (out-of-order) different state: ignored
+    s3 = scd2_apply(s1, b([(1, "click", t0)]))
+    assert sorted(map(tuple, s3.collect())) == sorted(map(tuple, s1.collect()))
+    # real transition: closes and versions
+    s4 = scd2_apply(s1, b([(1, "click", t1)]))
+    rows = {r.version: r for r in s4.collect()}
+    assert rows[1].valid_to == t1 and rows[2].state == "click" and rows[2].valid_to is None
