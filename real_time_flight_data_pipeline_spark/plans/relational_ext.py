@@ -3171,3 +3171,123 @@ def q_event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_s").alias("min_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
     )
+
+
+# ===========================================================================
+# Equi-depth histogram (r6): quartile boundaries from the exact
+# partial-aggregate percentile (no global sort), broadcast as one row,
+# and every event bucketed by three comparisons — the equal-mass binning
+# a cost-based optimizer and drift monitors both want (value_histogram_
+# bands is the fixed-width twin).
+# ===========================================================================
+@_register(
+    "events_value_equidepth_hist",
+    """
+    WITH cents AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+    ),
+    b AS (
+      SELECT quantile_cont(c, 0.25) AS b1, quantile_cont(c, 0.50) AS b2,
+             quantile_cont(c, 0.75) AS b3
+      FROM cents
+    )
+    SELECT CAST(1 + (c > b1)::INT + (c > b2)::INT + (c > b3)::INT
+                AS INTEGER) AS bucket,
+           count(*) AS n,
+           CAST(min(c) AS BIGINT) AS min_cents,
+           CAST(max(c) AS BIGINT) AS max_cents
+    FROM cents, b
+    GROUP BY 1
+    """,
+    "Equi-depth (equal-mass) histogram: exact quartile boundaries on "
+    "integer cents via the single-pass partial-aggregate percentile "
+    "(binary-fraction interpolation — bit-identical cross-engine, as "
+    "value_quartiles_by_type), then each event lands in a bucket by "
+    "three comparisons against the broadcast 1-row boundary relation. "
+    "Two scans of the fact (boundaries + binning), zero sorts; the "
+    "1-row boundary join is the allowlisted bounded-broadcast shape",
+    reference="SURVEY.md §2.11 quantiles/histograms; fixed-width twin "
+    "at value_histogram_bands",
+    tags=("A6", "quantiles"),
+)
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = ev.select(F.round(F.col("value") * 100).cast("long").alias("c"))
+    b = cents.agg(
+        F.expr("percentile(c, 0.25)").alias("b1"),
+        F.expr("percentile(c, 0.50)").alias("b2"),
+        F.expr("percentile(c, 0.75)").alias("b3"),
+    ).withColumn("k", F.lit(1))
+    binned = cents.withColumn("k", F.lit(1)).join(F.broadcast(b), "k")
+    bucket = (
+        F.lit(1)
+        + (F.col("c") > F.col("b1")).cast("int")
+        + (F.col("c") > F.col("b2")).cast("int")
+        + (F.col("c") > F.col("b3")).cast("int")
+    )
+    return binned.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c").alias("min_cents"),
+        F.max("c").alias("max_cents"),
+    )
+
+
+# ===========================================================================
+# Tolerance-bounded as-of join (r6): the merge_asof(tolerance=...) shape —
+# the most recent click counts only if it is FRESH ENOUGH; a stale match
+# is a non-match, not a wrong enrichment.
+# ===========================================================================
+_ASOF_TOL_S = 3600
+
+
+@_register(
+    "asof_click_before_purchase_tolerance",
+    f"""
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN c.ts IS NOT NULL
+                 AND CAST(floor(epoch(p.ts)) AS BIGINT)
+                     - CAST(floor(epoch(c.ts)) AS BIGINT) <= {_ASOF_TOL_S}
+                THEN c.ts END AS last_click_ts,
+           CASE WHEN c.ts IS NOT NULL
+                 AND CAST(floor(epoch(p.ts)) AS BIGINT)
+                     - CAST(floor(epoch(c.ts)) AS BIGINT) <= {_ASOF_TOL_S}
+                THEN CAST(floor(epoch(p.ts)) AS BIGINT)
+                     - CAST(floor(epoch(c.ts)) AS BIGINT) END AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    f"As-of join with a {_ASOF_TOL_S}-second tolerance (pandas "
+    "merge_asof(tolerance=...) semantics): the most recent click at-or-"
+    "before each purchase enriches it ONLY when within the freshness "
+    "bound — beyond it the enrichment is NULL, because acting on stale "
+    "context is worse than acting on none. Same union+window carry-"
+    "forward plan as the unbounded as-of (one shuffle, cost independent "
+    "of history depth); the bound is one whole-second comparison "
+    "(epoch truncation matches Spark's timestamp->long cast). Oracle: "
+    "DuckDB native ASOF JOIN + the same post-filter",
+    reference="SURVEY.md §2.11 as-of joins; unbounded twin at "
+    "asof_last_click_before_purchase",
+    tags=("asof", "J-ext"),
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["ts"],
+    )
+    gap = F.col("ts").cast("long") - F.col("asof_ts").cast("long")
+    fresh = F.col("asof_ts").isNotNull() & (gap <= _ASOF_TOL_S)
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("asof_ts")).alias("last_click_ts"),
+        F.when(fresh, gap).alias("gap_s"),
+    )

@@ -39,6 +39,7 @@ _BNLJ_ALLOWED = {
     # broadcast join (the lit-key equi join constant-folds to a BNLJ of two
     # single-row aggregates — bounded by construction)
     "docs_lsh_recall",  # same shape: 1-row truth-count x 1-row hit-count
+    "events_value_equidepth_hist",  # 1-row quartile-boundary broadcast
 }
 
 _ALL = sorted(REGISTRY)
