@@ -16,10 +16,24 @@ the same contract (``(node, component)``, component = min reachable id):
   pathological diameters (long chains) where propagation would serialize.
 
 Both use a per-round ``localCheckpoint`` lineage barrier (plans stay O(1)
-deep), probe convergence with a 1-row count — never a driver collect of
-data — and release the previous round's checkpointed storage once the next
-round is materialized, so executor storage holds at most two rounds of
-state at any time.
+deep), probe convergence with a bounded count — never a driver collect of
+data — and release old rounds' checkpointed storage as the loop advances,
+so executor storage holds a small constant number of rounds of state at
+any time.
+
+Release discipline (r7): convergence probes run WITHOUT ``limit(1)`` and
+releases are DEFERRED one extra round. A ``limit`` probe cancels the
+job's remaining tasks the moment one row lands; those killed tasks still
+post task-end events carrying accumulator updates for the probed RDD, and
+if ``_release`` has already unpersisted it (letting the ContextCleaner
+unregister its accumulators) the DAGScheduler logs a benign-but-ugly
+"attempted to access non-existent accumulator" ERROR (observed in the r6
+bench tail during docs_lsh_recall). A full count completes only after
+every task of the stage has finished, and deferring the unpersist until
+one MORE round's eager action has run means any straggler event is drained
+long before its accumulators disappear. The probe-side cost is nil: the
+"changed" filter feeds a partial-aggregated count (map-side combine, one
+long per partition), not a row materialization.
 """
 
 from __future__ import annotations
@@ -99,6 +113,7 @@ def connected_components(
     ).localCheckpoint(eager=True)
     changed = 0
     rounds = 0
+    deferred: list[DataFrame] = []  # release one round late (module docstring)
     for _ in range(max_iters):
         rounds += 1
         nbr_min = (
@@ -114,11 +129,17 @@ def connected_components(
                 (F.coalesce("nbr_lbl", "lbl") < F.col("lbl")).alias("chg"),
             )
         ).localCheckpoint(eager=True)  # barrier: O(1) lineage per round
-        changed = new_labels.filter(F.col("chg")).limit(1).count()  # 1-row probe
-        _release(labels)  # prior round's storage, no longer referenced
+        # Full count (no limit): all probe tasks finish before this returns,
+        # so no killed-task stragglers reference soon-released RDDs.
+        changed = new_labels.filter(F.col("chg")).count()
+        for old in deferred:
+            _release(old)
+        deferred = [labels]  # prior round: free after ONE MORE eager action
         labels = new_labels.drop("chg")
         if changed == 0:
             break
+    for old in deferred:
+        _release(old)
     _release(edges)
     if stats is not None:
         stats.update({"rounds": rounds, "converged": changed == 0})
@@ -170,6 +191,7 @@ def connected_components_star(
         edges = edges.coalesce(1)
     converged = False
     rounds = 0
+    deferred: list[DataFrame] = []  # release one round late (module docstring)
     for _ in range(max_iters):
         rounds += 1
         # --- large-star over the symmetrized neighborhoods ---------------
@@ -202,17 +224,22 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        _release(ls)
         new_count = ss.count()
+        # Full count (no limit) — see module docstring: a limit probe's
+        # cancelled tasks post late accumulator events for RDDs the release
+        # below would have already unpersisted.
         changed = (
-            new_count != n_edges
-            or ss.exceptAll(edges).limit(1).count() > 0  # 1-row probe
+            new_count != n_edges or ss.exceptAll(edges).count() > 0
         )
-        _release(edges)
+        for old in deferred:
+            _release(old)
+        deferred = [ls, edges]  # free after one more round's eager action
         edges, n_edges = ss, new_count
         if not changed:
             converged = True
             break
+    for old in deferred:
+        _release(old)
     if stats is not None:
         stats.update({"rounds": rounds, "converged": converged})
     if not converged:
