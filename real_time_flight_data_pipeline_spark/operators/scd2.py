@@ -3,30 +3,38 @@
 `plans.relational_ext.user_state_scd2_from` REBUILDS the full history from
 the raw stream — correct, but a rebuild per micro-batch rescans history.
 This operator is the incremental path: given the current SCD2 state and a
-batch of observed states, close the open interval of every key whose
-state changed and append the new current version — one keyed outer join,
-no history rescan (closed rows pass through untouched).
+batch of observed states, extend each affected key's history with the
+batch's transitions — keyed joins and batch-sized windows only, no history
+rescan (closed rows pass through untouched).
 
-Semantics per key in the batch (one change row per key; pre-collapse a
-multi-event batch with latest_per_key):
+Batches may carry MULTIPLE observations per key (r7; previously the
+contract was one-row-per-key and a violation silently corrupted state —
+ADVICE r6). The batch's rows are ordered per key by (ts, tie-break),
+appended after the key's open row, and collapsed exactly like the batch
+rebuild's gaps-and-islands pass: consecutive same-state observations
+extend the current interval, each state change closes the open interval
+at its ts (half-open [valid_from, ts)) and opens the next version.
 
-* unseen key                  -> insert version 1, open;
-* same state as the open row  -> no-op (idempotent replay of the same
-  observation changes nothing);
-* different state, ts AFTER the open row's valid_from -> close the open
-  row at ts (half-open [valid_from, ts)), insert version+1, open;
+Per key:
+
+* unseen key                   -> versions 1..n from the batch's islands;
+* observation(s) equal to the open row's state (and nothing newer that
+  differs)                     -> no-op (idempotent replay);
+* state changes with ts AFTER the open row's valid_from -> each change
+  point closes the previous interval and appends version+1, +2, ...;
 * ts at/before the open row's valid_from -> ignored (out-of-order
   observation; the batch rebuild is the reconciliation path, same
   contract as the streaming funnel).
 
-With one observation per key per batch, folding batches through this
-operator reproduces the batch rebuild exactly — pinned by
-tests/test_scd2.py::test_incremental_apply_matches_rebuild.
+Folding event-ordered batches of ANY size through this operator
+reproduces the batch rebuild exactly — pinned by tests/test_scd2.py
+(per-event fold, multi-event batches, and the availableNow streaming
+drive in tests/test_streaming_scd2.py).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -36,46 +44,86 @@ def scd2_apply(
     key: str = "user_id",
     state_col: str = "state",
     ts_col: str = "ts",
+    tie_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Return the new SCD2 state. ``state`` columns: key, version,
     state_col, valid_from, valid_to (NULL = open). ``changes`` columns:
-    key, state_col, ts_col — at most one row per key."""
+    key, state_col, ts_col, plus any ``tie_cols`` used to totalize the
+    within-batch order at equal ts (the rebuild uses event_id; without a
+    tie column, equal-ts rows order by state value — deterministic but
+    arbitrary). Any number of rows per key.
+    """
+    ts_type = dict(state.dtypes)["valid_from"]
     ch = changes.select(
         F.col(key),
-        F.col(state_col).alias("_new_state"),
-        F.col(ts_col).alias("_ts"),
+        F.col(state_col).alias("_st"),
+        F.col(ts_col).cast(ts_type).alias("_ts"),
+        *[F.col(c).alias(f"_tie{i}") for i, c in enumerate(tie_cols)],
     )
+    tie = [F.col(f"_tie{i}") for i in range(len(tie_cols))] or [F.col("_st")]
+
     closed = state.filter(F.col("valid_to").isNotNull())
     opens = state.filter(F.col("valid_to").isNull())
+    bkeys = ch.select(key).distinct()
+    # Open rows of keys the batch never mentions: pass through untouched
+    # (never enter a window — the whole pass is O(batch), not O(state)).
+    untouched = opens.join(bkeys, key, "left_anti")
+    heads = opens.join(bkeys, key, "semi")
 
-    j = opens.join(ch, key, "full_outer")
-    has_open = F.col("valid_from").isNotNull()
-    has_change = F.col("_ts").isNotNull()
-    is_transition = (
-        has_open
-        & has_change
-        & (F.col("_new_state") != F.col(state_col))
-        & (F.col("_ts") > F.col("valid_from"))
-    )
-
-    # Surviving open rows: untouched, or closed by a transition.
-    kept_opens = j.filter(has_open).select(
-        key,
+    null_tie = [
+        F.lit(None).cast(dict(ch.dtypes)[f"_tie{i}"]).alias(f"_tie{i}")
+        for i in range(len(tie_cols))
+    ]
+    seq = heads.select(
+        F.col(key),
         "version",
-        state_col,
-        "valid_from",
-        F.when(is_transition, F.col("_ts")).alias("valid_to"),
+        F.col(state_col).alias("_st"),
+        F.col("valid_from").alias("_ts"),
+        F.lit(0).alias("_src"),  # head sorts before any same-ts batch row
+        *null_tie,
+    ).unionByName(
+        # Stale observations (at/before the open row's valid_from) drop out
+        # here; for unseen keys _head_from is NULL and everything survives.
+        ch.join(
+            heads.select(F.col(key), F.col("valid_from").alias("_head_from")),
+            key,
+            "left",
+        )
+        .filter(F.col("_head_from").isNull() | (F.col("_ts") > F.col("_head_from")))
+        .select(
+            F.col(key),
+            F.lit(None).cast("int").alias("version"),
+            "_st",
+            "_ts",
+            F.lit(1).alias("_src"),
+            *[F.col(f"_tie{i}") for i in range(len(tie_cols))],
+        )
     )
-    # New open rows: transitions (version+1) and unseen keys (version 1).
-    new_rows = j.filter(
-        is_transition | (has_change & ~has_open)
-    ).select(
-        key,
-        F.coalesce(F.col("version") + 1, F.lit(1)).cast("int").alias("version"),
-        F.col("_new_state").alias(state_col),
+
+    order: list[Column] = [F.col("_ts"), F.col("_src"), *tie]
+    w = Window.partitionBy(key).orderBy(*order)
+    # Gaps-and-islands collapse, exactly the rebuild's: keep only rows
+    # that START an island (first row, or state differs from predecessor).
+    kept = seq.withColumn("_prev", F.lag("_st").over(w)).filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col("_st"))
+    )
+    wk = Window.partitionBy(key).orderBy(*order)
+    wkey = Window.partitionBy(key)
+    # The head (if any) is always kept (row 1, carries the key's current
+    # version); island i continues the numbering from it.
+    base = F.max("version").over(wkey)
+    rn = F.row_number().over(wk)
+    version = (
+        F.coalesce(base, F.lit(0))
+        + rn
+        - F.when(base.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    )
+    valid_to = F.lead("_ts").over(wk)
+    applied = kept.select(
+        F.col(key),
+        version.cast("int").alias("version"),
+        F.col("_st").alias(state_col),
         F.col("_ts").alias("valid_from"),
-        F.lit(None).cast(
-            dict(state.dtypes)["valid_from"]
-        ).alias("valid_to"),
+        valid_to.alias("valid_to"),
     )
-    return closed.unionByName(kept_opens).unionByName(new_rows)
+    return closed.unionByName(untouched).unionByName(applied)
