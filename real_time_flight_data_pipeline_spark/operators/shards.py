@@ -36,24 +36,38 @@ def assign_shard(key: F.Column, n_shards: int) -> F.Column:
     return (md5_long(key.cast("string")) % n_shards).cast("int")
 
 
+def _delete_shard_dir(spark, path: str, shard: int) -> None:
+    """Remove one shard=K partition directory via the Hadoop FS API (works
+    for any supported filesystem, not just local disk)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, f"{SHARD_COL}={shard}"))
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
 def write_sharded(
     df: DataFrame, key: str, n_shards: int, path: str
 ) -> DataFrame:
     """Write ``df`` as shard-partitioned parquet plus a manifest; returns
     the manifest read BACK from disk (so the caller's next action reads
     a tiny parquet, not the export pipeline a third time). The barrier
-    on the sharded frame means the upstream pipeline runs once for the
-    data write and feeds the manifest aggregate from the materialized
-    rows, not a recompute."""
+    on the sharded frame means the upstream pipeline runs once: the
+    manifest aggregate materializes it, the data write reuses the rows.
+
+    Incremental re-runs rewrite ONLY the shards whose membership changed
+    (r7 — previously a static overwrite rewrote every shard and the
+    docstring overclaimed): the new manifest is computed first, diffed
+    against the on-disk ``_MANIFEST`` (count + XOR fingerprint per shard
+    — O(n_shards) driver rows, n_shards is small by construction), and
+    the data write uses dynamic partition overwrite restricted to the
+    changed shard ids. Shards that lost their last row are deleted
+    explicitly (dynamic overwrite only touches partitions present in the
+    written data). Unchanged shards keep their files byte-for-byte, so
+    downstream trainers' shard-level caches stay valid across re-runs."""
+    spark = df.sparkSession
     sharded = df.withColumn(
         SHARD_COL, assign_shard(F.col(key), n_shards)
     ).localCheckpoint(eager=False)
-    (
-        sharded.repartition(n_shards, F.col(SHARD_COL))
-        .write.mode("overwrite")
-        .partitionBy(SHARD_COL)
-        .parquet(path)
-    )
     manifest = (
         sharded.groupBy(SHARD_COL)
         .agg(
@@ -65,8 +79,36 @@ def write_sharded(
         .orderBy(SHARD_COL)
     )
     mpath = os.path.join(path, "_MANIFEST")
+    try:
+        prior = {
+            r[SHARD_COL]: (r["n_rows"], r["key_fingerprint"])
+            for r in spark.read.parquet(mpath).collect()
+        }
+    except Exception:  # first write: no manifest yet
+        prior = None
+
+    new = {
+        r[SHARD_COL]: (r["n_rows"], r["key_fingerprint"])
+        for r in manifest.collect()
+    }
+    if prior is None:
+        to_write = sharded
+    else:
+        changed = sorted(k for k in new if prior.get(k) != new[k])
+        for gone in sorted(set(prior) - set(new)):
+            _delete_shard_dir(spark, path, gone)
+        if not changed:  # membership identical: data untouched
+            manifest.write.mode("overwrite").parquet(mpath)
+            return spark.read.parquet(mpath).orderBy(SHARD_COL)
+        to_write = sharded.filter(F.col(SHARD_COL).isin(changed))
+    (
+        to_write.repartition(n_shards, F.col(SHARD_COL))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(SHARD_COL)
+        .parquet(path)
+    )
     manifest.write.mode("overwrite").parquet(mpath)
-    spark = df.sparkSession
     return spark.read.parquet(mpath).orderBy(SHARD_COL)
 
 

@@ -55,8 +55,9 @@ def load_jsonl(
     )
 
 
-def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(clean rows without the quarantine column, dead-letter rows).
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(clean rows without the quarantine column, dead-letter rows, and
+    the cached parsed frame both derive from).
 
     A corrupt line arrives with every schema field NULL except the
     quarantine column; clean rows have it NULL. The dead-letter frame
@@ -68,11 +69,19 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     (QUERY_ONLY_CORRUPT_RECORD_COLUMN — the column exists only during
     parsing), and the documented contract is to cache/materialize before
     filtering on it. It also means the file is parsed once for both
-    branches."""
-    df = df.cache()
-    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    dead = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+    branches.
+
+    Lifecycle (r7, ADVICE r6): the cache belongs to the CALLER — after
+    materializing both branches (writing clean rows, logging the DLQ),
+    call ``parsed.unpersist()`` so a long-lived ingest session does not
+    accumulate cached partitions, one parse per shard. The clean/dead
+    frames stay valid after unpersist (they recompute from the source if
+    re-used — re-parsing, which is exactly the trade the caller opts
+    into by releasing the memory)."""
+    parsed = df.cache()
+    clean = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    dead = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line"),
         F.current_timestamp().alias("quarantined_at"),
     )
-    return clean, dead
+    return clean, dead, parsed

@@ -24,6 +24,8 @@ this adds the additive-aggregate state shape the LWW merge cannot express.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -42,6 +44,8 @@ _STATE_SCHEMA = T.StructType(
 )
 
 _BASE_EPOCH = -1  # compacted history lives under this reserved epoch
+
+_WM_SCHEMA = T.StructType([T.StructField("up_to_epoch", T.LongType())])
 
 
 def _partials(batch: DataFrame) -> DataFrame:
@@ -70,13 +74,36 @@ class DailyAggState:
 
     def __init__(self, spark: SparkSession, path: str):
         self.table = ParquetTable(spark, path, _STATE_SCHEMA)
+        # Compaction watermark, PERSISTED (r7, ADVICE r6): a compacted
+        # epoch's rows were merged into the base epoch, so the epoch
+        # filter in apply_batch would remove nothing and a replay would
+        # double-count. The horizon therefore lives in durable state
+        # (not a caller convention) and apply_batch refuses anything at
+        # or below it.
+        self._wm_table = ParquetTable(
+            spark, os.path.join(path, "_compaction_wm"), _WM_SCHEMA
+        )
+
+    def _watermark(self) -> int | None:
+        row = self._wm_table.read().agg(F.max("up_to_epoch")).head()
+        return row[0] if row and row[0] is not None else None
 
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         """Replace epoch ``epoch_id``'s partials with this batch's —
         replaying the same (batch, epoch) pair is a no-op on the final
-        state, which is what checkpoint-recovery replay requires."""
+        state, which is what checkpoint-recovery replay requires.
+        Raises for epochs at/below the persisted compaction watermark:
+        those partials were folded into the base epoch and are final —
+        re-applying them would double-count."""
         if epoch_id == _BASE_EPOCH:
             raise ValueError(f"epoch {_BASE_EPOCH} is reserved for compaction")
+        wm = self._watermark()
+        if wm is not None and epoch_id <= wm:
+            raise ValueError(
+                f"epoch {epoch_id} is at/below the compaction watermark "
+                f"{wm}: its partials are final (folded into the base "
+                "epoch); a replay here would double-count"
+            )
         new = _partials(batch).select(
             F.lit(epoch_id).cast("long").alias("epoch_id"), "*"
         )
@@ -87,8 +114,10 @@ class DailyAggState:
         """Fold every epoch <= up_to_epoch into the base epoch: state size
         becomes O(days) + O(open epochs) regardless of stream lifetime.
         Epochs above the horizon stay replayable (their replacement is
-        still idempotent); compacted ones are final by contract — the
-        caller passes a horizon the checkpoint can no longer replay."""
+        still idempotent); compacted ones are final — enforced by the
+        persisted watermark, so the caller contract is 'pass a horizon
+        the checkpoint can no longer replay' and a violation fails loudly
+        instead of corrupting the rollup."""
         state = self.table.read()
         old = state.filter(F.col("epoch_id") <= up_to_epoch)
         rest = state.filter(F.col("epoch_id") > up_to_epoch)
@@ -96,6 +125,11 @@ class DailyAggState:
             F.lit(_BASE_EPOCH).cast("long").alias("epoch_id"), "*"
         )
         self.table.overwrite(base.unionByName(rest))
+        self._wm_table.overwrite(
+            self.table.spark.createDataFrame(
+                [(int(up_to_epoch),)], _WM_SCHEMA
+            )
+        )
 
     def view(self) -> DataFrame:
         """The queryable rollup: derive the non-mergeable columns (avg)

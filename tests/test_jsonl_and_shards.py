@@ -9,6 +9,7 @@ validated manifest).
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -46,7 +47,7 @@ def _write_fixture(tmp_path, n_good=50, n_bad=3) -> str:
 def test_jsonl_quarantines_broken_lines(spark, tmp_path):
     path = _write_fixture(tmp_path)
     df = load_jsonl(spark, path, DOCUMENTS_JSONL_SCHEMA)
-    clean, dead = split_corrupt(df)
+    clean, dead, parsed = split_corrupt(df)
     assert clean.count() == 50
     assert CORRUPT_COL not in clean.columns
     dead_rows = dead.collect()
@@ -56,6 +57,12 @@ def test_jsonl_quarantines_broken_lines(spark, tmp_path):
     # clean rows parsed fully typed
     got = clean.filter(F.col("doc_id") == 7).collect()[0]
     assert got.text == "doc 7 text" and got.source == "src1"
+    # lifecycle contract: the caller releases the parse cache once both
+    # branches are materialized (r6 ADVICE: long-lived ingest sessions
+    # must not accumulate cached partitions)
+    assert parsed.storageLevel.useMemory
+    parsed.unpersist()
+    assert not parsed.storageLevel.useMemory
 
 
 def test_jsonl_rejects_schema_without_quarantine_column(spark):
@@ -108,6 +115,60 @@ def test_write_sharded_manifest_validates_and_detects_drift(spark, tmp_path):
     assert v2[0] and v2[1] and v2[3]
 
 
+def _shard_files(out):
+    import glob
+
+    return {
+        s: sorted(glob.glob(f"{out}/shard={s}/*.parquet")) for s in range(4)
+    }
+
+
+def test_rerun_rewrites_only_changed_shards(spark, tmp_path):
+    """The incremental-write contract (r6 ADVICE: the docstring used to
+    claim it while static overwrite rewrote everything): a re-run with one
+    added document must leave every other shard's files byte-identical on
+    disk, and an identical re-run must touch no data files at all."""
+    from real_time_flight_data_pipeline_spark.operators.shards import (
+        SHARD_COL,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "source"
+    )
+    out = str(tmp_path / "shards")
+    write_sharded(docs, "doc_id", 4, out)
+    before = _shard_files(out)
+    sig_before = {
+        s: [(f, os.path.getmtime(f), os.path.getsize(f)) for f in fs]
+        for s, fs in before.items()
+    }
+
+    # identical re-run: zero data files rewritten
+    write_sharded(docs, "doc_id", 4, out)
+    sig_same = {
+        s: [(f, os.path.getmtime(f), os.path.getsize(f)) for f in fs]
+        for s, fs in _shard_files(out).items()
+    }
+    assert sig_same == sig_before
+
+    # add ONE document: only its shard may change
+    extra = spark.createDataFrame(
+        [(999_999_999, "the new document", "srcX")], docs.schema
+    )
+    manifest = write_sharded(docs.unionByName(extra), "doc_id", 4, out)
+    hit = assign_shard(F.lit(999_999_999).cast("long"), 4)
+    hit_shard = spark.range(1).select(hit.alias("s")).head().s
+    after = _shard_files(out)
+    for s in range(4):
+        if s == hit_shard:
+            assert after[s] != before[s]  # rewritten (new file names)
+        else:
+            assert after[s] == before[s]  # byte-stable file set
+    assert {r[SHARD_COL] for r in manifest.collect()} == {0, 1, 2, 3}
+    v = validate_manifest(spark, out, "doc_id")
+    assert all(r.ok for r in v.collect())
+
+
 # ---------------------------------------------------------------------------
 # Fuzz: arbitrary byte-ish lines must never crash the loader — every line
 # lands in exactly one of {clean, quarantined}.
@@ -132,7 +193,7 @@ def test_jsonl_fuzz_total_partition(spark, tmp_path_factory, lines):
     p = tmp / "fuzz.jsonl"
     p.write_text("\n".join(lines) + "\n", encoding="utf-8")
     df = load_jsonl(spark, str(p), DOCUMENTS_JSONL_SCHEMA)
-    clean, dead = split_corrupt(df)
+    clean, dead, parsed = split_corrupt(df)
     n_clean, n_dead = clean.count(), dead.count()
     # Spark's JSON reader skips blank lines, where "blank" is Jackson's
     # ASCII whitespace (space/tab) — NOT Python's unicode strip(): a line
@@ -142,4 +203,4 @@ def test_jsonl_fuzz_total_partition(spark, tmp_path_factory, lines):
     # object).
     n_nonblank = sum(1 for ln in lines if ln.strip(" \t"))
     assert n_clean + n_dead == n_nonblank
-    df.unpersist()
+    parsed.unpersist()

@@ -75,6 +75,15 @@ def test_compaction_preserves_view_and_bounds_state(spark, tmp_path):
     # post-compaction epochs keep working
     state.apply_batch(batches[3], 3)
     assert _rows(state.view()) == before
+    # a replay of a COMPACTED epoch must fail loudly (its partials were
+    # folded into the base epoch — re-applying would double-count); the
+    # watermark is persisted, so a fresh handle enforces it too
+    import pytest as _pytest
+
+    for handle in (state, DailyAggState(spark, str(tmp_path / "agg"))):
+        with _pytest.raises(ValueError, match="compaction watermark"):
+            handle.apply_batch(batches[0], 0)
+    assert _rows(state.view()) == before
 
 
 def test_real_stream_drives_the_sink(spark, tmp_path):
