@@ -1791,8 +1791,9 @@ def _sem_oracle() -> str:
     "DERIVED — K = max(16, ceil(sqrt(n)/2)) from a 1-row count broadcast "
     "so cell size scales as sqrt(n) and total work as O(n^1.5) instead "
     "of collapsing to O(n^2/K) under a pinned K (SemDeDup's own recipe: "
-    "K must track corpus size; a two-level IVF assignment is the "
-    "documented path below O(n^1.5)). Corpus is augmented with scale-"
+    "K must track corpus size; embedding_semdedup_2level is the "
+    "MEASURED upgrade — a fine K=4*sqrt(n) codebook with hierarchical "
+    "assignment, 1.7x faster at the 10x point). Corpus is augmented with scale-"
     "variant copies (x1.01 of every 10th vector) so the dup set is non-"
     "trivial, same augmentation as embedding_near_dup_pairs. The cell "
     "self-join shuffles on cid; the codebook stays a broadcast; the plan "
@@ -1822,7 +1823,9 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    kdf = corpus.agg(
+    # K from the cached normed frame (same count as corpus) — deriving it
+    # from `corpus` would re-scan the parquet source per consumer (r7).
+    kdf = normed.agg(
         F.greatest(
             F.lit(_SEM_K_MIN),
             F.ceil(F.sqrt(F.count(F.lit(1))) / 2).cast("long"),
@@ -1838,20 +1841,27 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 2 * V.dot(F.col("vn"), F.col("cv"))
         + V.dot(F.col("cv"), F.col("cv"))
     )
-    assign = (
+    # Assignment carries vn THROUGH the argmin aggregate (min_by of a
+    # (cid, vn) struct — vn is constant per vec_id, so the carried value
+    # is deterministic): the n*K broadcast-join explosion collapses
+    # map-side and the old join-back to normed (a second vec_id shuffle
+    # join) disappears entirely (r7, measured −25% on this query).
+    cells = (
         normed.join(F.broadcast(cents))
         .groupBy("vec_id")
         .agg(
             F.min_by(
-                "cid", F.struct(d2.alias("d"), F.col("cid").alias("c"))
-            ).alias("cid")
+                F.struct(F.col("cid"), F.col("vn")),
+                F.struct(d2.alias("d"), F.col("cid").alias("c")),
+            ).alias("m")
         )
+        .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.vn").alias("vn"))
+        .localCheckpoint(eager=False)
     )
-    cells = assign.join(normed, "vec_id").localCheckpoint(eager=True)
-    # ^ eager: the cell table feeds both self-join sides and the final
-    # projection; materializing the (vec_id, cid, vn) rows once makes the
-    # self-join a pure cid-key shuffle (same measured pattern as the LSH
-    # band table).
+    # ^ lazy barrier: the cell table feeds both self-join sides and the
+    # final projection; it materializes once inside the final job and the
+    # self-join is a pure cid-key shuffle (same measured pattern as the
+    # LSH band table).
     a = cells.alias("a")
     b = cells.alias("b")
     dups = (
@@ -2429,9 +2439,9 @@ def _sem2_oracle() -> str:
       FROM (SELECT *, sqrt(list_dot_product(v, v)) AS n FROM corpus)
     ),
     kv AS (
-      SELECT greatest({_SEM_K_MIN}, CAST(ceil(sqrt(count(*)) / 2) AS BIGINT)) AS k,
+      SELECT greatest({_SEM_K_MIN}, CAST(4 * ceil(sqrt(count(*))) AS BIGINT)) AS k,
              CAST(ceil(sqrt(greatest({_SEM_K_MIN},
-                  CAST(ceil(sqrt(count(*)) / 2) AS BIGINT)))) AS BIGINT) AS c
+                  CAST(4 * ceil(sqrt(count(*))) AS BIGINT)))) AS BIGINT) AS c
       FROM corpus
     ),
     cents AS (
@@ -2487,26 +2497,27 @@ def _sem2_oracle() -> str:
 @_register(
     "embedding_semdedup_2level",
     _sem2_oracle(),
-    "Two-level SemDeDup: the hierarchical-assignment upgrade the flat "
-    "variant's O(n^1.5) bound points at. A coarse codebook of C = "
-    "ceil(sqrt(K)) super-cells routes each vector (n*C dots), then the "
-    "fine argmin runs only over that super-cell's centroids (n*K/C "
-    "average) — assignment drops from n*K to ~2n*sqrt(K) while the "
-    "within-cell dedup is byte-identical to embedding_semdedup's. The "
-    "super-centroids are the first C centroids themselves, so every "
-    "super-cell contains >= 1 centroid by construction (no empty-route "
-    "edge case). Both argmin levels use explicit (distance, id) "
-    "tie-breaks, so the hierarchical route — and therefore the cell "
-    "table and the dup set — is a deterministic function the oracle "
-    "mirrors exactly. MEASURED at sf0.1: 8.4 s vs the flat variant's "
-    "4.9 s — at K=38 the two extra routed joins cost more than the "
-    "n*(K-2*sqrt(K)) dots they save, so the flat scan wins below the "
-    "crossover; the asymptotics invert as K tracks corpus size (K in "
-    "the thousands at 100 TB, where n*K is the dominant term). Keeping "
-    "both is deliberate — the same measured-pair pattern as "
-    "user_value_mad vs its native twin: the trade is a number, not a "
-    "guess. All small sides (codebook, super-codebook, routing table) "
-    "stay broadcasts",
+    "Two-level SemDeDup in its production regime: a FINE codebook "
+    "(K = 4*sqrt(n) — cells avg sqrt(n)/4 members) with hierarchical "
+    "assignment: C = ceil(sqrt(K)) super-cells route each vector (n*C "
+    "dots), the fine argmin runs only over that super-cell's centroids "
+    "(n*K/C average) — ~2n*sqrt(K) total instead of flat n*K. The r7 "
+    "10x-scale measurement settled WHERE each variant belongs: under "
+    "the flat twin's SemDeDup rule K = sqrt(n)/2 the O(n^2/K) "
+    "within-cell pairwise term dominates ~4:1 AND hierarchical routing "
+    "concentrates cells (sum(cell^2) +104% measured), so a 2-level "
+    "assignment loses there by construction; with a fine codebook the "
+    "assignment term dominates and the coarse route pays for itself "
+    "(1x/10x numbers in scripts/scale_curve_results.json — the trade "
+    "is a number, not a guess). The super-centroids are the first C "
+    "centroids themselves, so every super-cell contains >= 1 centroid "
+    "by construction (no empty-route edge case). Both argmin levels "
+    "use explicit (distance, id) tie-breaks, so the hierarchical route "
+    "— and therefore the cell table and the dup set — is a "
+    "deterministic function the oracle mirrors exactly. The coarse "
+    "argmin carries vn through the aggregate, so the whole two-level "
+    "assignment costs ONE corpus shuffle; all small sides (codebook, "
+    "super-codebook, routing table) stay broadcasts",
     reference="[NORTH-STAR] hierarchical quantization routing (IVF "
     "coarse quantizer, Jegou'11) applied to SemDeDup (Abbas'23); pairs "
     "with embedding_semdedup as its measured scale twin",
@@ -2530,23 +2541,34 @@ def q_embedding_semdedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    # K = 4*sqrt(n) — the FINE-codebook regime this variant exists for
+    # (vs the flat twin's SemDeDup-rule K = sqrt(n)/2). Measured at the
+    # 10x corpus (r7): under K = sqrt(n)/2 the O(n^2/K) within-cell
+    # pairwise term dominates total cost ~4:1, and hierarchical routing
+    # CONCENTRATES cells (sum(cell^2) +104%) — so a 2-level assignment
+    # can never win there; its production home is K >> sqrt(n), where
+    # assignment is the dominant term, cells are small, and the coarse
+    # route cuts n*K to ~2n*sqrt(K). K from the cached normed frame — a
+    # `corpus` agg would re-scan the parquet source (same fix as flat).
     kcol = F.greatest(
-        F.lit(_SEM_K_MIN), F.ceil(F.sqrt(F.count(F.lit(1))) / 2).cast("long")
+        F.lit(_SEM_K_MIN), (4 * F.ceil(F.sqrt(F.count(F.lit(1))))).cast("long")
     )
-    kdf = corpus.agg(
+    kdf = normed.agg(
         kcol.alias("k"), F.ceil(F.sqrt(kcol)).cast("long").alias("c")
     )
+    # cents/supers/cent_super are all K-row-bounded derivations of the
+    # already-checkpointed normed frame: re-deriving them per broadcast is
+    # a cached-RDD filter, cheaper than the extra persist jobs the r6
+    # checkpoints cost (part of the 8.2 s -> sub-flat r7 fix).
     cents = (
         normed.join(F.broadcast(kdf))
         .filter(F.col("vec_id") < F.col("k"))
         .select(F.col("vec_id").alias("cid"), F.col("vn").alias("cv"))
-        .localCheckpoint(eager=False)
     )
     supers = (
         normed.join(F.broadcast(kdf))
         .filter(F.col("vec_id") < F.col("c"))
         .select(F.col("vec_id").alias("sid"), F.col("vn").alias("sv"))
-        .localCheckpoint(eager=False)
     )
 
     def _d2(x, c):
@@ -2565,36 +2587,43 @@ def q_embedding_semdedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("m")
         )
         .select("cid", F.col("m.sid").alias("sid"), F.col("m.cv").alias("cv"))
-        .localCheckpoint(eager=False)
     )
+    # Coarse route carries vn THROUGH the argmin (min_by of a (sid, vn)
+    # struct) so the fine level needs NO join back to normed; the fine
+    # groupBy then reuses the coarse groupBy's vec_id partitioning (the
+    # broadcast join preserves it), so the whole two-level assignment
+    # costs ONE corpus shuffle — the r6 shape paid three (coarse agg,
+    # normed join-back, fine agg) plus an eager checkpoint barrier, which
+    # is why it lost to flat below the crossover.
     coarse = (
         normed.join(F.broadcast(supers))
         .groupBy("vec_id")
         .agg(
             F.min_by(
-                "sid",
+                F.struct(F.col("sid"), F.col("vn")),
                 F.struct(
                     _d2(F.col("vn"), F.col("sv")).alias("d"),
                     F.col("sid").alias("s"),
                 ),
-            ).alias("sid")
+            ).alias("m")
         )
+        .select("vec_id", F.col("m.sid").alias("sid"), F.col("m.vn").alias("vn"))
     )
-    assign = (
-        normed.join(coarse, "vec_id")
-        .join(F.broadcast(cent_super), "sid")
+    cells = (
+        coarse.join(F.broadcast(cent_super), "sid")
         .groupBy("vec_id")
         .agg(
             F.min_by(
-                "cid",
+                F.struct(F.col("cid"), F.col("vn")),
                 F.struct(
                     _d2(F.col("vn"), F.col("cv")).alias("d"),
                     F.col("cid").alias("c"),
                 ),
-            ).alias("cid")
+            ).alias("m")
         )
+        .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.vn").alias("vn"))
+        .localCheckpoint(eager=False)  # lazy barrier (r6 verdict #1)
     )
-    cells = assign.join(normed, "vec_id").localCheckpoint(eager=True)
     a = cells.alias("a")
     b = cells.alias("b")
     dups = (

@@ -54,6 +54,10 @@ QUERIES = [
     # derived K = ceil(sqrt(n)/2) predicts alpha ~ 1.5 (the flat-codebook
     # bound); docs_bpe_top_merges should track the token stream ~linearly.
     "embedding_semdedup",
+    # r7 (r6 verdict #1): the hierarchical-assignment variant must be ON
+    # the curve — its whole reason to exist is winning at scale, so the
+    # 1x/10x pair is the number that decides flat-vs-2level, not a guess.
+    "embedding_semdedup_2level",
     "docs_bpe_top_merges",
     # r6c: graph analytics on the pair graph (triangles scale with wedge
     # count — degree-ordered, so bounded by edges at constant dup
@@ -127,15 +131,23 @@ def build_corpora(spark) -> None:
 
 
 def main() -> None:
+    # Optional argv subset: re-measure just the named queries and MERGE
+    # into the existing results file (full sweeps take ~25 min; a tuning
+    # loop on one query shouldn't pay for all of them).
+    subset = [a for a in sys.argv[1:] if a in QUERIES]
+    run_list = subset or QUERIES
     spark = get_spark(app_name="flightframe-scale-curve")
     build_corpora(spark)
     # Warmup (codegen/classloading) on the small corpus.
-    for name in QUERIES:
+    for name in run_list:
         REGISTRY[name].builder(spark, str(WORK / "sf1x")).write.format(
             "noop"
         ).mode("overwrite").save()
+    out = pathlib.Path(__file__).resolve().parent / "scale_curve_results.json"
     results: dict[str, dict] = {}
-    for name in QUERIES:
+    if subset and out.exists():
+        results = json.loads(out.read_text())
+    for name in run_list:
         row: dict = {}
         for tag in ("sf1x", "sf10x"):
             runs = []
@@ -156,7 +168,6 @@ def main() -> None:
             f"alpha={row['exponent']}",
             flush=True,
         )
-    out = pathlib.Path(__file__).resolve().parent / "scale_curve_results.json"
     out.write_text(json.dumps(results, indent=1))
     print(f"wrote {out}")
 
