@@ -1951,7 +1951,8 @@ def _pq_oracle() -> str:
     _pq_oracle(),
     f"Product quantization, measured: {_PQ_M}x{_PQ_SUB}-dim subspaces, "
     f"{_PQ_K}-code training-free codebooks (low-id subvectors — "
-    "embedding_kmeans_2iter is the trained upgrade path), ADC scoring, "
+    "embedding_pq_adc_recall_trained is the measured trained twin, "
+    "0.3 -> 0.5 recall), ADC scoring, "
     "and recall@10 against the exact L2 scan as the single output row. "
     "ADC is the memory-bound web-scale ANN trick: each DB vector "
     "collapses to M one-byte codes, the query precomputes an "
@@ -1991,6 +1992,246 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = subs.filter(F.col("vec_id") == 0).select(
         "m", F.col("xs").alias("qsub")
     )
+    qd = (
+        V.dot(F.col("qsub"), F.col("qsub"))
+        - 2 * V.dot(F.col("qsub"), F.col("cs"))
+        + V.dot(F.col("cs"), F.col("cs"))
+    )
+    centd = (
+        cents.join(F.broadcast(qs), "m")
+        .select(
+            "m",
+            "c",
+            "cs",
+            F.round(qd * _PQ_SCALE).cast("long").alias("qd_fp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    d2 = (
+        V.dot(F.col("xs"), F.col("xs"))
+        - 2 * V.dot(F.col("xs"), F.col("cs"))
+        + V.dot(F.col("cs"), F.col("cs"))
+    )
+    assign = (
+        subs.join(F.broadcast(centd), "m")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min_by(
+                "qd_fp", F.struct(d2.alias("d"), F.col("c").alias("c"))
+            ).alias("qd_fp")
+        )
+    )
+    adc = assign.groupBy("vec_id").agg(F.sum("qd_fp").alias("adc_fp"))
+    pq10 = adc.orderBy("adc_fp", "vec_id").limit(10).select("vec_id")
+    qfull = e.filter(F.col("vec_id") == 0).select(F.col("x").alias("qx"))
+    ed2 = (
+        V.dot(F.col("x"), F.col("x"))
+        - 2 * V.dot(F.col("x"), F.col("qx"))
+        + V.dot(F.col("qx"), F.col("qx"))
+    )
+    exact10 = (
+        e.join(F.broadcast(qfull))
+        .select("vec_id", F.round(ed2, 6).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    return exact10.join(pq10, "vec_id", "semi").agg(
+        F.lit(10).alias("k"),
+        F.count(F.lit(1)).alias("hits"),
+        (F.count(F.lit(1)).cast("double") / 10).alias("recall_at_10"),
+    )
+
+
+# ===========================================================================
+# Trained-codebook PQ (r7, r6 verdict #7): the upgrade path the training-
+# free PQ query names, measured. Real PQ training per Jegou'11 section V:
+# an INDEPENDENT k-means per subquantizer — two assign/update rounds over
+# each subspace's subvectors (exact scaled-long component means, so the
+# trained codebooks are bit-identical cross-engine) — then the unchanged
+# ADC scoring + recall@10-vs-exact measurement. Measured recall ladder at
+# sf0.01: 0.3 training-free -> 0.4 after one round -> 0.5 after two (the
+# same before/after discipline as the IVF 0.5 -> 0.9 trained pair). An
+# earlier r7 attempt that just SLICED the full-vector k-means centroids
+# into subspaces measured 0.3 — no better than training-free, which is
+# exactly why PQ trains per subquantizer.
+# ===========================================================================
+def _pq_sql_sub_assign(src_c: str) -> str:
+    """Per-(vec_id, m) argmin over a (m, c, cs) subspace codebook."""
+    return f"""
+  SELECT vec_id, m, c FROM (
+    SELECT s.vec_id, s.m, c.c,
+           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+             (list_dot_product(s.xs, s.xs) - 2*list_dot_product(s.xs, c.cs)
+              + list_dot_product(c.cs, c.cs)), c.c) AS rn
+    FROM subs s JOIN {src_c} c ON c.m = s.m) WHERE rn = 1
+"""
+
+
+def _pq_trained_oracle() -> str:
+    subs_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, x[{m * _PQ_SUB + 1}:{(m + 1) * _PQ_SUB}] AS xs FROM e"
+        for m in range(_PQ_M)
+    )
+
+    def upd(src_a: str) -> str:
+        return f"""
+      SELECT m, c, list(CAST(s AS DOUBLE) / n / {_KM_SCALE} ORDER BY pos) AS cs
+      FROM (
+        SELECT comp.m, comp.c, comp.pos,
+               SUM(CAST(round(comp.v * {_KM_SCALE}) AS BIGINT)) AS s,
+               COUNT(*) AS n
+        FROM (
+          SELECT s.m AS m, a.c AS c,
+                 generate_subscripts(s.xs, 1) AS pos, unnest(s.xs) AS v
+          FROM subs s JOIN {src_a} a ON a.vec_id = s.vec_id AND a.m = s.m
+        ) comp
+        GROUP BY comp.m, comp.c, comp.pos
+      ) GROUP BY m, c
+    """
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    subs AS ({subs_rows}),
+    c1 AS (SELECT m, vec_id AS c, xs AS cs FROM subs WHERE vec_id < {_PQ_K}),
+    a1 AS ({_pq_sql_sub_assign("c1")}),
+    c2 AS ({upd("a1")}),
+    a2 AS ({_pq_sql_sub_assign("c2")}),
+    cents AS ({upd("a2")}),
+    qs AS (SELECT m, xs AS qsub FROM subs WHERE vec_id = 0),
+    centd AS (
+      SELECT c.m, c.c, c.cs,
+             CAST(round((list_dot_product(q.qsub, q.qsub)
+                         - 2*list_dot_product(q.qsub, c.cs)
+                         + list_dot_product(c.cs, c.cs)) * {_PQ_SCALE})
+                  AS BIGINT) AS qd_fp
+      FROM cents c JOIN qs q ON q.m = c.m
+    ),
+    assign AS (
+      SELECT vec_id, m, qd_fp FROM (
+        SELECT s.vec_id, s.m, cd.qd_fp,
+               row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 (list_dot_product(s.xs, s.xs) - 2*list_dot_product(s.xs, cd.cs)
+                  + list_dot_product(cd.cs, cd.cs)), cd.c) AS rn
+        FROM subs s JOIN centd cd ON cd.m = s.m) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT vec_id, CAST(SUM(qd_fp) AS BIGINT) AS adc_fp
+      FROM assign GROUP BY vec_id
+    ),
+    pq10 AS (SELECT vec_id FROM adc ORDER BY adc_fp, vec_id LIMIT 10),
+    qfull AS (SELECT x AS qx FROM e WHERE vec_id = 0),
+    exact10 AS (
+      SELECT e.vec_id FROM e CROSS JOIN qfull
+      ORDER BY round(list_dot_product(e.x, e.x) - 2*list_dot_product(e.x, qx)
+                     + list_dot_product(qx, qx), 6), e.vec_id
+      LIMIT 10
+    )
+    SELECT CAST(10 AS INTEGER) AS k,
+           CAST(count(*) AS BIGINT) AS hits,
+           CAST(count(*) AS DOUBLE) / 10 AS recall_at_10
+    FROM exact10 WHERE vec_id IN (SELECT vec_id FROM pq10)
+    """
+
+
+@_register(
+    "embedding_pq_adc_recall_trained",
+    _pq_trained_oracle(),
+    "PQ with TRAINED subspace codebooks, measured: an independent "
+    "k-means per subquantizer (Jegou'11 section V) — two assign/update "
+    "rounds over each subspace's subvectors, exact scaled-long "
+    "component means so the trained codebooks are bit-identical "
+    "cross-engine — replaces the training-free low-id codebooks of "
+    "embedding_pq_adc_recall; ADC scoring and the recall@10-vs-exact "
+    "measurement are unchanged, so the pair isolates exactly what "
+    "codebook training buys. Measured ladder at sf0.01: 0.3 training-"
+    "free -> 0.4 (one round) -> 0.5 (two rounds); slicing the FULL-"
+    "vector k-means centroids instead measured 0.3 — no gain, which is "
+    "why PQ trains per subquantizer. Scale shape: each training round "
+    "shuffles M*K*subdim component partials (codebook-sized, never "
+    "corpus-sized), codebooks broadcast, encode is one scan, top-k is "
+    "TakeOrderedAndProject",
+    reference="[NORTH-STAR] PQ codebook training (Jegou'11 section V: "
+    "k-means per subquantizer); completes embedding_pq_adc_recall's "
+    "named upgrade path",
+    tags=("similarity", "northstar", "iterative"),
+)
+def q_pq_adc_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _km_load(spark, sf_dir)
+    subs = (
+        e.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.slice(
+                                F.col("x"), m * _PQ_SUB + 1, _PQ_SUB
+                            ).alias("xs"),
+                        )
+                        for m in range(_PQ_M)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("vec_id", "s.m", "s.xs")
+        .localCheckpoint(eager=False)  # feeds 2 train rounds + encode
+    )
+
+    def _sub_d2(x, c):
+        return V.dot(x, x) - 2 * V.dot(x, c) + V.dot(c, c)
+
+    def _train_round(cb: DataFrame) -> DataFrame:
+        """One per-subspace k-means round: broadcast-argmin assignment,
+        then exact scaled-long component means per (m, c)."""
+        a = (
+            subs.join(F.broadcast(cb), "m")
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min_by(
+                    "c",
+                    F.struct(
+                        _sub_d2(F.col("xs"), F.col("cs")).alias("d"),
+                        F.col("c").alias("cc"),
+                    ),
+                ).alias("c")
+            )
+        )
+        comp = (
+            subs.join(a, ["vec_id", "m"])
+            .select("m", "c", F.posexplode("xs").alias("pos0", "v"))
+            .select("m", "c", (F.col("pos0") + 1).alias("pos"), "v")
+        )
+        sums = comp.groupBy("m", "c", "pos").agg(
+            F.sum(F.round(F.col("v") * _KM_SCALE).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        return (
+            sums.select(
+                "m",
+                "c",
+                F.struct(
+                    "pos",
+                    (F.col("s").cast("double") / F.col("n") / _KM_SCALE).alias(
+                        "v"
+                    ),
+                ).alias("pv"),
+            )
+            .groupBy("m", "c")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list("pv")), lambda s: s.v
+                ).alias("cs")
+            )
+        )
+
+    cents = subs.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("c"), F.col("xs").alias("cs")
+    )
+    for _ in range(2):
+        cents = _train_round(cents).localCheckpoint(eager=False)
+    qs = subs.filter(F.col("vec_id") == 0).select("m", F.col("xs").alias("qsub"))
     qd = (
         V.dot(F.col("qsub"), F.col("qsub"))
         - 2 * V.dot(F.col("qsub"), F.col("cs"))

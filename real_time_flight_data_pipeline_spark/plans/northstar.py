@@ -1466,3 +1466,140 @@ def q_multimodal_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _spread(spark, _t(spark, sf_dir, "embeddings")).select("vec_id")
     pcm = emb.mapInPandas(_pcm_synth, schema=_PCM_SCHEMA)
     return pcm.mapInPandas(_pcm_features, schema=_PCM_OUT_SCHEMA)
+
+
+# ===========================================================================
+# Multimodal image: REAL binary decode via PPM (r7, r6 verdict #2). Like
+# PCM, binary PPM (P6) is codec-free: an ASCII header ("P6\n<w> <h>\n255\n")
+# followed by raw interleaved RGB bytes — decoding needs header parsing +
+# np.frombuffer, no PIL. The payloads are synthesized from an integer
+# pseudo-image so the oracle recomputes every pixel statistic exactly in
+# SQL: the decode (header parse included — width/height are READ FROM THE
+# BYTES, not re-derived from the seed) is real, the pixels deterministic.
+# ===========================================================================
+_PPM_SCHEMA = "vec_id long, ppm binary"
+_PPM_OUT_SCHEMA = (
+    "vec_id long, width int, height int, sum_r long, sum_g long, "
+    "sum_b long, strided_sum_r long, bright_r int"
+)
+
+
+def _ppm_synth(batches):
+    """Encode stage: integer pseudo-image -> binary PPM (P6). Geometry
+    w = 16 + vec_id%13, h = 8 + vec_id%7; pixel byte at flat index j is
+    (vec_id*7 + j*11) % 256 — exactly reproducible in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        payloads = []
+        for seed in pdf["vec_id"]:
+            s = int(seed)
+            w, h = 16 + s % 13, 8 + s % 7
+            j = np.arange(w * h * 3, dtype=np.int64)
+            px = ((s * 7 + j * 11) % 256).astype(np.uint8)
+            payloads.append(f"P6\n{w} {h}\n255\n".encode("ascii") + px.tobytes())
+        yield pd.DataFrame({"vec_id": pdf["vec_id"], "ppm": payloads})
+
+
+def _ppm_stats(batches):
+    """Decode stage — REAL: parse the PPM header from the bytes (magic,
+    width, height, maxval — whitespace-delimited per the netpbm spec),
+    np.frombuffer + reshape the pixel block, then exact per-channel sums,
+    a stride-2 downsample sum (resize-by-striding evidence) and a bright-
+    pixel count on the red channel."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "vec_id", "width", "height", "sum_r", "sum_g", "sum_b",
+            "strided_sum_r", "bright_r",
+        )}
+        for vec_id, buf in zip(pdf["vec_id"], pdf["ppm"]):
+            raw = bytes(buf)
+            # Header parse: 4 whitespace-delimited tokens, then ONE
+            # whitespace byte, then the pixel block.
+            tokens, pos = [], 0
+            while len(tokens) < 4:
+                while raw[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while not raw[pos : pos + 1].isspace():
+                    pos += 1
+                tokens.append(raw[start:pos])
+            pos += 1  # the single whitespace after maxval
+            if tokens[0] != b"P6" or int(tokens[3]) != 255:
+                raise ValueError(f"not an 8-bit P6 PPM: {tokens!r}")
+            w, h = int(tokens[1]), int(tokens[2])
+            img = (
+                np.frombuffer(raw, dtype=np.uint8, count=w * h * 3, offset=pos)
+                .reshape(h, w, 3)
+                .astype(np.int64)
+            )
+            rows["vec_id"].append(vec_id)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["sum_r"].append(int(img[:, :, 0].sum()))
+            rows["sum_g"].append(int(img[:, :, 1].sum()))
+            rows["sum_b"].append(int(img[:, :, 2].sum()))
+            rows["strided_sum_r"].append(int(img[::2, ::2, 0].sum()))
+            rows["bright_r"].append(int((img[:, :, 0] >= 128).sum()))
+        yield pd.DataFrame(rows)
+
+
+@_register(
+    "multimodal_ppm_pixel_stats",
+    """
+    WITH seeds AS (
+      SELECT vec_id,
+             16 + (vec_id % 13) AS w,
+             8 + (vec_id % 7) AS h
+      FROM embeddings
+    ),
+    px AS (
+      SELECT vec_id, w, h, unnest(range(0, w * h * 3)) AS j
+      FROM seeds
+    ),
+    v AS (
+      SELECT vec_id, w, h,
+             (vec_id * 7 + j * 11) % 256 AS p,
+             j % 3 AS c,
+             (j // 3) % w AS x,
+             (j // 3) // w AS y
+      FROM px
+    )
+    SELECT vec_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM(p) FILTER (WHERE c = 0) AS BIGINT) AS sum_r,
+           CAST(SUM(p) FILTER (WHERE c = 1) AS BIGINT) AS sum_g,
+           CAST(SUM(p) FILTER (WHERE c = 2) AS BIGINT) AS sum_b,
+           CAST(SUM(p) FILTER (WHERE c = 0 AND x % 2 = 0 AND y % 2 = 0)
+                AS BIGINT) AS strided_sum_r,
+           CAST(COUNT(*) FILTER (WHERE c = 0 AND p >= 128) AS INTEGER)
+             AS bright_r
+    FROM v GROUP BY vec_id
+    """,
+    "Multimodal image with a REAL decode: binary PPM (P6) payloads are "
+    "synthesized from an integer pseudo-image (encode mapInPandas), then "
+    "a second Arrow-batched mapInPandas parses the netpbm header FROM "
+    "THE BYTES (magic/width/height/maxval — geometry is read, not "
+    "re-derived from the seed), np.frombuffer-decodes the RGB block and "
+    "computes exact per-channel sums, a stride-2 downsample sum (the "
+    "resize-by-striding path) and a red-channel bright-pixel count. "
+    "PPM needs no codec library, so — like the PCM audio tier — this "
+    "path exercises true bytes->pixels->features end-to-end where "
+    "PIL/ffmpeg remain env-blocked; the oracle recomputes every "
+    "statistic from the closed-form pixel function in SQL. Zero "
+    "shuffles: both stages are partition-local Arrow passes; at 100 TB "
+    "the decode parallelizes per-file with no data movement",
+    reference="[NORTH-STAR] multimodal columns — codec-free image tier "
+    "(r7); completes PCM audio (real) + PPM image (real) + video "
+    "(md5-stub, env-blocked ffmpeg, COVERAGE.md)",
+    tags=("multimodal", "northstar", "pandas-udf"),
+)
+def q_multimodal_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings")).select("vec_id")
+    ppm = emb.mapInPandas(_ppm_synth, schema=_PPM_SCHEMA)
+    return ppm.mapInPandas(_ppm_stats, schema=_PPM_OUT_SCHEMA)

@@ -66,6 +66,25 @@ def test_tail_matches_registry_order():
     assert list(REGISTRY)[DRIVER_QUERY_CAP:] == DRIVER_WINDOW_TAIL
 
 
+def test_catalog_size_keeps_driver_staleness_within_three_rounds():
+    """The rotation budget (r6 verdict #4): with N registered queries and
+    a 50-slot driver window, a full driver-verification cycle takes
+    ceil(N/50) rounds — that IS the max achievable driver-green staleness.
+    r6 ended at 145/50 = 3 rounds, exactly at the contract's ceiling;
+    any round that pushes N past 3*50 silently degrades 'every query
+    freshly driver-verified within 3 rounds' to 4. This pins the budget:
+    new catalog entries beyond 150 require RETIRING or MERGING existing
+    entries first (fold instrumentation twins into their production
+    queries), not a looser gate."""
+    max_staleness_rounds = -(-len(REGISTRY) // DRIVER_QUERY_CAP)
+    assert max_staleness_rounds <= 3, (
+        f"catalog has {len(REGISTRY)} queries; a {DRIVER_QUERY_CAP}-slot "
+        f"driver window now needs {max_staleness_rounds} rounds per full "
+        "verification cycle — retire/merge entries before adding more "
+        f"(budget: {3 * DRIVER_QUERY_CAP})"
+    )
+
+
 def test_never_verified_queries_inside_driver_window():
     """Every query without a green CORRECTNESS row in ANY past round must sit
     inside the first 50 registrations, where the driver will check it."""

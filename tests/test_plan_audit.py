@@ -33,6 +33,7 @@ _BNLJ_ALLOWED = {
     "docs_weighted_sample",  # 1-row grand-total broadcast (mix-weight chain)
     "idle_rich_customer_segments",  # 1-row avg-balance scalar broadcast cross join
     "embedding_pq_adc_recall",  # 1-row query-vector broadcast (exact-scan baseline side)
+    "embedding_pq_adc_recall_trained",  # same 1-row query-vector broadcast
     "docs_bpe_top_merges",  # 1-row top-merge-pair + tokens-after broadcasts per round
     "events_key_skew_stats",  # 1-row top-10-sum broadcast cross join
     "segment_distinct_users_hll",  # 1-row merged-sketch x 1-row grand-total
