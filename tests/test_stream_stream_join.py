@@ -164,3 +164,115 @@ def test_stream_stream_left_outer_join_emits_nulls(spark, tmp_path):
         assert cts + dt.timedelta(hours=1) <= wm, (
             f"null row {key} emitted before its window closed"
         )
+
+
+def test_stream_stream_full_outer_join_pads_both_sides(spark, tmp_path):
+    """FULL outer stream-stream join (r6 verdict #5, completing the
+    inner/left matrix): unmatched CLICKS surface with NULL purchase ids
+    AND unmatched PURCHASES surface with NULL click ids once the
+    watermark closes their window. Parity contract mirrors the
+    left-outer test: inner matches equal the batch inner join exactly;
+    every click-side null row is a true batch left-anti row with its
+    1-hour window closed by the final global watermark; every
+    purchase-side null row is a true batch right-anti row whose own
+    event time has passed the watermark. Same event-time-ordered
+    four-slice replay harness."""
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    src = tmp_path / "src"
+    bucketed = ev.withColumn(
+        "q", F.ntile(4).over(W.orderBy("ts"))
+    ).localCheckpoint(eager=True)
+    for i in range(1, 5):
+        bucketed.filter(F.col("q") == i).drop("q").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)  # distinct mtimes -> deterministic pickup order
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    s_clicks, s_purch = _sides(stream)
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    out = (
+        s_clicks.withWatermark("click_ts", "5 minutes")
+        .join(
+            s_purch.withWatermark("p_ts", "5 minutes"),
+            cond,
+            "fullOuter",
+        )
+        .select("user_id", "click_id", "click_ts", "p_user", "p_id", "p_ts")
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_full_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fo"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.sql("SELECT * FROM ssj_full_out").collect()
+    got_inner = sorted(
+        (r.user_id, r.click_id, r.p_id)
+        for r in got
+        if r.p_id is not None and r.click_id is not None
+    )
+    got_click_nulls = {
+        (r.user_id, r.click_id) for r in got if r.p_id is None
+    }
+    got_purch_nulls = {
+        (r.p_user, r.p_id) for r in got if r.click_id is None
+    }
+
+    b_clicks, b_purch = _sides(ev)
+    want_inner = sorted(map(tuple, _joined(b_clicks, b_purch).collect()))
+    assert got_inner == want_inner
+    assert len(want_inner) > 0
+
+    wm = min(
+        b_clicks.agg(F.max("click_ts")).head()[0],
+        b_purch.agg(F.max("p_ts")).head()[0],
+    ) - dt.timedelta(minutes=5)
+    left_anti = {
+        (r.user_id, r.click_id)
+        for r in b_clicks.join(b_purch, cond, "left_anti").collect()
+    }
+    right_anti = {
+        (r.p_user, r.p_id)
+        for r in b_purch.join(b_clicks, cond, "left_anti").collect()
+    }
+    assert got_click_nulls, "no click-side null rows — left padding untested"
+    assert got_purch_nulls, "no purchase-side null rows — right padding untested"
+    assert got_click_nulls <= left_anti
+    assert got_purch_nulls <= right_anti
+    # window-closure contract, per side
+    click_null_ts = {
+        (r.user_id, r.click_id): r.click_ts for r in got if r.p_id is None
+    }
+    for key, cts in click_null_ts.items():
+        assert cts + dt.timedelta(hours=1) <= wm, (
+            f"click null row {key} emitted before its window closed"
+        )
+    purch_null_ts = {
+        (r.p_user, r.p_id): r.p_ts for r in got if r.click_id is None
+    }
+    for key, pts in purch_null_ts.items():
+        assert pts <= wm, (
+            f"purchase null row {key} emitted before the watermark passed it"
+        )
