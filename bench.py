@@ -43,6 +43,23 @@ from real_time_flight_data_pipeline_spark.plans.catalog import REGISTRY
 from real_time_flight_data_pipeline_spark.session import get_spark
 
 N_RUNS = 3
+# Host-noise canary (r6 verdict #8): one fixed cheap query timed at sweep
+# start and end. Cross-run drift on this box is ±10-20%; the start/end
+# pair turns "the host was slower that round" from a caveat into a
+# recorded number every cross-round comparison can normalize by.
+CANARY_QUERY = "top_users_by_value"
+
+
+def _time_canary(spark, sf_dir: str) -> float:
+    runs = []
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        REGISTRY[CANARY_QUERY].builder(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    return round(statistics.median(runs), 4)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -73,6 +90,12 @@ def main() -> None:
                     "noop"
                 ).mode("overwrite").save()
     except Exception:
+        traceback.print_exc(file=sys.stderr)
+
+    try:
+        canary_start = _time_canary(spark, sf_dir)
+    except Exception:
+        canary_start = None
         traceback.print_exc(file=sys.stderr)
 
     timings: dict[str, float] = {}
@@ -108,12 +131,31 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    try:
+        canary_end = _time_canary(spark, sf_dir)
+    except Exception:
+        canary_end = None
+        traceback.print_exc(file=sys.stderr)
+    canary = {
+        "query": CANARY_QUERY,
+        "start_median": canary_start,
+        "end_median": canary_end,
+        # end/start ratio: >1 means the host got slower DURING the sweep;
+        # compare rounds' canaries to normalize cross-round totals.
+        "drift_ratio": (
+            round(canary_end / canary_start, 3)
+            if canary_start and canary_end
+            else None
+        ),
+    }
+    print(f"  canary: {canary}", file=sys.stderr)
+
     total = round(sum(timings.values()), 4)
     detail_path = pathlib.Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     try:
         detail_path.write_text(
             json.dumps(
-                {"sf": sf, "total_sec": None if errors else total, "n_errors": len(errors), "detail": detail}, indent=1
+                {"sf": sf, "total_sec": None if errors else total, "n_errors": len(errors), "canary": canary, "detail": detail}, indent=1
             )
         )
     except OSError:
