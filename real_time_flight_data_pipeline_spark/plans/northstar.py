@@ -1603,3 +1603,166 @@ def q_multimodal_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _spread(spark, _t(spark, sf_dir, "embeddings")).select("vec_id")
     ppm = emb.mapInPandas(_ppm_synth, schema=_PPM_SCHEMA)
     return ppm.mapInPandas(_ppm_stats, schema=_PPM_OUT_SCHEMA)
+
+
+# ===========================================================================
+# Multimodal video: REAL container decode via Y4M (r7). YUV4MPEG2 is the
+# codec-free video format — an ASCII stream header, a "FRAME\n" marker
+# before each frame, then raw planar YUV420 bytes — so container parsing,
+# frame iteration, strided frame sampling and plane decoding are all real
+# numpy work, no ffmpeg. Payloads come from an integer pseudo-video so the
+# oracle recomputes every per-frame statistic exactly; with this the whole
+# multimodal tier (audio PCM / image PPM / video Y4M) runs true
+# bytes->signal decodes, and only COMPRESSED codecs remain env-blocked.
+# ===========================================================================
+_Y4M_SCHEMA = "vec_id long, y4m binary"
+_Y4M_OUT_SCHEMA = (
+    "vec_id long, frame_idx int, width int, height int, sum_y long, "
+    "sum_u long, sum_v long, bright_y int"
+)
+_Y4M_FRAME_STRIDE = 2  # sample every 2nd frame
+_Y4M_MAX_FRAMES = 4    # cap sampled frames per clip
+
+
+def _y4m_synth(batches):
+    """Encode stage: integer pseudo-video -> YUV4MPEG2 bytes. Geometry
+    w = 8 + 2*(vec_id%5), h = 8 (420 needs even dims); n_frames =
+    3 + vec_id%4; frame byte at planar offset p of frame f is
+    (vec_id*13 + f*17 + p*5) % 256 — closed form for the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        payloads = []
+        for seed in pdf["vec_id"]:
+            s = int(seed)
+            w, h, n_frames = 8 + 2 * (s % 5), 8, 3 + s % 4
+            fb = w * h * 3 // 2  # Y plane + quarter-size U and V
+            p = np.arange(fb, dtype=np.int64)
+            chunks = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode("ascii")]
+            for f in range(n_frames):
+                chunks.append(b"FRAME\n")
+                chunks.append(((s * 13 + f * 17 + p * 5) % 256).astype(np.uint8).tobytes())
+            payloads.append(b"".join(chunks))
+        yield pd.DataFrame({"vec_id": pdf["vec_id"], "y4m": payloads})
+
+
+def _y4m_frame_stats(batches):
+    """Decode stage — REAL: parse the YUV4MPEG2 stream header from the
+    bytes (W/H/C420 tags per the y4m spec), walk the FRAME markers,
+    np.frombuffer each frame's planar YUV420 block, sample every
+    _Y4M_FRAME_STRIDE-th frame up to _Y4M_MAX_FRAMES, and compute exact
+    per-plane sums plus a bright-luma pixel count."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "vec_id", "frame_idx", "width", "height", "sum_y", "sum_u",
+            "sum_v", "bright_y",
+        )}
+        for vec_id, buf in zip(pdf["vec_id"], pdf["y4m"]):
+            raw = bytes(buf)
+            nl = raw.index(b"\n")
+            header = raw[:nl].split(b" ")
+            if header[0] != b"YUV4MPEG2":
+                raise ValueError(f"not a y4m stream: {header[0]!r}")
+            tags = {t[:1]: t[1:] for t in header[1:]}
+            if tags.get(b"C", b"420") not in (b"420", b"420jpeg", b"420mpeg2"):
+                raise ValueError(f"unsupported chroma: {tags[b'C']!r}")
+            w, h = int(tags[b"W"]), int(tags[b"H"])
+            ysz, csz = w * h, (w // 2) * (h // 2)
+            fb = ysz + 2 * csz
+            pos, f = nl + 1, 0
+            while pos < len(raw):
+                if raw[pos : pos + 6] != b"FRAME\n":
+                    raise ValueError(f"bad frame marker at {pos}")
+                pos += 6
+                if f % _Y4M_FRAME_STRIDE == 0 and (
+                    f // _Y4M_FRAME_STRIDE < _Y4M_MAX_FRAMES
+                ):
+                    frame = np.frombuffer(
+                        raw, dtype=np.uint8, count=fb, offset=pos
+                    ).astype(np.int64)
+                    y, u, v = (
+                        frame[:ysz],
+                        frame[ysz : ysz + csz],
+                        frame[ysz + csz :],
+                    )
+                    rows["vec_id"].append(vec_id)
+                    rows["frame_idx"].append(f)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["sum_y"].append(int(y.sum()))
+                    rows["sum_u"].append(int(u.sum()))
+                    rows["sum_v"].append(int(v.sum()))
+                    rows["bright_y"].append(int((y >= 128).sum()))
+                pos += fb
+                f += 1
+        yield pd.DataFrame(rows)
+
+
+@_register(
+    "multimodal_y4m_frame_luma",
+    f"""
+    WITH seeds AS (
+      SELECT vec_id,
+             8 + 2 * (vec_id % 5) AS w,
+             8 AS h,
+             3 + (vec_id % 4) AS n_frames
+      FROM embeddings
+    ),
+    frames AS (
+      SELECT vec_id, w, h, unnest(range(0, n_frames)) AS f
+      FROM seeds
+    ),
+    sampled AS (
+      SELECT * FROM frames
+      WHERE f % {_Y4M_FRAME_STRIDE} = 0
+        AND f // {_Y4M_FRAME_STRIDE} < {_Y4M_MAX_FRAMES}
+    ),
+    px AS (
+      SELECT vec_id, w, h, f, unnest(range(0, (w * h * 3) // 2)) AS p
+      FROM sampled
+    ),
+    v AS (
+      SELECT vec_id, w, h, f, p,
+             (vec_id * 13 + f * 17 + p * 5) % 256 AS b,
+             CASE WHEN p < w * h THEN 0
+                  WHEN p < w * h + (w * h) // 4 THEN 1
+                  ELSE 2 END AS plane
+      FROM px
+    )
+    SELECT vec_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM(b) FILTER (WHERE plane = 0) AS BIGINT) AS sum_y,
+           CAST(SUM(b) FILTER (WHERE plane = 1) AS BIGINT) AS sum_u,
+           CAST(SUM(b) FILTER (WHERE plane = 2) AS BIGINT) AS sum_v,
+           CAST(COUNT(*) FILTER (WHERE plane = 0 AND b >= 128) AS INTEGER)
+             AS bright_y
+    FROM v GROUP BY vec_id, f
+    """,
+    "Multimodal video with a REAL decode: YUV4MPEG2 payloads (the "
+    "codec-free video container — ASCII stream header, FRAME markers, "
+    "raw planar YUV420) are synthesized from an integer pseudo-video, "
+    "then an Arrow-batched mapInPandas parses the stream header FROM "
+    "THE BYTES (W/H/C420 tags), walks the FRAME markers, samples every "
+    f"{_Y4M_FRAME_STRIDE}nd frame capped at {_Y4M_MAX_FRAMES}, "
+    "np.frombuffer-decodes each sampled frame's Y/U/V planes and "
+    "computes exact per-plane sums plus a bright-luma count — container "
+    "parse, frame iteration, strided sampling and plane split are all "
+    "real work, the shape a video-curation pipeline runs before any "
+    "model. With PCM audio and PPM image this completes a fully-REAL "
+    "multimodal tier; only compressed codecs (ffmpeg, env-blocked) "
+    "remain stubbed. Zero shuffles: both stages are partition-local "
+    "Arrow passes",
+    reference="[NORTH-STAR] multimodal columns — codec-free video tier "
+    "(r7); the md5 stubs above now stand in for compressed codecs only",
+    tags=("multimodal", "northstar", "pandas-udf"),
+)
+def q_multimodal_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings")).select("vec_id")
+    y4m = emb.mapInPandas(_y4m_synth, schema=_Y4M_SCHEMA)
+    return y4m.mapInPandas(_y4m_frame_stats, schema=_Y4M_OUT_SCHEMA)
