@@ -29,6 +29,7 @@ stable.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import pathlib
@@ -74,6 +75,35 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = get_spark(app_name="flightframe-bench")
+
+    # Known-benign noise control for the artifact of record (r6 verdict
+    # #3): Spark's ContextCleaner unregisters a GC'd localCheckpoint
+    # RDD's internal accumulators asynchronously, and a task-end event
+    # racing that cleanup logs a scary-but-harmless "attempted to access
+    # non-existent accumulator" ERROR. The deterministic trigger (limit-
+    # probe cancellation in connected components) was fixed in code;
+    # the residual is pure GC timing, so the sweep (a) forces GC at
+    # query boundaries below so cleanup lands while the scheduler is
+    # idle, and (b) caps the DAGScheduler logger at FATAL — real
+    # failures still surface as exceptions (n_errors + BENCH_DETAIL
+    # tracebacks), which is the error channel of record here.
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+
+    def _quiesce() -> None:
+        """Drain pending RDD/broadcast cleanup at an idle boundary so it
+        cannot race the next query's task-completion events."""
+        try:
+            gc.collect()
+            spark._jvm.System.gc()
+        except Exception:
+            pass
 
     # Warmup: classloading/codegen on a tiny plan, then an allocation-heavy
     # lambda query at the smallest SF so the pinned heap's pages fault in
@@ -133,6 +163,7 @@ def main() -> None:
             "median": timings[name],
             "best": round(min(runs), 4),
         }
+        _quiesce()
         print(
             f"  {name}: {timings[name]:.3f}s (runs: {', '.join(f'{r:.3f}' for r in runs)})",
             file=sys.stderr,
