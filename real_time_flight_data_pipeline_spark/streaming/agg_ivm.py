@@ -117,7 +117,16 @@ class DailyAggState:
         still idempotent); compacted ones are final — enforced by the
         persisted watermark, so the caller contract is 'pass a horizon
         the checkpoint can no longer replay' and a violation fails loudly
-        instead of corrupting the rollup."""
+        instead of corrupting the rollup. The watermark is MONOTONE: a
+        compact at/below the current horizon is rejected — persisting a
+        lower value would re-open already-final epochs for replay."""
+        wm = self._watermark()
+        if wm is not None and up_to_epoch <= wm:
+            raise ValueError(
+                f"compaction horizon {up_to_epoch} is at/below the current "
+                f"watermark {wm}: the watermark is monotone (lowering it "
+                "would re-open final epochs for double-counting replay)"
+            )
         state = self.table.read()
         old = state.filter(F.col("epoch_id") <= up_to_epoch)
         rest = state.filter(F.col("epoch_id") > up_to_epoch)

@@ -84,6 +84,11 @@ def test_compaction_preserves_view_and_bounds_state(spark, tmp_path):
         with _pytest.raises(ValueError, match="compaction watermark"):
             handle.apply_batch(batches[0], 0)
     assert _rows(state.view()) == before
+    # the watermark is monotone: re-compacting at/below the horizon is
+    # rejected (a lower persisted value would re-open final epochs)
+    with _pytest.raises(ValueError, match="monotone"):
+        state.compact(up_to_epoch=1)
+    assert _rows(state.view()) == before
 
 
 def test_real_stream_drives_the_sink(spark, tmp_path):
