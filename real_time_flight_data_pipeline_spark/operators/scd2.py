@@ -107,7 +107,9 @@ def scd2_apply(
     kept = seq.withColumn("_prev", F.lag("_st").over(w)).filter(
         F.col("_prev").isNull() | (F.col("_prev") != F.col("_st"))
     )
-    wk = Window.partitionBy(key).orderBy(*order)
+    # Same window spec over the FILTERED frame: row numbers / leads now
+    # step over island starts only.
+    wk = w
     wkey = Window.partitionBy(key)
     # The head (if any) is always kept (row 1, carries the key's current
     # version); island i continues the numbering from it.

@@ -2,18 +2,21 @@
 
 The last step of a curation pipeline: materialize the kept corpus as N
 shards whose membership is a PURE FUNCTION of the document key — so a
-re-run after adding documents only rewrites the shards whose membership
+re-run after adding documents only rewrites the shards whose content
 changed, downstream trainers can address shards independently, and two
 pipelines (or a pipeline and its audit) agree on placement without
 coordination. ``repartition(n)`` round-robins and is NOT stable across
 runs/cluster sizes; hash-of-key modulo is.
 
 Writes ``shard=K/`` partition directories plus a ``_MANIFEST`` parquet of
-per-shard (row count, content fingerprint) — the handoff contract a
-training job validates before reading. The fingerprint is the mergeable
-XOR of md5-derived row-key hashes (same construction as the
+per-shard (row count, key fingerprint, content fingerprint) — the handoff
+contract a training job validates before reading. Fingerprints are the
+mergeable XOR of md5-derived row hashes (same construction as the
 orders_partition_fingerprint catalog query), so manifest validation
-never re-sorts anything.
+never re-sorts anything. The content fingerprint hashes EVERY column
+(canonical sorted-name struct -> JSON), so an in-place update to a
+non-key column is detected and its shard rewritten (r7 review fix: a
+key-only fingerprint silently skipped content-changed shards).
 """
 
 from __future__ import annotations
@@ -36,6 +39,18 @@ def assign_shard(key: F.Column, n_shards: int) -> F.Column:
     return (md5_long(key.cast("string")) % n_shards).cast("int")
 
 
+def _content_fingerprint(cols: list[str]) -> F.Column:
+    """Order-free XOR of per-row content hashes over a CANONICAL
+    (sorted-name) struct of every data column — the same expression is
+    computable from the input frame and from the parquet read back off
+    disk, so the manifest value doubles as a drift check. (to_json keeps
+    the fingerprint engine-readable; values round-trip parquet binary-
+    identically within a session.)"""
+    return F.bit_xor(
+        md5_long(F.to_json(F.struct(*[F.col(c) for c in sorted(cols)])))
+    )
+
+
 def _delete_shard_dir(spark, path: str, shard: int) -> None:
     """Remove one shard=K partition directory via the Hadoop FS API (works
     for any supported filesystem, not just local disk)."""
@@ -54,17 +69,20 @@ def write_sharded(
     on the sharded frame means the upstream pipeline runs once: the
     manifest aggregate materializes it, the data write reuses the rows.
 
-    Incremental re-runs rewrite ONLY the shards whose membership changed
-    (r7 — previously a static overwrite rewrote every shard and the
-    docstring overclaimed): the new manifest is computed first, diffed
-    against the on-disk ``_MANIFEST`` (count + XOR fingerprint per shard
-    — O(n_shards) driver rows, n_shards is small by construction), and
-    the data write uses dynamic partition overwrite restricted to the
-    changed shard ids. Shards that lost their last row are deleted
-    explicitly (dynamic overwrite only touches partitions present in the
-    written data). Unchanged shards keep their files byte-for-byte, so
-    downstream trainers' shard-level caches stay valid across re-runs."""
+    Incremental re-runs rewrite ONLY the shards whose CONTENT changed
+    (r7): the new manifest is computed first, diffed against the on-disk
+    ``_MANIFEST`` per shard on (row count, key XOR fingerprint, all-
+    column content XOR fingerprint — O(n_shards) driver rows, n_shards
+    is small by construction), and the data write uses dynamic partition
+    overwrite restricted to the changed shard ids. Shards that lost
+    their last row are deleted explicitly (dynamic overwrite only
+    touches partitions present in the written data). Unchanged shards
+    keep their files byte-for-byte, so downstream trainers' shard-level
+    caches stay valid across re-runs. The FIRST write (no manifest on
+    disk) is a static overwrite so any stale partial-write debris under
+    the path is cleared rather than surviving invisibly."""
     spark = df.sparkSession
+    data_cols = list(df.columns)
     sharded = df.withColumn(
         SHARD_COL, assign_shard(F.col(key), n_shards)
     ).localCheckpoint(eager=False)
@@ -75,39 +93,54 @@ def write_sharded(
             F.bit_xor(md5_long(F.col(key).cast("string"))).alias(
                 "key_fingerprint"
             ),
+            _content_fingerprint(data_cols).alias("content_fingerprint"),
         )
         .orderBy(SHARD_COL)
     )
     mpath = os.path.join(path, "_MANIFEST")
     try:
         prior = {
-            r[SHARD_COL]: (r["n_rows"], r["key_fingerprint"])
+            r[SHARD_COL]: (
+                r["n_rows"],
+                r["key_fingerprint"],
+                # .get(): manifests written before the content column
+                # compare unequal -> their shards rewrite once (upgrade).
+                r.asDict().get("content_fingerprint"),
+            )
             for r in spark.read.parquet(mpath).collect()
         }
     except Exception:  # first write: no manifest yet
         prior = None
 
     new = {
-        r[SHARD_COL]: (r["n_rows"], r["key_fingerprint"])
+        r[SHARD_COL]: (
+            r["n_rows"],
+            r["key_fingerprint"],
+            r["content_fingerprint"],
+        )
         for r in manifest.collect()
     }
+    writer = sharded.repartition(n_shards, F.col(SHARD_COL)).write.mode(
+        "overwrite"
+    )
     if prior is None:
-        to_write = sharded
+        # Static overwrite: clears stale shard dirs from a crashed run
+        # that never reached its manifest write.
+        writer.partitionBy(SHARD_COL).parquet(path)
     else:
         changed = sorted(k for k in new if prior.get(k) != new[k])
         for gone in sorted(set(prior) - set(new)):
             _delete_shard_dir(spark, path, gone)
-        if not changed:  # membership identical: data untouched
-            manifest.write.mode("overwrite").parquet(mpath)
-            return spark.read.parquet(mpath).orderBy(SHARD_COL)
-        to_write = sharded.filter(F.col(SHARD_COL).isin(changed))
-    (
-        to_write.repartition(n_shards, F.col(SHARD_COL))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(SHARD_COL)
-        .parquet(path)
-    )
+        if changed:
+            (
+                sharded.filter(F.col(SHARD_COL).isin(changed))
+                .repartition(n_shards, F.col(SHARD_COL))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(SHARD_COL)
+                .parquet(path)
+            )
+        # no changed shards: data untouched, manifest still refreshed
     manifest.write.mode("overwrite").parquet(mpath)
     return spark.read.parquet(mpath).orderBy(SHARD_COL)
 
@@ -117,14 +150,17 @@ def validate_manifest(spark, path: str, key: str) -> DataFrame:
     and join against the manifest; ``ok`` is False for any shard that
     drifted (partial write, manual edit, replication fault) and for
     manifest rows with no data (lost shard) or data with no manifest row
-    (orphan shard)."""
+    (orphan shard). Content drift in ANY column fails the shard, not
+    just key-set drift."""
     data = spark.read.parquet(path)
     manifest = spark.read.parquet(os.path.join(path, "_MANIFEST"))
+    data_cols = [c for c in data.columns if c != SHARD_COL]
     recomputed = data.groupBy(SHARD_COL).agg(
         F.count(F.lit(1)).alias("n_rows_actual"),
         F.bit_xor(md5_long(F.col(key).cast("string"))).alias(
             "key_fingerprint_actual"
         ),
+        _content_fingerprint(data_cols).alias("content_fingerprint_actual"),
     )
     j = manifest.join(recomputed, SHARD_COL, "full_outer")
     return j.select(
@@ -136,5 +172,9 @@ def validate_manifest(spark, path: str, key: str) -> DataFrame:
             & F.col("n_rows_actual").isNotNull()
             & (F.col("n_rows") == F.col("n_rows_actual"))
             & (F.col("key_fingerprint") == F.col("key_fingerprint_actual"))
+            & (
+                F.col("content_fingerprint")
+                == F.col("content_fingerprint_actual")
+            )
         ).alias("ok"),
     )

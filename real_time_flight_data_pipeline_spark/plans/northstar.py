@@ -1522,11 +1522,15 @@ def _ppm_stats(batches):
             # whitespace byte, then the pixel block.
             tokens, pos = [], 0
             while len(tokens) < 4:
-                while raw[pos : pos + 1].isspace():
+                while pos < len(raw) and raw[pos : pos + 1].isspace():
                     pos += 1
                 start = pos
-                while not raw[pos : pos + 1].isspace():
+                while pos < len(raw) and not raw[pos : pos + 1].isspace():
                     pos += 1
+                if start == pos:  # ran off the end: truncated header
+                    raise ValueError(
+                        f"truncated PPM header after {tokens!r}"
+                    )
                 tokens.append(raw[start:pos])
             pos += 1  # the single whitespace after maxval
             if tokens[0] != b"P6" or int(tokens[3]) != 255:

@@ -83,10 +83,18 @@ class DailyAggState:
         self._wm_table = ParquetTable(
             spark, os.path.join(path, "_compaction_wm"), _WM_SCHEMA
         )
+        # In-memory cache of the persisted horizon: the durable table is
+        # the source of truth across restarts, but a high-frequency
+        # stream must not pay a parquet read per micro-batch for a value
+        # that only changes in compact() (r7 review fix). The Ellipsis
+        # sentinel distinguishes "unread" from "no watermark persisted".
+        self._wm_cache = ...
 
     def _watermark(self) -> int | None:
-        row = self._wm_table.read().agg(F.max("up_to_epoch")).head()
-        return row[0] if row and row[0] is not None else None
+        if self._wm_cache is ...:
+            row = self._wm_table.read().agg(F.max("up_to_epoch")).head()
+            self._wm_cache = row[0] if row and row[0] is not None else None
+        return self._wm_cache
 
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         """Replace epoch ``epoch_id``'s partials with this batch's —
@@ -118,15 +126,30 @@ class DailyAggState:
         persisted watermark, so the caller contract is 'pass a horizon
         the checkpoint can no longer replay' and a violation fails loudly
         instead of corrupting the rollup. The watermark is MONOTONE: a
-        compact at/below the current horizon is rejected — persisting a
-        lower value would re-open already-final epochs for replay."""
+        compact BELOW the current horizon is rejected — persisting a
+        lower value would re-open already-final epochs for replay —
+        while an == re-compact is allowed (and idempotent), which is
+        what crash recovery needs given the write order below.
+
+        Write order (r7 review fix): the watermark commits BEFORE the
+        fold. A crash between the two leaves epochs <= horizon marked
+        final but not yet folded — apply_batch then refuses their
+        replay (fail-loud) and re-running compact(horizon) completes
+        the fold. The reverse order would leave folded epochs
+        unguarded: a replay would double-count silently."""
         wm = self._watermark()
-        if wm is not None and up_to_epoch <= wm:
+        if wm is not None and up_to_epoch < wm:
             raise ValueError(
-                f"compaction horizon {up_to_epoch} is at/below the current "
+                f"compaction horizon {up_to_epoch} is below the current "
                 f"watermark {wm}: the watermark is monotone (lowering it "
                 "would re-open final epochs for double-counting replay)"
             )
+        self._wm_table.overwrite(
+            self.table.spark.createDataFrame(
+                [(int(up_to_epoch),)], _WM_SCHEMA
+            )
+        )
+        self._wm_cache = int(up_to_epoch)
         state = self.table.read()
         old = state.filter(F.col("epoch_id") <= up_to_epoch)
         rest = state.filter(F.col("epoch_id") > up_to_epoch)
@@ -134,11 +157,6 @@ class DailyAggState:
             F.lit(_BASE_EPOCH).cast("long").alias("epoch_id"), "*"
         )
         self.table.overwrite(base.unionByName(rest))
-        self._wm_table.overwrite(
-            self.table.spark.createDataFrame(
-                [(int(up_to_epoch),)], _WM_SCHEMA
-            )
-        )
 
     def view(self) -> DataFrame:
         """The queryable rollup: derive the non-mergeable columns (avg)

@@ -134,7 +134,10 @@ def main() -> None:
     # Optional argv subset: re-measure just the named queries and MERGE
     # into the existing results file (full sweeps take ~25 min; a tuning
     # loop on one query shouldn't pay for all of them).
-    subset = [a for a in sys.argv[1:] if a in QUERIES]
+    unknown = sorted(set(sys.argv[1:]) - set(QUERIES))
+    if unknown:  # a typo must not silently trigger the full 25-min sweep
+        sys.exit(f"unknown curve queries {unknown}; choose from {QUERIES}")
+    subset = list(sys.argv[1:])
     run_list = subset or QUERIES
     spark = get_spark(app_name="flightframe-scale-curve")
     build_corpora(spark)

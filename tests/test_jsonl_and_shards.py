@@ -168,6 +168,29 @@ def test_rerun_rewrites_only_changed_shards(spark, tmp_path):
     v = validate_manifest(spark, out, "doc_id")
     assert all(r.ok for r in v.collect())
 
+    # CONTENT change with the key set unchanged (r7 review finding: a
+    # key-only fingerprint skipped these shards silently): editing one
+    # doc's text must rewrite exactly its shard.
+    docs2 = docs.unionByName(extra).withColumn(
+        "text",
+        F.when(F.col("doc_id") == 999_999_999, F.lit("EDITED")).otherwise(
+            F.col("text")
+        ),
+    )
+    before2 = _shard_files(out)
+    write_sharded(docs2, "doc_id", 4, out)
+    after2 = _shard_files(out)
+    for s in range(4):
+        if s == hit_shard:
+            assert after2[s] != before2[s]  # content change detected
+        else:
+            assert after2[s] == before2[s]
+    got = spark.read.parquet(out).filter(
+        F.col("doc_id") == 999_999_999
+    ).head()
+    assert got.text == "EDITED"
+    assert all(r.ok for r in validate_manifest(spark, out, "doc_id").collect())
+
 
 # ---------------------------------------------------------------------------
 # Fuzz: arbitrary byte-ish lines must never crash the loader — every line

@@ -84,10 +84,15 @@ def test_compaction_preserves_view_and_bounds_state(spark, tmp_path):
         with _pytest.raises(ValueError, match="compaction watermark"):
             handle.apply_batch(batches[0], 0)
     assert _rows(state.view()) == before
-    # the watermark is monotone: re-compacting at/below the horizon is
-    # rejected (a lower persisted value would re-open final epochs)
+    # the watermark is monotone: compacting BELOW the horizon is
+    # rejected (a lower persisted value would re-open final epochs)...
     with _pytest.raises(ValueError, match="monotone"):
         state.compact(up_to_epoch=1)
+    assert _rows(state.view()) == before
+    # ...but an == re-compact is allowed and idempotent — that is the
+    # crash-recovery path (the watermark commits BEFORE the fold, so a
+    # crash between the two re-runs compact at the same horizon)
+    state.compact(up_to_epoch=2)
     assert _rows(state.view()) == before
 
 
