@@ -177,3 +177,83 @@ def test_bpe_apply_matches_sequential_greedy(spark, docs, pair):
     }
     for i, d in enumerate(docs):
         assert got[i] == _greedy_merge_ref(d, l, r), (i, d, l, r, got[i])
+
+
+# ---------------------------------------------------------------------------
+# SCD2 incremental apply (r7): batch-split invariance. Folding an
+# event-time-ordered stream through scd2_apply must produce the SAME
+# history regardless of where the stream is cut into micro-batches — and
+# that history must equal the one-shot batch rebuild. This is the
+# algebraic reason the streaming sink (scd2_state.Scd2State) is correct
+# under any trigger cadence.
+# ---------------------------------------------------------------------------
+from real_time_flight_data_pipeline_spark.operators.scd2 import scd2_apply
+from real_time_flight_data_pipeline_spark.plans.relational_ext import (
+    user_state_scd2_from,
+)
+
+
+@settings(**_SETTINGS)
+@given(data=st.data())
+def test_scd2_fold_is_batch_split_invariant(spark, data):
+    import datetime as dt
+
+    n_events = data.draw(st.integers(min_value=1, max_value=12), label="n")
+    states = data.draw(
+        st.lists(
+            st.sampled_from(["view", "click", "purchase"]),
+            min_size=n_events,
+            max_size=n_events,
+        ),
+        label="states",
+    )
+    n_users = data.draw(st.integers(min_value=1, max_value=3), label="users")
+    # strictly increasing ts per user (the fold's ordering contract);
+    # event_id doubles as the tie column and stays globally unique
+    rows = [
+        (
+            eid % n_users,
+            s,
+            dt.datetime(2024, 1, 1) + dt.timedelta(hours=eid),
+            eid,
+        )
+        for eid, s in enumerate(states)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    ).localCheckpoint(eager=True)
+
+    # random ordered split of the GLOBALLY time-sorted stream into batches
+    cuts = data.draw(
+        st.sets(st.integers(min_value=1, max_value=n_events - 1))
+        if n_events > 1
+        else st.just(set()),
+        label="cuts",
+    )
+    bounds = [0, *sorted(cuts), n_events]
+    ordered = sorted(rows, key=lambda r: (r[2], r[3]))
+
+    state = spark.createDataFrame(
+        [],
+        "user_id long, version int, state string, "
+        "valid_from timestamp, valid_to timestamp",
+    )
+    for lo, hi in zip(bounds, bounds[1:]):
+        batch = spark.createDataFrame(
+            [(r[0], r[1], r[2], r[3]) for r in ordered[lo:hi]],
+            "user_id long, state string, ts timestamp, event_id long",
+        )
+        state = scd2_apply(
+            state, batch, tie_cols=("event_id",)
+        ).localCheckpoint(eager=True)
+
+    got = sorted(map(tuple, state.collect()))
+    want = sorted(
+        map(
+            tuple,
+            user_state_scd2_from(ev)
+            .select("user_id", "version", "state", "valid_from", "valid_to")
+            .collect(),
+        )
+    )
+    assert got == want
