@@ -10,13 +10,15 @@ runs/cluster sizes; hash-of-key modulo is.
 
 Writes ``shard=K/`` partition directories plus a ``_MANIFEST`` parquet of
 per-shard (row count, key fingerprint, content fingerprint) — the handoff
-contract a training job validates before reading. Fingerprints are the
-mergeable XOR of md5-derived row hashes (same construction as the
-orders_partition_fingerprint catalog query), so manifest validation
-never re-sorts anything. The content fingerprint hashes EVERY column
+contract a training job validates before reading. The key fingerprint is
+the mergeable XOR of md5-derived key hashes (same construction as the
+orders_partition_fingerprint catalog query); the content fingerprint is
+the multiplicity-sensitive SUM of bounded md5 hashes over EVERY column
 (canonical sorted-name struct -> JSON), so an in-place update to a
-non-key column is detected and its shard rewritten (r7 review fix: a
-key-only fingerprint silently skipped content-changed shards).
+non-key column — including of duplicated rows, which XOR would cancel —
+is detected and its shard rewritten (r7 review fixes: a key-only
+fingerprint silently skipped content-changed shards). Both are
+order-free aggregates, so validation never re-sorts anything.
 """
 
 from __future__ import annotations
@@ -39,16 +41,24 @@ def assign_shard(key: F.Column, n_shards: int) -> F.Column:
     return (md5_long(key.cast("string")) % n_shards).cast("int")
 
 
+_CONTENT_HASH_BOUND = 2**31
+
+
 def _content_fingerprint(cols: list[str]) -> F.Column:
-    """Order-free XOR of per-row content hashes over a CANONICAL
+    """Order-free SUM of bounded per-row content hashes over a CANONICAL
     (sorted-name) struct of every data column — the same expression is
     computable from the input frame and from the parquet read back off
-    disk, so the manifest value doubles as a drift check. (to_json keeps
-    the fingerprint engine-readable; values round-trip parquet binary-
-    identically within a session.)"""
-    return F.bit_xor(
-        md5_long(F.to_json(F.struct(*[F.col(c) for c in sorted(cols)])))
+    disk, so the manifest value doubles as a drift check. SUM, not XOR
+    (r7 review): XOR cancels rows whose hash appears an even number of
+    times, so editing a pair of identical rows was invisible; a sum
+    counts multiplicity. Each term is bounded to 31 bits so the long sum
+    cannot overflow below ~2^32 rows per shard (no ANSI/wrap semantics
+    in play). (to_json keeps the hash engine-readable; values round-trip
+    parquet binary-identically within a session.)"""
+    row_hash = md5_long(
+        F.to_json(F.struct(*[F.col(c) for c in sorted(cols)]))
     )
+    return F.sum(row_hash % _CONTENT_HASH_BOUND)
 
 
 def _delete_shard_dir(spark, path: str, shard: int) -> None:
@@ -82,7 +92,11 @@ def write_sharded(
     disk) is a static overwrite so any stale partial-write debris under
     the path is cleared rather than surviving invisibly."""
     spark = df.sparkSession
-    data_cols = list(df.columns)
+    # Exclude a pre-existing column named like SHARD_COL: withColumn
+    # replaces it with the computed id, and validate_manifest's
+    # read-back recompute excludes it too — both sides must hash the
+    # same column set (r7 review).
+    data_cols = [c for c in df.columns if c != SHARD_COL]
     sharded = df.withColumn(
         SHARD_COL, assign_shard(F.col(key), n_shards)
     ).localCheckpoint(eager=False)
@@ -120,26 +134,28 @@ def write_sharded(
         )
         for r in manifest.collect()
     }
-    writer = sharded.repartition(n_shards, F.col(SHARD_COL)).write.mode(
-        "overwrite"
-    )
+    def _write(frame: DataFrame, mode: str) -> None:
+        (
+            frame.repartition(n_shards, F.col(SHARD_COL))
+            .write.mode("overwrite")
+            # explicit per-write mode: a session-level dynamic default
+            # must not void the first-write clears-stale-dirs guarantee
+            # (r7 review)
+            .option("partitionOverwriteMode", mode)
+            .partitionBy(SHARD_COL)
+            .parquet(path)
+        )
+
     if prior is None:
         # Static overwrite: clears stale shard dirs from a crashed run
         # that never reached its manifest write.
-        writer.partitionBy(SHARD_COL).parquet(path)
+        _write(sharded, "static")
     else:
         changed = sorted(k for k in new if prior.get(k) != new[k])
         for gone in sorted(set(prior) - set(new)):
             _delete_shard_dir(spark, path, gone)
         if changed:
-            (
-                sharded.filter(F.col(SHARD_COL).isin(changed))
-                .repartition(n_shards, F.col(SHARD_COL))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(SHARD_COL)
-                .parquet(path)
-            )
+            _write(sharded.filter(F.col(SHARD_COL).isin(changed)), "dynamic")
         # no changed shards: data untouched, manifest still refreshed
     manifest.write.mode("overwrite").parquet(mpath)
     return spark.read.parquet(mpath).orderBy(SHARD_COL)
@@ -163,18 +179,18 @@ def validate_manifest(spark, path: str, key: str) -> DataFrame:
         _content_fingerprint(data_cols).alias("content_fingerprint_actual"),
     )
     j = manifest.join(recomputed, SHARD_COL, "full_outer")
-    return j.select(
-        SHARD_COL,
-        "n_rows",
-        "n_rows_actual",
-        (
-            F.col("n_rows").isNotNull()
-            & F.col("n_rows_actual").isNotNull()
-            & (F.col("n_rows") == F.col("n_rows_actual"))
-            & (F.col("key_fingerprint") == F.col("key_fingerprint_actual"))
-            & (
-                F.col("content_fingerprint")
-                == F.col("content_fingerprint_actual")
-            )
-        ).alias("ok"),
+    ok = (
+        F.col("n_rows").isNotNull()
+        & F.col("n_rows_actual").isNotNull()
+        & (F.col("n_rows") == F.col("n_rows_actual"))
+        & (F.col("key_fingerprint") == F.col("key_fingerprint_actual"))
     )
+    # Manifests written before the content column validate on the
+    # key-level contract only (the next write_sharded run upgrades them)
+    # — the consumer-side validator must not crash on a legacy corpus
+    # (r7 review).
+    if "content_fingerprint" in manifest.columns:
+        ok = ok & (
+            F.col("content_fingerprint") == F.col("content_fingerprint_actual")
+        )
+    return j.select(SHARD_COL, "n_rows", "n_rows_actual", ok.alias("ok"))

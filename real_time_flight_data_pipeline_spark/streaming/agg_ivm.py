@@ -86,14 +86,21 @@ class DailyAggState:
         # In-memory cache of the persisted horizon: the durable table is
         # the source of truth across restarts, but a high-frequency
         # stream must not pay a parquet read per micro-batch for a value
-        # that only changes in compact() (r7 review fix). The Ellipsis
-        # sentinel distinguishes "unread" from "no watermark persisted".
-        self._wm_cache = ...
+        # that only changes in compact(). Freshness is checked against
+        # the ParquetTable's commit POINTER (one tiny local file read,
+        # no Spark job): any writer — including ANOTHER handle on the
+        # same path — flips the pointer, so a stale cache can never pass
+        # a guard a fresh read would fail (r7 review: a version-blind
+        # cache let a second handle regress the watermark).
+        self._wm_cache = None
+        self._wm_cache_ver = object()  # sentinel: != any real version
 
     def _watermark(self) -> int | None:
-        if self._wm_cache is ...:
+        ver = self._wm_table._current_version()
+        if ver != self._wm_cache_ver:
             row = self._wm_table.read().agg(F.max("up_to_epoch")).head()
             self._wm_cache = row[0] if row and row[0] is not None else None
+            self._wm_cache_ver = ver
         return self._wm_cache
 
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
@@ -149,7 +156,7 @@ class DailyAggState:
                 [(int(up_to_epoch),)], _WM_SCHEMA
             )
         )
-        self._wm_cache = int(up_to_epoch)
+        self._wm_cache_ver = object()  # invalidate: next read re-resolves
         state = self.table.read()
         old = state.filter(F.col("epoch_id") <= up_to_epoch)
         rest = state.filter(F.col("epoch_id") > up_to_epoch)

@@ -137,7 +137,7 @@ def main() -> None:
     unknown = sorted(set(sys.argv[1:]) - set(QUERIES))
     if unknown:  # a typo must not silently trigger the full 25-min sweep
         sys.exit(f"unknown curve queries {unknown}; choose from {QUERIES}")
-    subset = list(sys.argv[1:])
+    subset = list(dict.fromkeys(sys.argv[1:]))  # order-preserving dedup
     run_list = subset or QUERIES
     spark = get_spark(app_name="flightframe-scale-curve")
     build_corpora(spark)

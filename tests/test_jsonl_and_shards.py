@@ -192,6 +192,24 @@ def test_rerun_rewrites_only_changed_shards(spark, tmp_path):
     assert all(r.ok for r in validate_manifest(spark, out, "doc_id").collect())
 
 
+def test_duplicated_row_edits_are_detected(spark, tmp_path):
+    """XOR content hashes cancel for rows appearing an even number of
+    times, making an edit of a duplicated pair invisible (r7 review
+    finding); the sum-based fingerprint must catch it."""
+    out = str(tmp_path / "shards")
+    base = spark.createDataFrame(
+        [(1, "old"), (1, "old"), (2, "other")], "doc_id long, text string"
+    )
+    write_sharded(base, "doc_id", 2, out)
+    edited = spark.createDataFrame(
+        [(1, "new"), (1, "new"), (2, "other")], "doc_id long, text string"
+    )
+    write_sharded(edited, "doc_id", 2, out)
+    rows = spark.read.parquet(out).filter(F.col("doc_id") == 1).collect()
+    assert [r.text for r in rows] == ["new", "new"]
+    assert all(r.ok for r in validate_manifest(spark, out, "doc_id").collect())
+
+
 # ---------------------------------------------------------------------------
 # Fuzz: arbitrary byte-ish lines must never crash the loader — every line
 # lands in exactly one of {clean, quarantined}.

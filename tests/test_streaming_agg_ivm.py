@@ -94,6 +94,18 @@ def test_compaction_preserves_view_and_bounds_state(spark, tmp_path):
     # crash between the two re-runs compact at the same horizon)
     state.compact(up_to_epoch=2)
     assert _rows(state.view()) == before
+    # cross-handle freshness (r7 review: a version-blind cache let a
+    # second handle regress the watermark): a handle that cached the
+    # PRE-compaction horizon must still reject stale epochs after
+    # another handle advanced it — the cache revalidates against the
+    # watermark table's commit pointer.
+    early = DailyAggState(spark, str(tmp_path / "agg"))
+    early.apply_batch(batches[3], 3)  # populates early's cache (wm=2)
+    state.compact(up_to_epoch=3)
+    with _pytest.raises(ValueError, match="compaction watermark"):
+        early.apply_batch(batches[3], 3)
+    with _pytest.raises(ValueError, match="monotone"):
+        early.compact(up_to_epoch=2)
 
 
 def test_real_stream_drives_the_sink(spark, tmp_path):
