@@ -2657,6 +2657,68 @@ def q_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# BPE encode-apply (r7): the consumer half of the tokenizer story. The
+# training query emits merges.txt; this one APPLIES the trained merges
+# back to every document and emits the per-doc encoding record
+# (before/after token counts, compression ratio, content signature of
+# the encoded stream) — the operation a training-data pipeline runs over
+# the full corpus once a tokenizer is frozen. Same two training rounds
+# (bit-identical picks), then a per-doc projection of the final state.
+# ===========================================================================
+@_register(
+    "docs_bpe_encode",
+    f"""
+    WITH toks0 AS (
+      SELECT doc_id, {{toks}} AS toks FROM documents
+    ),
+    {_bpe_round_sql('toks0', 1)},
+    {_bpe_round_sql('out_1', 2)}
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS INTEGER) AS n_tokens_orig,
+           CAST(COALESCE(len(o.toks), len(t.toks)) AS INTEGER)
+             AS n_tokens_encoded,
+           CAST(len(t.toks) - COALESCE(len(o.toks), len(t.toks)) AS INTEGER)
+             AS n_merges_applied,
+           md5(array_to_string(COALESCE(o.toks, t.toks), ' ')) AS encoded_sig
+    FROM toks0 t LEFT JOIN out_2 o USING (doc_id)
+    """.format(toks=_SQL_TOKS),
+    "BPE ENCODE — the apply side of docs_bpe_top_merges: train the same "
+    "two merge rounds (exact pair counts, deterministic top pick), then "
+    "emit every document's encoding record — original vs encoded token "
+    "counts, merges applied, and an md5 signature of the encoded token "
+    "stream (the artifact a downstream packing/dedup stage keys on). "
+    "Documents the greedy window pass drops (zero tokens after "
+    "tokenize) fall back to their original stream via a left join, so "
+    "the output covers the corpus exactly once. At 100 TB the trained "
+    "merge table is a broadcast and encoding is per-doc window work — "
+    "the same scale shape as training, minus the pair-count shuffles "
+    "once the merges are frozen",
+    reference="[NORTH-STAR] tokenizer application (Sennrich'16 BPE "
+    "encode); completes docs_bpe_top_merges' train -> apply pair",
+    tags=("text", "northstar", "iterative"),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks0 = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+    out1, _ = _bpe_round(toks0)
+    out2, _ = _bpe_round(out1)
+    enc = out2.select("doc_id", F.col("toks").alias("enc_toks"))
+    n0 = F.size("toks")
+    n1 = F.size(F.coalesce(F.col("enc_toks"), F.col("toks")))
+    return toks0.join(enc, "doc_id", "left").select(
+        "doc_id",
+        n0.cast("int").alias("n_tokens_orig"),
+        n1.cast("int").alias("n_tokens_encoded"),
+        (n0 - n1).cast("int").alias("n_merges_applied"),
+        F.md5(
+            F.array_join(F.coalesce(F.col("enc_toks"), F.col("toks")), " ")
+        ).alias("encoded_sig"),
+    )
+
+
+# ===========================================================================
 # Two-level SemDeDup (r6): the documented path below the flat codebook's
 # O(n^1.5). Coarse codebook of C = ceil(sqrt(K)) super-cells (the first C
 # centroids double as super-centroids, so every super-cell contains at
