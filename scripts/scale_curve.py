@@ -59,6 +59,9 @@ QUERIES = [
     # 1x/10x pair is the number that decides flat-vs-2level, not a guess.
     "embedding_semdedup_2level",
     "docs_bpe_top_merges",
+    # r7: the encode-apply twin — same training rounds plus the per-doc
+    # projection; should track the token stream ~linearly like training.
+    "docs_bpe_encode",
     # r6c: graph analytics on the pair graph (triangles scale with wedge
     # count — degree-ordered, so bounded by edges at constant dup
     # density) and the source-level overlap matrix (shuffle O(distinct
