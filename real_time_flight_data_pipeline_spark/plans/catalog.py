@@ -57,6 +57,14 @@ class CatalogQuery:
 
 REGISTRY: dict[str, CatalogQuery] = {}
 
+# Retired from the driver rotation (r8): instrumentation twins whose
+# measurement value is banked. They no longer occupy one of the 150 driver
+# window-budget slots (test_driver_window.py pins ceil(N/50) <= 3), but they
+# remain fully oracle-verified by the local replica gate every session
+# (tests/test_retired.py runs the same compare at sf0.01) — retirement
+# changes WHO verifies them (pytest instead of the driver), not WHETHER.
+RETIRED_REGISTRY: dict[str, CatalogQuery] = {}
+
 
 def _register(
     name: str,
@@ -67,6 +75,26 @@ def _register(
 ):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         REGISTRY[name] = CatalogQuery(name, fn, oracle, description, reference, tags)
+        return fn
+
+    return deco
+
+
+def _register_retired(
+    name: str,
+    oracle: str | None,
+    description: str,
+    reference: str = "",
+    tags: tuple[str, ...] = (),
+):
+    """Same contract as _register, but into RETIRED_REGISTRY: the query is
+    excluded from queries()/oracle_sql() (and hence the driver's 50-slot
+    rotation window) while staying pytest-oracle-verified each session."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        RETIRED_REGISTRY[name] = CatalogQuery(
+            name, fn, oracle, description, reference, tags
+        )
         return fn
 
     return deco

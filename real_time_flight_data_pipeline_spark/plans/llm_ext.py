@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..functions import vectors as V
-from .catalog import _register, _spread, _t
+from .catalog import _register, _register_retired, _spread, _t
 from .northstar import (
     _NEAR_CORPUS_SQL,
     _SQL_LANG_COUNTS,
@@ -658,7 +658,7 @@ def _recall_oracle() -> str:
     """
 
 
-@_register(
+@_register_retired(
     "embedding_ivf_recall",
     _recall_oracle(),
     "Measured (not guessed) ANN quality: recall@10 of the IVF index "
@@ -738,7 +738,7 @@ def _trained_recall_oracle() -> str:
 _KM_NPROBE = 4
 
 
-@_register(
+@_register_retired(
     "embedding_ivf_recall_trained",
     _trained_recall_oracle(),
     "The k-means -> IVF integration, measured: the trained codebook "
@@ -1778,7 +1778,7 @@ def _sem_oracle() -> str:
     """
 
 
-@_register(
+@_register_retired(
     "embedding_semdedup",
     _sem_oracle(),
     "SemDeDup (Abbas'23): semantic near-duplicate removal with the "
@@ -3945,7 +3945,7 @@ def _lsh_recall_oracle() -> str:
     """
 
 
-@_register(
+@_register_retired(
     "docs_lsh_recall",
     _lsh_recall_oracle(),
     "Measured candidate recall of the banded MinHash-LSH dedup plan: "

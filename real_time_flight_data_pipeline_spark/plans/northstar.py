@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..functions import vectors as V
-from .catalog import _register, _spread, _t
+from .catalog import _register, _register_retired, _spread, _t
 
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (DuckDB dialect)
@@ -1205,7 +1205,7 @@ def _decode_stub(batches):
         )
 
 
-@_register(
+@_register_retired(
     "multimodal_decode_stub",
     """
     SELECT doc_id,
@@ -1271,7 +1271,7 @@ def _resize_framesample_stub(batches):
         )
 
 
-@_register(
+@_register_retired(
     "multimodal_resize_framesample_stub",
     """
     WITH meta AS (

@@ -35,8 +35,15 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from pyspark.sql import functions as F
 
-from real_time_flight_data_pipeline_spark.plans.catalog import REGISTRY
+from real_time_flight_data_pipeline_spark.plans.catalog import (
+    REGISTRY,
+    RETIRED_REGISTRY,
+)
 from real_time_flight_data_pipeline_spark.session import get_spark
+
+# embedding_semdedup retired from the driver rotation in r8 but stays the
+# measured flat baseline of the 2-level variant on this curve.
+_LOOKUP = {**RETIRED_REGISTRY, **REGISTRY}
 
 BASE = "/root/testdata/sf0.1"
 WORK = pathlib.Path("/tmp/flightframe_scale")
@@ -146,7 +153,7 @@ def main() -> None:
     build_corpora(spark)
     # Warmup (codegen/classloading) on the small corpus.
     for name in run_list:
-        REGISTRY[name].builder(spark, str(WORK / "sf1x")).write.format(
+        _LOOKUP[name].builder(spark, str(WORK / "sf1x")).write.format(
             "noop"
         ).mode("overwrite").save()
     out = pathlib.Path(__file__).resolve().parent / "scale_curve_results.json"
@@ -159,7 +166,7 @@ def main() -> None:
             runs = []
             for _ in range(N_RUNS):
                 t0 = time.perf_counter()
-                REGISTRY[name].builder(spark, str(WORK / tag)).write.format(
+                _LOOKUP[name].builder(spark, str(WORK / tag)).write.format(
                     "noop"
                 ).mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)

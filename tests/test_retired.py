@@ -1,0 +1,87 @@
+"""Retired catalog queries stay verified (r8 slot reclamation).
+
+The driver's rotation window has a hard budget of 150 registered queries
+(test_driver_window.py pins ceil(N/50) <= 3 rounds max staleness). Round 8
+retired six instrumentation twins whose measurement value is banked —
+recall probes composing production queries, superseded multimodal stubs,
+and the flat SemDeDup baseline of the winning 2-level variant. Retirement
+moves them from the driver's CORRECTNESS gate to THIS file: the identical
+oracle compare at sf0.01 every session, plus pinned floors for the measured
+numbers the twins existed to produce (so a regression in the production
+query they compose still fails loudly here).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_flight_data_pipeline_spark.plans.catalog import RETIRED_REGISTRY
+
+from .conftest import SF_CORRECT, SF_SMOKE
+from .oracle_harness import compare
+
+_RETIRED = sorted(RETIRED_REGISTRY)
+
+# The same keyless-but-bounded broadcast shapes documented in
+# test_plan_audit._BNLJ_ALLOWED before retirement.
+_BNLJ_ALLOWED = {
+    "embedding_ivf_recall",  # composes embedding_topk_ivf, inherits its plan
+    "embedding_ivf_recall_trained",  # composes k-means + IVF, bounded sides
+    "docs_lsh_recall",  # 1-row truth-count x 1-row hit-count
+}
+
+
+def test_expected_retirees():
+    """Retirement is deliberate, one-by-one — a query can only move here
+    with a matching entry in this pinned list (and a banked-number floor
+    below if it was a measurement probe)."""
+    assert _RETIRED == [
+        "docs_lsh_recall",
+        "embedding_ivf_recall",
+        "embedding_ivf_recall_trained",
+        "embedding_semdedup",
+        "multimodal_decode_stub",
+        "multimodal_resize_framesample_stub",
+    ]
+
+
+@pytest.mark.parametrize("name", _RETIRED)
+def test_retired_oracle_match(spark, name):
+    q = RETIRED_REGISTRY[name]
+    ok, msg = compare(spark, SF_CORRECT, q.builder, q.oracle)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", _RETIRED)
+def test_retired_plan_audit(spark, name):
+    df = RETIRED_REGISTRY[name].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    if name not in _BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_banked_recall_floors(spark):
+    """The measured ANN/LSH quality ladder the retired probes produced
+    (r5-r7 CORRECTNESS rows): training-free IVF recall@10 = 0.3, trained
+    codebook = 0.4 (the trained-PQ 0.5 rung lives on in the still-active
+    embedding_pq_adc_recall_trained). LSH candidate recall vs exact-Jaccard
+    ground truth = 1.0 at sf0.01 (every true pair shares a band). Floors,
+    not equalities, so a better index never fails; a production regression
+    in embedding_topk_ivf / docs_near_dup_pairs fails here."""
+    ivf = (
+        RETIRED_REGISTRY["embedding_ivf_recall"]
+        .builder(spark, SF_CORRECT)
+        .collect()[0]
+    )
+    assert ivf["recall_at_10"] >= 0.3, ivf
+    trained = (
+        RETIRED_REGISTRY["embedding_ivf_recall_trained"]
+        .builder(spark, SF_CORRECT)
+        .collect()[0]
+    )
+    assert trained["recall_at_10"] >= 0.4, trained
+    assert trained["recall_at_10"] >= ivf["recall_at_10"], (ivf, trained)
+    lsh = RETIRED_REGISTRY["docs_lsh_recall"].builder(spark, SF_CORRECT).collect()[0]
+    assert lsh["n_true"] > 0, lsh
+    assert lsh["recall"] >= 0.9, lsh
