@@ -2068,14 +2068,18 @@ def _pq_sql_sub_assign(src_c: str) -> str:
 """
 
 
-def _pq_trained_oracle() -> str:
-    subs_rows = " UNION ALL ".join(
+def _pq_sql_subs_rows() -> str:
+    return " UNION ALL ".join(
         f"SELECT vec_id, {m} AS m, x[{m * _PQ_SUB + 1}:{(m + 1) * _PQ_SUB}] AS xs FROM e"
         for m in range(_PQ_M)
     )
 
-    def upd(src_a: str) -> str:
-        return f"""
+
+def _pq_sql_upd(src_a: str) -> str:
+    """Exact scaled-long per-(m, c) component means over a (vec_id, m, c)
+    assignment — one subspace k-means update round (shared by the trained-PQ
+    recall oracle and the IVF-PQ top-k oracle)."""
+    return f"""
       SELECT m, c, list(CAST(s AS DOUBLE) / n / {_KM_SCALE} ORDER BY pos) AS cs
       FROM (
         SELECT comp.m, comp.c, comp.pos,
@@ -2089,6 +2093,11 @@ def _pq_trained_oracle() -> str:
         GROUP BY comp.m, comp.c, comp.pos
       ) GROUP BY m, c
     """
+
+
+def _pq_trained_oracle() -> str:
+    subs_rows = _pq_sql_subs_rows()
+    upd = _pq_sql_upd
 
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
@@ -2134,6 +2143,135 @@ def _pq_trained_oracle() -> str:
     """
 
 
+def _pq_subs(e: DataFrame) -> DataFrame:
+    """Corpus sliced into (vec_id, m, xs) subvectors behind a projection
+    barrier — feeds the training rounds AND the encode pass (shared by the
+    trained-PQ recall query and the IVF-PQ top-k composition)."""
+    return (
+        e.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.slice(
+                                F.col("x"), m * _PQ_SUB + 1, _PQ_SUB
+                            ).alias("xs"),
+                        )
+                        for m in range(_PQ_M)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("vec_id", "s.m", "s.xs")
+        .localCheckpoint(eager=False)
+    )
+
+
+def _pq_sub_d2(x, c):
+    return V.dot(x, x) - 2 * V.dot(x, c) + V.dot(c, c)
+
+
+def _pq_train_round(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """One per-subspace k-means round: broadcast-argmin assignment (the
+    subvector rides through the min_by struct, so no join-back to subs),
+    then exact scaled-long component means per (m, c) as _PQ_SUB scalar
+    long sums — an element-wise aggregate instead of a posexplode that
+    would amplify rows x16 (measured 4.2 -> 3.4 s at sf0.1 for the whole
+    query, r7). Identical math to the oracle's generate_subscripts form:
+    per-index SUM(round(v*S)) and one IEEE division each."""
+    a = (
+        subs.join(F.broadcast(cb), "m")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min_by(
+                F.struct(F.col("c"), F.col("xs")),
+                F.struct(
+                    _pq_sub_d2(F.col("xs"), F.col("cs")).alias("d"),
+                    F.col("c").alias("cc"),
+                ),
+            ).alias("mm")
+        )
+    )
+    assigned = a.select(
+        "m", F.col("mm.c").alias("c"), F.col("mm.xs").alias("xs")
+    )
+    sums = assigned.groupBy("m", "c").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.round(F.element_at("xs", i + 1) * _KM_SCALE).cast("long")
+            ).alias(f"s{i}")
+            for i in range(_PQ_SUB)
+        ],
+    )
+    return sums.select(
+        "m",
+        "c",
+        F.array(
+            *[
+                (F.col(f"s{i}").cast("double") / F.col("n") / _KM_SCALE)
+                for i in range(_PQ_SUB)
+            ]
+        ).alias("cs"),
+    )
+
+
+def _pq_trained_cents(subs: DataFrame, rounds: int = 2) -> DataFrame:
+    """Trained per-subquantizer codebooks: deterministic low-id init, then
+    ``rounds`` assign/update passes (Jegou'11 section V)."""
+    cents = subs.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("c"), F.col("xs").alias("cs")
+    )
+    for _ in range(rounds):
+        cents = _pq_train_round(subs, cents).localCheckpoint(eager=False)
+    return cents
+
+
+def _pq_centd(subs: DataFrame, cents: DataFrame) -> DataFrame:
+    """The query's ADC distance table: fixed-point (1e-6) squared-L2 from
+    the query subvector to every codebook entry — M x K rows, broadcast."""
+    qs = subs.filter(F.col("vec_id") == 0).select(
+        "m", F.col("xs").alias("qsub")
+    )
+    qd = (
+        V.dot(F.col("qsub"), F.col("qsub"))
+        - 2 * V.dot(F.col("qsub"), F.col("cs"))
+        + V.dot(F.col("cs"), F.col("cs"))
+    )
+    return (
+        cents.join(F.broadcast(qs), "m")
+        .select(
+            "m",
+            "c",
+            "cs",
+            F.round(qd * _PQ_SCALE).cast("long").alias("qd_fp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def _pq_adc_scores(cand_subs: DataFrame, centd: DataFrame) -> DataFrame:
+    """Encode + ADC-score candidate subvectors: per-(vec_id, m) argmin code
+    picks the precomputed query distance, then the exact long sum across M
+    subspaces (no float accumulation-order hazard)."""
+    assign = (
+        cand_subs.join(F.broadcast(centd), "m")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min_by(
+                "qd_fp",
+                F.struct(
+                    _pq_sub_d2(F.col("xs"), F.col("cs")).alias("d"),
+                    F.col("c").alias("c"),
+                ),
+            ).alias("qd_fp")
+        )
+    )
+    return assign.groupBy("vec_id").agg(F.sum("qd_fp").alias("adc_fp"))
+
+
 @_register(
     "embedding_pq_adc_recall_trained",
     _pq_trained_oracle(),
@@ -2158,111 +2296,10 @@ def _pq_trained_oracle() -> str:
 )
 def q_pq_adc_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _km_load(spark, sf_dir)
-    subs = (
-        e.select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(m).alias("m"),
-                            F.slice(
-                                F.col("x"), m * _PQ_SUB + 1, _PQ_SUB
-                            ).alias("xs"),
-                        )
-                        for m in range(_PQ_M)
-                    ]
-                )
-            ).alias("s"),
-        )
-        .select("vec_id", "s.m", "s.xs")
-        .localCheckpoint(eager=False)  # feeds 2 train rounds + encode
-    )
-
-    def _sub_d2(x, c):
-        return V.dot(x, x) - 2 * V.dot(x, c) + V.dot(c, c)
-
-    def _train_round(cb: DataFrame) -> DataFrame:
-        """One per-subspace k-means round: broadcast-argmin assignment
-        (the subvector rides through the min_by struct, so no join-back
-        to subs), then exact scaled-long component means per (m, c) as
-        _PQ_SUB scalar long sums — an element-wise aggregate instead of
-        a posexplode that would amplify rows x16 (measured 4.2 -> 3.4 s
-        at sf0.1 for the whole query, r7). Identical math to the
-        oracle's generate_subscripts form: per-index SUM(round(v*S)) and
-        one IEEE division each."""
-        a = (
-            subs.join(F.broadcast(cb), "m")
-            .groupBy("vec_id", "m")
-            .agg(
-                F.min_by(
-                    F.struct(F.col("c"), F.col("xs")),
-                    F.struct(
-                        _sub_d2(F.col("xs"), F.col("cs")).alias("d"),
-                        F.col("c").alias("cc"),
-                    ),
-                ).alias("mm")
-            )
-        )
-        assigned = a.select(
-            "m", F.col("mm.c").alias("c"), F.col("mm.xs").alias("xs")
-        )
-        sums = assigned.groupBy("m", "c").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(
-                    F.round(F.element_at("xs", i + 1) * _KM_SCALE).cast("long")
-                ).alias(f"s{i}")
-                for i in range(_PQ_SUB)
-            ],
-        )
-        return sums.select(
-            "m",
-            "c",
-            F.array(
-                *[
-                    (F.col(f"s{i}").cast("double") / F.col("n") / _KM_SCALE)
-                    for i in range(_PQ_SUB)
-                ]
-            ).alias("cs"),
-        )
-
-    cents = subs.filter(F.col("vec_id") < _PQ_K).select(
-        "m", F.col("vec_id").alias("c"), F.col("xs").alias("cs")
-    )
-    for _ in range(2):
-        cents = _train_round(cents).localCheckpoint(eager=False)
-    qs = subs.filter(F.col("vec_id") == 0).select("m", F.col("xs").alias("qsub"))
-    qd = (
-        V.dot(F.col("qsub"), F.col("qsub"))
-        - 2 * V.dot(F.col("qsub"), F.col("cs"))
-        + V.dot(F.col("cs"), F.col("cs"))
-    )
-    centd = (
-        cents.join(F.broadcast(qs), "m")
-        .select(
-            "m",
-            "c",
-            "cs",
-            F.round(qd * _PQ_SCALE).cast("long").alias("qd_fp"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    d2 = (
-        V.dot(F.col("xs"), F.col("xs"))
-        - 2 * V.dot(F.col("xs"), F.col("cs"))
-        + V.dot(F.col("cs"), F.col("cs"))
-    )
-    assign = (
-        subs.join(F.broadcast(centd), "m")
-        .groupBy("vec_id", "m")
-        .agg(
-            F.min_by(
-                "qd_fp", F.struct(d2.alias("d"), F.col("c").alias("c"))
-            ).alias("qd_fp")
-        )
-    )
-    adc = assign.groupBy("vec_id").agg(F.sum("qd_fp").alias("adc_fp"))
+    subs = _pq_subs(e)
+    cents = _pq_trained_cents(subs)
+    centd = _pq_centd(subs, cents)
+    adc = _pq_adc_scores(subs, centd)
     pq10 = adc.orderBy("adc_fp", "vec_id").limit(10).select("vec_id")
     qfull = e.filter(F.col("vec_id") == 0).select(F.col("x").alias("qx"))
     ed2 = (
@@ -2282,6 +2319,7 @@ def q_pq_adc_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("hits"),
         (F.count(F.lit(1)).cast("double") / 10).alias("recall_at_10"),
     )
+
 
 
 # ===========================================================================
@@ -4021,4 +4059,144 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_true") > 0,
             F.col("n_found").cast("double") / F.col("n_true"),
         ).alias("recall"),
+    )
+
+
+# ===========================================================================
+# IVF x PQ (r8, r7 verdict #2): the production ANN composition the ladder
+# (exact -> LSH -> IVF -> trained-IVF -> PQ -> trained-PQ) builds toward.
+# The trained coarse quantizer routes the query to its nprobe nearest
+# cells; trained per-subquantizer PQ codebooks ADC-score ONLY the vectors
+# in those cells (IVFADC, Jegou'11 section III) — candidate scoring cost
+# drops from O(n) to ~O(n * nprobe / K) while both codebooks stay
+# broadcast-sized. Every stage reuses the measured components verbatim
+# (coarse codebook == embedding_ivf_recall_trained's, PQ codebooks ==
+# embedding_pq_adc_recall_trained's), so the recall ladder extends one
+# rung with nothing re-derived; tests/test_ivfpq.py banks recall@10 vs
+# the exact scan and vs flat trained-PQ at the same codebooks.
+# ===========================================================================
+def _ivfpq_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    c1 AS (SELECT vec_id AS cid, x AS cv FROM e WHERE vec_id BETWEEN 0 AND {_KM_K - 1}),
+    a1 AS ({_km_sql_assign("e", "c1")}),
+    comp AS (
+      SELECT a1.cid, generate_subscripts(e.x, 1) AS pos, unnest(e.x) AS v
+      FROM e JOIN a1 USING (vec_id)
+    ),
+    sums AS (
+      SELECT cid, pos, SUM(CAST(round(v * {_KM_SCALE}) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM comp GROUP BY cid, pos
+    ),
+    c2 AS (
+      SELECT cid, list(CAST(s AS DOUBLE) / n / {_KM_SCALE} ORDER BY pos) AS cv
+      FROM sums GROUP BY cid
+    ),
+    cells AS ({_km_sql_assign("e", "c2")}),
+    qx AS (SELECT x AS qx FROM e WHERE vec_id = 0),
+    qc AS (
+      SELECT cid AS cell FROM (
+        SELECT c2.cid,
+               row_number() OVER (ORDER BY
+                 (list_dot_product(qx.qx, qx.qx) - 2*list_dot_product(qx.qx, c2.cv)
+                  + list_dot_product(c2.cv, c2.cv)), c2.cid) AS rn
+        FROM c2 CROSS JOIN qx) WHERE rn <= {_KM_NPROBE}
+    ),
+    subs AS ({_pq_sql_subs_rows()}),
+    pc1 AS (SELECT m, vec_id AS c, xs AS cs FROM subs WHERE vec_id < {_PQ_K}),
+    pa1 AS ({_pq_sql_sub_assign("pc1")}),
+    pc2 AS ({_pq_sql_upd("pa1")}),
+    pa2 AS ({_pq_sql_sub_assign("pc2")}),
+    pcents AS ({_pq_sql_upd("pa2")}),
+    qs AS (SELECT m, xs AS qsub FROM subs WHERE vec_id = 0),
+    centd AS (
+      SELECT c.m, c.c, c.cs,
+             CAST(round((list_dot_product(q.qsub, q.qsub)
+                         - 2*list_dot_product(q.qsub, c.cs)
+                         + list_dot_product(c.cs, c.cs)) * {_PQ_SCALE})
+                  AS BIGINT) AS qd_fp
+      FROM pcents c JOIN qs q ON q.m = c.m
+    ),
+    cand AS (
+      SELECT vec_id, cid AS cell FROM cells
+      WHERE cid IN (SELECT cell FROM qc)
+    ),
+    assign AS (
+      SELECT vec_id, m, qd_fp FROM (
+        SELECT s.vec_id, s.m, cd.qd_fp,
+               row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 (list_dot_product(s.xs, s.xs) - 2*list_dot_product(s.xs, cd.cs)
+                  + list_dot_product(cd.cs, cd.cs)), cd.c) AS rn
+        FROM subs s
+        JOIN cand ON cand.vec_id = s.vec_id
+        JOIN centd cd ON cd.m = s.m) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT vec_id, CAST(SUM(qd_fp) AS BIGINT) AS adc_fp
+      FROM assign GROUP BY vec_id
+    )
+    SELECT a.vec_id, cand.cell, a.adc_fp
+    FROM adc a JOIN cand USING (vec_id)
+    ORDER BY a.adc_fp, a.vec_id LIMIT 10
+    """
+
+
+@_register(
+    "embedding_ivfpq_topk",
+    _ivfpq_oracle(),
+    f"IVF-PQ top-k (IVFADC): the production ANN operator composed from "
+    f"the measured ladder parts — the trained coarse quantizer "
+    f"(embedding_kmeans_2iter's exact one-update codebook, K={_KM_K}) "
+    f"routes the query to its {_KM_NPROBE} nearest cells, and trained "
+    f"per-subquantizer PQ codebooks ({_PQ_M}x{_PQ_K} codes, "
+    "embedding_pq_adc_recall_trained's exact training) ADC-score only "
+    "the vectors assigned to those cells. Fixed-point (1e-6) subspace "
+    "distances keep the ADC sum exact long arithmetic, so the top-10 "
+    "set (tie-break adc_fp, vec_id) is bit-identical cross-engine. "
+    "Scale shape: both codebooks and the query distance table broadcast "
+    "(K + M*K rows); cell assignment is one map-side-combined aggregate; "
+    "the probe semi-join prunes candidates to ~nprobe/K of the corpus "
+    "BEFORE any encode/ADC work (at warehouse scale the cell id is a "
+    "partition column, turning the prune into partition pruning); "
+    "encode+score is one scan of the pruned set, never touching raw "
+    "vectors at query time in a deployed index; top-k is "
+    "TakeOrderedAndProject. Recall@10 vs the exact scan and vs flat "
+    "trained-PQ at the same codebooks is banked in tests/test_ivfpq.py",
+    reference="[NORTH-STAR] IVFADC (Jegou'11 'Product Quantization for "
+    "Nearest Neighbor Search' section III); composes "
+    "embedding_ivf_recall_trained's coarse routing with "
+    "embedding_pq_adc_recall_trained's codebooks",
+    tags=("similarity", "northstar", "iterative"),
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _km_load(spark, sf_dir)
+    coarse = _km_trained_centroids(e).localCheckpoint(eager=False)
+    cells = _km_assign(e, coarse)
+    qx = e.filter(F.col("vec_id") == 0).select(F.col("x").alias("qx"))
+    dq = (
+        V.dot(F.col("qx"), F.col("qx"))
+        - 2 * V.dot(F.col("qx"), F.col("cv"))
+        + V.dot(F.col("cv"), F.col("cv"))
+    )
+    qc = (
+        coarse.join(F.broadcast(qx))
+        .select("cid", dq.alias("d"))
+        .orderBy("d", "cid")
+        .limit(_KM_NPROBE)
+        .select(F.col("cid").alias("cell"))
+    )
+    cand = (
+        cells.select("vec_id", F.col("cid").alias("cell"))
+        .join(F.broadcast(qc), "cell", "semi")
+        .localCheckpoint(eager=False)  # reused: subs restriction + cell join
+    )
+    subs = _pq_subs(e)
+    cents = _pq_trained_cents(subs)
+    centd = _pq_centd(subs, cents)
+    cand_subs = subs.join(cand.select("vec_id"), "vec_id")
+    adc = _pq_adc_scores(cand_subs, centd)
+    top10 = adc.orderBy("adc_fp", "vec_id").limit(10)
+    return F.broadcast(top10).join(cand, "vec_id").select(
+        "vec_id", "cell", "adc_fp"
     )

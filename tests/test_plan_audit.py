@@ -41,6 +41,7 @@ _BNLJ_ALLOWED = {
     # single-row aggregates — bounded by construction)
     "docs_lsh_recall",  # same shape: 1-row truth-count x 1-row hit-count
     "events_value_equidepth_hist",  # 1-row quartile-boundary broadcast
+    "embedding_ivfpq_topk",  # 1-row query-vector + nprobe-row probe-list broadcasts
 }
 
 _ALL = sorted(REGISTRY)
