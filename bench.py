@@ -84,15 +84,26 @@ def main() -> None:
     # probe cancellation in connected components) was fixed in code;
     # the residual is pure GC timing, so the sweep (a) forces GC at
     # query boundaries below so cleanup lands while the scheduler is
-    # idle, and (b) caps the DAGScheduler logger at FATAL — real
-    # failures still surface as exceptions (n_errors + BENCH_DETAIL
-    # tracebacks), which is the error channel of record here.
+    # idle, and (b) attaches a message-targeted log4j2 RegexFilter that
+    # DENIES only the known-benign accumulator message — unlike the
+    # previous FATAL level cap (ADVICE r7), genuine scheduler ERRORs
+    # still reach the bench log, alongside the exception channel
+    # (n_errors + BENCH_DETAIL tracebacks).
     try:
         jvm = spark._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.scheduler.DAGScheduler",
-            jvm.org.apache.logging.log4j.Level.FATAL,
+        result = jvm.org.apache.logging.log4j.core.Filter.Result
+        regex_filter = jvm.org.apache.logging.log4j.core.filter.RegexFilter.createFilter(
+            ".*non-existent accumulator.*",
+            None,
+            False,  # match the FORMATTED message, not the {} template
+            result.DENY,
+            result.NEUTRAL,
         )
+        ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
+        ctx.getConfiguration().getLoggerConfig(
+            "org.apache.spark.scheduler.DAGScheduler"
+        ).addFilter(regex_filter)
+        ctx.updateLoggers()
     except Exception:
         traceback.print_exc(file=sys.stderr)
 
@@ -124,6 +135,21 @@ def main() -> None:
         for f in os.listdir(sf_dir):
             if f.endswith(".parquet"):
                 spark.read.parquet(os.path.join(sf_dir, f)).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+        # One untimed pass over the sweep head AND the rotation-window
+        # head (r7 verdict #5): timing starts at ORIGINAL_ORDER[0], so
+        # the first few timed queries otherwise carry residual JIT/
+        # startup cost the canary can't fully absorb; and the rotation
+        # puts the NEWEST queries (coldest plans, least JIT-warmed
+        # codegen) at the front of the driver's window — r7's driver
+        # sweep read docs_bpe_encode at 8.1 s vs 4.4 s warm for exactly
+        # this reason.
+        for name in dict.fromkeys(
+            [*ORIGINAL_ORDER[:5], *list(REGISTRY)[:5]]
+        ):
+            if name in REGISTRY:
+                REGISTRY[name].builder(spark, sf_dir).write.format(
                     "noop"
                 ).mode("overwrite").save()
     except Exception:

@@ -24,7 +24,10 @@ Per key:
   point closes the previous interval and appends version+1, +2, ...;
 * ts at/before the open row's valid_from -> ignored (out-of-order
   observation; the batch rebuild is the reconciliation path, same
-  contract as the streaming funnel).
+  contract as the streaming funnel);
+* key with only CLOSED rows (externally mutated table — this operator
+  itself always leaves one open row per key) -> versions continue from
+  the key's max closed version, never colliding with existing history.
 
 Folding event-ordered batches of ANY size through this operator
 reproduces the batch rebuild exactly — pinned by tests/test_scd2.py
@@ -69,6 +72,17 @@ def scd2_apply(
     # (never enter a window — the whole pass is O(batch), not O(state)).
     untouched = opens.join(bkeys, key, "left_anti")
     heads = opens.join(bkeys, key, "semi")
+    # Version base for batch keys with NO open row (possible only via
+    # external table mutation — this operator always leaves each key one
+    # open row): continue from the key's max CLOSED version instead of
+    # restarting at 1 and colliding with existing history (ADVICE r7).
+    # Keyed semi-join + max, O(closed rows of batch keys) — the closed
+    # partition was already scanned once for the pass-through union.
+    closed_base = (
+        closed.join(bkeys, key, "semi")
+        .groupBy(key)
+        .agg(F.max("version").alias("_closed_base"))
+    )
 
     null_tie = [
         F.lit(None).cast(dict(ch.dtypes)[f"_tie{i}"]).alias(f"_tie{i}")
@@ -111,14 +125,17 @@ def scd2_apply(
     # step over island starts only.
     wk = w
     wkey = Window.partitionBy(key)
+    kept = kept.join(closed_base, key, "left")
     # The head (if any) is always kept (row 1, carries the key's current
-    # version); island i continues the numbering from it.
-    base = F.max("version").over(wkey)
+    # version); island i continues the numbering from it. With no head
+    # (closed-only key), numbering continues from the max closed version
+    # (no -1: every kept row is a NEW version in that case).
+    head_base = F.max("version").over(wkey)
     rn = F.row_number().over(wk)
     version = (
-        F.coalesce(base, F.lit(0))
+        F.coalesce(head_base, F.col("_closed_base"), F.lit(0))
         + rn
-        - F.when(base.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        - F.when(head_base.isNotNull(), F.lit(1)).otherwise(F.lit(0))
     )
     valid_to = F.lead("_ts").over(wk)
     applied = kept.select(

@@ -25,12 +25,25 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_long
 
 SHARD_COL = "shard"
+
+
+def _pin_utc(spark) -> None:
+    """Force the UTC session timezone both fingerprint sites depend on:
+    the content fingerprint hashes to_json output, whose timestamp
+    formatting follows spark.sql.session.timeZone — a validator session
+    configured differently from the writer would flag false drift on
+    every shard containing a timestamp column (ADVICE r7). session.py
+    pins UTC for the engine's own sessions; write_sharded and
+    validate_manifest are also consumer-side entry points, so they pin
+    it themselves (same pattern as sources/parquet.load_table)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def assign_shard(key: F.Column, n_shards: int) -> F.Column:
@@ -92,6 +105,7 @@ def write_sharded(
     disk) is a static overwrite so any stale partial-write debris under
     the path is cleared rather than surviving invisibly."""
     spark = df.sparkSession
+    _pin_utc(spark)
     # Exclude a pre-existing column named like SHARD_COL: withColumn
     # replaces it with the computed id, and validate_manifest's
     # read-back recompute excludes it too — both sides must hash the
@@ -123,7 +137,15 @@ def write_sharded(
             )
             for r in spark.read.parquet(mpath).collect()
         }
-    except Exception:  # first write: no manifest yet
+    except AnalysisException as exc:
+        # ONLY path-not-found means "first write" (static overwrite below
+        # clears any stale debris). Any other manifest read failure —
+        # corrupted parquet, permission/transient FS error — re-raises:
+        # silently treating it as a first write would mask the corruption
+        # signal and quietly downgrade the incremental guarantee to a
+        # full static rewrite (ADVICE r7).
+        if exc.getCondition() != "PATH_NOT_FOUND":
+            raise
         prior = None
 
     new = {
@@ -168,6 +190,7 @@ def validate_manifest(spark, path: str, key: str) -> DataFrame:
     manifest rows with no data (lost shard) or data with no manifest row
     (orphan shard). Content drift in ANY column fails the shard, not
     just key-set drift."""
+    _pin_utc(spark)
     data = spark.read.parquet(path)
     manifest = spark.read.parquet(os.path.join(path, "_MANIFEST"))
     data_cols = [c for c in data.columns if c != SHARD_COL]

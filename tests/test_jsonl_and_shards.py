@@ -11,6 +11,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from real_time_flight_data_pipeline_spark.operators.shards import (
@@ -245,3 +247,42 @@ def test_jsonl_fuzz_total_partition(spark, tmp_path_factory, lines):
     n_nonblank = sum(1 for ln in lines if ln.strip(" \t"))
     assert n_clean + n_dead == n_nonblank
     parsed.unpersist()
+
+
+def test_corrupted_manifest_raises_not_full_rewrite(spark, tmp_path):
+    """A corrupted _MANIFEST must RAISE on the next write, not silently
+    fall back to a first-write full static rewrite that masks the
+    corruption and discards the incremental guarantee (ADVICE r7). A
+    genuinely missing manifest (first write) still proceeds."""
+    import pathlib
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    out = str(tmp_path / "shards")
+    write_sharded(docs, "doc_id", 4, out)  # first write: no manifest, ok
+    mdir = pathlib.Path(out) / "_MANIFEST"
+    for f in mdir.glob("*.parquet"):
+        f.write_bytes(b"not a parquet file")
+    with pytest.raises(Exception) as ei:
+        write_sharded(docs, "doc_id", 4, out)
+    assert "PATH_NOT_FOUND" not in str(ei.value)
+
+
+def test_validate_manifest_pins_utc_session(spark, tmp_path):
+    """The content fingerprint hashes to_json output whose timestamp
+    formatting follows the session timezone: a validator session on a
+    non-UTC timezone must not flag false drift (ADVICE r7 — both entry
+    points pin UTC themselves)."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1 + i % 5, 12, 30)) for i in range(40)],
+        "k long, ts timestamp",
+    )
+    out = str(tmp_path / "tshards")
+    write_sharded(df, "k", 4, out)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        v = validate_manifest(spark, out, "k").collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert v and all(r.ok for r in v), v

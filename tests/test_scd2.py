@@ -143,3 +143,37 @@ def test_apply_is_idempotent_and_ignores_stale(spark):
     s4 = scd2_apply(s1, b([(1, "click", t1)]))
     rows = {r.version: r for r in s4.collect()}
     assert rows[1].valid_to == t1 and rows[2].state == "click" and rows[2].valid_to is None
+
+
+def test_apply_closed_only_key_continues_versions(spark):
+    """A key whose open row was externally removed (only closed rows
+    remain) must continue numbering from its max closed version, not
+    restart at 1 and collide with existing history (ADVICE r7)."""
+    import datetime as dt
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    state = spark.createDataFrame(
+        [
+            (1, 1, "view", t(1), t(2)),
+            (1, 2, "click", t(2), t(3)),  # closed — no open row for key 1
+            (2, 1, "view", t(1), None),  # untouched key with open row
+        ],
+        "user_id long, version int, state string, valid_from timestamp, valid_to timestamp",
+    )
+    batch = spark.createDataFrame(
+        [(1, "purchase", t(5)), (1, "view", t(6))],
+        "user_id long, state string, ts timestamp",
+    )
+    out = scd2_apply(state, batch)
+    k1 = sorted(
+        ((r.version, r.state, r.valid_from, r.valid_to)
+         for r in out.collect() if r.user_id == 1)
+    )
+    assert k1 == [
+        (1, "view", t(1), t(2)),
+        (2, "click", t(2), t(3)),
+        (3, "purchase", t(5), t(6)),
+        (4, "view", t(6), None),
+    ], k1
+    k2 = [(r.version, r.valid_to) for r in out.collect() if r.user_id == 2]
+    assert k2 == [(1, None)]
