@@ -40,6 +40,7 @@ def merge_upsert(
     policies: Mapping[str, MergePolicy],
     default: MergePolicy = MergePolicy.OVERWRITE,
     set_on_update: Mapping[str, Column] | None = None,
+    null_safe_keys: bool = True,
 ) -> DataFrame:
     """Return the merged table: target upserted with source, one row per key.
 
@@ -47,6 +48,15 @@ def merge_upsert(
     an expression for matched rows regardless of values (e.g. last_updated =
     a literal batch timestamp). Source must already be deduplicated to one
     row per key (use operators.dedup.latest_per_key first).
+
+    ``null_safe_keys=False`` switches the join to plain equality — ONLY for
+    keys that are non-null by construction (e.g. the fact's synthesized
+    flight_key behind the F3 guard). This matters at scale: Catalyst plans
+    ``<=>`` keys by hashing ``coalesce(key)``, which does NOT line up with a
+    bucketed target's hash-by-key layout, so the null-safe form re-shuffles
+    a bucketed 100 TB target on every merge; plain equality lets the
+    bucketed scan satisfy the join's distribution with zero target-side
+    Exchange (tests/test_bucketed_merge.py asserts the executed plan).
 
     Column set of the result == column set of ``target``.
     """
@@ -70,7 +80,10 @@ def merge_upsert(
     def scol(name: str) -> Column:
         return F.col(f"__ms.`{name}`")
 
-    cond = [tcol(k).eqNullSafe(scol(k)) for k in keys]
+    if null_safe_keys:
+        cond = [tcol(k).eqNullSafe(scol(k)) for k in keys]
+    else:
+        cond = [tcol(k) == scol(k) for k in keys]
     joined = t.join(s, cond, "full_outer")
 
     t_present = F.coalesce(tcol("_t_present"), F.lit(False))

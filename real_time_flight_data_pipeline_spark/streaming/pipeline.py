@@ -29,6 +29,7 @@ for ``MERGE INTO`` with identical policy tables.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import uuid
@@ -253,11 +254,14 @@ class ParquetTable:
             )
         return self.spark.read.schema(self.schema).parquet(os.path.join(self.path, v))
 
+    def _write_version(self, df: DataFrame, out: str, v: str) -> None:
+        df.select([f.name for f in self.schema.fields]).write.mode("overwrite").parquet(out)
+
     def overwrite(self, df: DataFrame) -> None:
         prev = self._current_version()
         v = f"v_{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, v)
-        df.select([f.name for f in self.schema.fields]).write.mode("overwrite").parquet(out)
+        self._write_version(df, out, v)
         with open(self._log, "a") as f:
             f.write(f"{v}\t{datetime.now(timezone.utc).isoformat()}\n")
         tmp = self._pointer + ".tmp"
@@ -284,7 +288,99 @@ class ParquetTable:
         use is bounded at ~keep_versions versions."""
         for name in os.listdir(self.path):
             if name.startswith("v_") and name not in keep:
-                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+                self._drop_version(name)
+
+    def _drop_version(self, v: str) -> None:
+        shutil.rmtree(os.path.join(self.path, v), ignore_errors=True)
+
+
+class BucketedParquetTable(ParquetTable):
+    """ParquetTable whose versions are written BUCKETED by a key.
+
+    Bucket metadata cannot live in bare parquet files — Spark only honors a
+    bucket spec through the catalog — so each version commit registers an
+    EXTERNAL table ``{name}__{version}`` over its version dir (bucketBy +
+    sortBy the key) and ``read()`` resolves the pointer through the catalog.
+    Everything else (atomic pointer flip, commit log, time travel, bounded
+    vacuum) is inherited unchanged.
+
+    This is the 100 TB lever for the fact merge (M4, the reference's
+    hottest operator, load_warehouse.py:244-277): with the fact stored
+    bucketed by flight_key, the full-outer merge join reads the target
+    pre-hashed — the executed plan carries ZERO target-side Exchange and
+    only shuffles the micro-batch side (tests/test_bucketed_merge.py
+    asserts this on the physical plan). A new session re-registers the
+    catalog entry from the on-disk schema on first read."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema,
+        bucket_key: str,
+        n_buckets: int = 8,
+        keep_versions: int = 2,
+        name: str | None = None,
+    ):
+        super().__init__(spark, path, schema, keep_versions)
+        self.bucket_key = bucket_key
+        self.n_buckets = n_buckets
+        # Catalog names are session-global: derive a stable unique default
+        # from the table path so two warehouses never collide.
+        self.name = name or f"bkt_{hashlib.md5(path.encode()).hexdigest()[:12]}"
+
+    def _table_for(self, v: str) -> str:
+        return f"{self.name}__{v}"
+
+    def _write_version(self, df: DataFrame, out: str, v: str) -> None:
+        (
+            df.select([f.name for f in self.schema.fields])
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(self.n_buckets, self.bucket_key)
+            .sortBy(self.bucket_key)
+            .option("path", out)
+            .saveAsTable(self._table_for(v))
+        )
+
+    def _ensure_registered(self, v: str) -> None:
+        if self.spark.catalog.tableExists(self._table_for(v)):
+            return
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in self.schema.fields
+        )
+        self.spark.sql(
+            f"CREATE TABLE {self._table_for(v)} ({cols}) USING parquet "
+            f"CLUSTERED BY (`{self.bucket_key}`) "
+            f"SORTED BY (`{self.bucket_key}`) INTO {self.n_buckets} BUCKETS "
+            f"LOCATION '{os.path.join(self.path, v)}'"
+        )
+
+    def read(self, version: str | None = None) -> DataFrame:
+        v = version or self._current_version()
+        if v is None:
+            return self.spark.createDataFrame([], self.schema)
+        if version is not None and version not in self.versions():
+            raise ValueError(
+                f"version {version!r} not in retained history {self.versions()}"
+            )
+        self._ensure_registered(v)
+        return self.spark.table(self._table_for(v))
+
+    def compact(self, target_files: int = 1) -> None:
+        """Bucketed layout already bounds files at n_buckets per commit;
+        rewriting through overwrite() (no coalesce — that would break the
+        bucket spec) merges each bucket's accumulated files."""
+        if self._current_version() is None:
+            return
+        self.overwrite(self.read())
+
+    def _drop_version(self, v: str) -> None:
+        try:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._table_for(v)}")
+        except Exception:
+            pass  # external table: dir removal below is the real cleanup
+        super()._drop_version(v)
 
 
 class FlightWarehouse:
@@ -296,7 +392,16 @@ class FlightWarehouse:
         self.airline = ParquetTable(spark, os.path.join(root, "dim_airline"), DIM_AIRLINE_SCHEMA)
         self.airport = ParquetTable(spark, os.path.join(root, "dim_airport"), DIM_AIRPORT_SCHEMA)
         self.route = ParquetTable(spark, os.path.join(root, "dim_route"), DIM_ROUTE_SCHEMA)
-        self.fact = ParquetTable(spark, os.path.join(root, "fact_flight_status"), FACT_SCHEMA)
+        # Bucketed by the merge key: the M4 merge reads the target
+        # pre-hashed, so the (100 TB at scale) fact side never re-shuffles
+        # (r7 verdict #6; plan pinned by tests/test_bucketed_merge.py).
+        self.fact = BucketedParquetTable(
+            spark,
+            os.path.join(root, "fact_flight_status"),
+            FACT_SCHEMA,
+            bucket_key="flight_key",
+            n_buckets=8,
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -537,6 +642,9 @@ def warehouse_load(
         },
         default=MergePolicy.OVERWRITE,
         set_on_update={"last_updated": F.expr(batch_ts_expr)},
+        # flight_key is non-null by construction (F3 key guard), so plain
+        # equality keeps the bucketed target's layout usable by the join.
+        null_safe_keys=False,
     )
     wh.fact.overwrite(merged)
 
