@@ -1624,7 +1624,14 @@ def q_bigram_plausibility(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("c12").over(Window.partitionBy("w1"))
         ).alias("p"),
     )
-    scored = big.join(lm, ["w1", "w2"]).select(
+    # The LM is O(distinct bigrams) — vocabulary-sized, NEVER broadcastable
+    # (Catalyst has no stats for the windowed aggregate and statically
+    # picked BroadcastHashJoin; at the 100x scale point that broadcast
+    # OOM-killed the query — caught by scripts/scale_curve.py --100x).
+    # shuffle_hash: both sides shuffle on (w1, w2) — balanced keys since
+    # the build side has ONE row per distinct bigram — and the huge probe
+    # stream avoids the two sorts an SMJ would pay.
+    scored = big.join(lm.hint("shuffle_hash"), ["w1", "w2"]).select(
         "doc_id",
         F.round(F.col("p") * F.lit(_PLAUS_FX)).cast("long").alias("p_fx"),
     )

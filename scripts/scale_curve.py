@@ -20,6 +20,15 @@ The 10x synthesis preserves the statistical shape instead of inflating it:
   from each other, so the near-dup pair count scales ~10x, not ~100x.
 
 Run: python scripts/scale_curve.py            (writes /tmp/flightframe_scale)
+     python scripts/scale_curve.py --100x     (r7 verdict #3: the 100x tier)
+
+The --100x tier (r8) exists because a 2-point curve cannot separate fixed
+per-job overhead from the true slope — at sf0.1 overhead flatters every
+exponent. It times the four steepest queries on a 100-copy corpus (same
+shape-preserving salt/flip rules, built via one explode instead of 100
+unions) and fits the 3-point exponent by least squares on log t vs log s,
+plus the overhead-free 10x->100x segment exponent, merging both into
+scale_curve_results.json.
 """
 
 from __future__ import annotations
@@ -82,6 +91,111 @@ QUERIES = [
     "docs_curation_funnel",
 ]
 N_RUNS = 3
+# r7 verdict #3: the steepest 1x/10x exponents get a third point at 100x.
+# Only these four — the flat tier's cheap queries would measure overhead.
+QUERIES_100X = [
+    "docs_bigram_plausibility",   # alpha 0.68 at 10x
+    "embedding_semdedup",          # alpha 0.65 (flat codebook, O(n^1.5) model)
+    "embedding_semdedup_2level",   # alpha 0.53 (the production regime)
+    "docs_curation_funnel",        # alpha 0.42 (bounds the whole pipeline)
+]
+N_RUNS_100X = 2  # flat semdedup is O(n^1.5): minutes per run at 100x
+
+
+def build_corpus_100x(spark) -> None:
+    """100 shape-preserving copies via ONE explode (a 100-branch union
+    would bloat the plan): same per-copy token salt / sign-flip rules as
+    build_corpora, so duplicate density and intra-copy cosines are
+    preserved while copies stay decorrelated."""
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    k = F.col("k")
+    d100 = docs.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(99))).alias("k")
+    )
+    salted = F.when(k == 0, F.col("text")).otherwise(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.col("text"), r"\s+"),
+                lambda t: F.concat(t, F.lit("_"), k.cast("string")),
+            ),
+        )
+    )
+    d100 = d100.select(
+        (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
+        salted.alias("text"),
+        "lang",
+        "source",
+        F.length(salted).alias("n_chars"),
+    )
+    e100 = emb.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(99))).alias("k")
+    )
+    e100 = e100.select(
+        (F.col("vec_id") + k * 10_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(((i + 1) * k) % 3 == 0, -x).otherwise(x),
+        ).alias("embedding"),
+        "label",
+    )
+    (WORK / "sf100x").mkdir(parents=True, exist_ok=True)
+    d100.repartition(64).write.mode("overwrite").parquet(
+        str(WORK / "sf100x" / "documents.parquet")
+    )
+    e100.repartition(64).write.mode("overwrite").parquet(
+        str(WORK / "sf100x" / "embeddings.parquet")
+    )
+
+
+def fit_exponent(points: list[tuple[float, float]]) -> float:
+    """Least-squares slope of log10(t) on log10(scale)."""
+    xs = [math.log10(s) for s, _ in points]
+    ys = [math.log10(t) for _, t in points]
+    mx, my = statistics.mean(xs), statistics.mean(ys)
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+
+
+def run_100x_tier(spark, out: pathlib.Path, run_list: list[str]) -> None:
+    results = json.loads(out.read_text())  # 100x extends the 1x/10x rows
+    missing = [q for q in run_list if q not in results]
+    if missing:
+        sys.exit(f"run the 1x/10x sweep first for {missing}")
+    build_corpus_100x(spark)
+    for name in run_list:
+        _LOOKUP[name].builder(spark, BASE).write.format(
+            "noop"
+        ).mode("overwrite").save()  # codegen warmup (BASE == the 1x corpus)
+        runs = []
+        for _ in range(N_RUNS_100X):
+            t0 = time.perf_counter()
+            _LOOKUP[name].builder(spark, str(WORK / "sf100x")).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        row = results[name]
+        row["sf100x"] = round(statistics.median(runs), 3)
+        row["sf100x_runs"] = [round(r, 3) for r in runs]
+        row["exponent_10_100"] = round(
+            math.log10(row["sf100x"] / row["sf10x"]), 3
+        )
+        row["exponent_fit3"] = round(
+            fit_exponent(
+                [(1, row["sf1x"]), (10, row["sf10x"]), (100, row["sf100x"])]
+            ),
+            3,
+        )
+        print(
+            f"{name}: 1x={row['sf1x']}s 10x={row['sf10x']}s "
+            f"100x={row['sf100x']}s alpha(10->100)={row['exponent_10_100']} "
+            f"alpha(fit3)={row['exponent_fit3']}",
+            flush=True,
+        )
+        out.write_text(json.dumps(results, indent=1))  # survive partial runs
+    print(f"wrote {out}")
 
 
 def build_corpora(spark) -> None:
@@ -144,12 +258,20 @@ def main() -> None:
     # Optional argv subset: re-measure just the named queries and MERGE
     # into the existing results file (full sweeps take ~25 min; a tuning
     # loop on one query shouldn't pay for all of them).
-    unknown = sorted(set(sys.argv[1:]) - set(QUERIES))
+    argv = sys.argv[1:]
+    tier100 = "--100x" in argv
+    argv = [a for a in argv if a != "--100x"]
+    valid = QUERIES_100X if tier100 else QUERIES
+    unknown = sorted(set(argv) - set(valid))
     if unknown:  # a typo must not silently trigger the full 25-min sweep
-        sys.exit(f"unknown curve queries {unknown}; choose from {QUERIES}")
-    subset = list(dict.fromkeys(sys.argv[1:]))  # order-preserving dedup
-    run_list = subset or QUERIES
+        sys.exit(f"unknown curve queries {unknown}; choose from {valid}")
+    subset = list(dict.fromkeys(argv))  # order-preserving dedup
+    run_list = subset or valid
     spark = get_spark(app_name="flightframe-scale-curve")
+    if tier100:
+        out = pathlib.Path(__file__).resolve().parent / "scale_curve_results.json"
+        run_100x_tier(spark, out, run_list)
+        return
     build_corpora(spark)
     # Warmup (codegen/classloading) on the small corpus.
     for name in run_list:
