@@ -14,7 +14,7 @@ sorts, no driver collects, no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -1230,6 +1230,88 @@ def dedup_keep_best_from(clusters: DataFrame, corpus_chars: DataFrame) -> DataFr
         clusters.join(corpus_chars, "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .select("doc_id", "cluster_id", "n_chars", (F.col("rn") == 1).alias("keep"))
+    )
+
+
+# ===========================================================================
+# Leakage-safe train/val/test split — hash the dedup UNIT, not the doc (r8)
+# ===========================================================================
+_SPLIT_TRAIN_PCT = 90
+_SPLIT_VAL_PCT = 95  # [0,90) train, [90,95) val, [95,100) test
+
+
+def _sql_split_label(bucket: str) -> str:
+    return (
+        f"CASE WHEN {bucket} < {_SPLIT_TRAIN_PCT} THEN 'train' "
+        f"WHEN {bucket} < {_SPLIT_VAL_PCT} THEN 'val' ELSE 'test' END"
+    )
+
+
+@_register(
+    "docs_leakage_safe_split",
+    f"""
+    WITH clus AS ({_clusters_oracle()}),
+    u AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS unit_id
+      FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id
+    ),
+    b AS (
+      SELECT doc_id, unit_id,
+             {_sql_md5_long("'split:' || CAST(unit_id AS VARCHAR)")} % 100 AS ub,
+             {_sql_md5_long("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS db
+      FROM u
+    )
+    SELECT doc_id, unit_id,
+           {_sql_split_label('ub')} AS split,
+           {_sql_split_label('ub')} <> {_sql_split_label('db')} AS would_leak
+    FROM b
+    """,
+    "Leakage-safe train/val/test split (90/5/5): the split hash is taken "
+    "over the near-dup CLUSTER id (the dedup unit), not the doc id, so "
+    "every member of a near-duplicate group lands in the same split by "
+    "construction — the guard against eval contamination that a naive "
+    "per-doc hash silently violates (would_leak marks exactly the docs a "
+    "naive split would scatter across splits: measurable leak rate, not a "
+    "guess). Singletons hash as themselves (COALESCE, no cluster lookup "
+    "miss penalty). Deterministic md5-prefix buckets, domain-separated "
+    "('split:'), replay-stable across retries and engines. 100 TB shape: "
+    "the cluster frame is O(docs in >=1 near-dup pair) — corpus-scale on "
+    "duplicate-heavy crawls, so it is NEVER broadcast (explicit "
+    "shuffle_hash on the cluster side; the same statically-misplanned "
+    "broadcast class the 100x scale tier caught on the bigram LM join); "
+    "one equi shuffle on doc_id, then pure codegen hashing — no further "
+    "shuffle",
+    reference="[NORTH-STAR] dedup-aware split hygiene (GPT-3 appendix C / "
+    "Dodge'21 C4 contamination); composes docs_near_dup_clusters",
+    tags=("sampling", "dedup", "northstar"),
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    clusters = q_near_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    unit = docs.join(clusters.hint("shuffle_hash"), "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("unit_id")
+    )
+
+    def bucket(col: Column) -> Column:
+        return F.pmod(
+            TX.md5_long(F.concat(F.lit("split:"), col.cast("string"))),
+            F.lit(100),
+        )
+
+    def label(b: Column) -> Column:
+        return (
+            F.when(b < _SPLIT_TRAIN_PCT, "train")
+            .when(b < _SPLIT_VAL_PCT, "val")
+            .otherwise("test")
+        )
+
+    ub = label(bucket(F.col("unit_id")))
+    db = label(bucket(F.col("doc_id")))
+    return unit.select(
+        "doc_id",
+        "unit_id",
+        ub.alias("split"),
+        (ub != db).alias("would_leak"),
     )
 
 

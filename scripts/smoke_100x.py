@@ -1,0 +1,95 @@
+"""Execute the ENTIRE documents/embeddings catalog tier at the 100x corpus.
+
+Why: the r8 100x scale tier caught a scale-killer the 10x point could not
+see — docs_bigram_plausibility's LM join was statically planned as a
+BroadcastHashJoin of a vocabulary-sized side (fine 25x under the 64 MB
+threshold at 10x, OOM-fatal at 100x). PLANS.md digests plans at sf0.001,
+where every broadcast decision is trivially safe, so that class of defect
+is structurally invisible to plan review at small SF. The only honest
+check is execution: run every active catalog query that reads only the
+documents/embeddings tables against the 100x shape-preserving corpus
+(scripts/scale_curve.build_corpus_100x: ~500k docs / 27M tokens / 220k
+vectors) and record wall time or the exact failure.
+
+Classification per query:
+- ok: completed under the watchdog; seconds recorded.
+- timeout: cancelled at WATCHDOG_SEC via the query's job group — a hang
+  or a super-linear blowup; MUST be investigated, never allowlisted.
+- error: raised; message head recorded — broadcast OOMs land here.
+- skipped_other_tables: the builder needs tables the 100x corpus does
+  not synthesize (TPC-H/events tier); out of scope by construction.
+
+Run: python scripts/smoke_100x.py        (writes scripts/smoke_100x_results.json)
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import threading
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from real_time_flight_data_pipeline_spark.plans import ORIGINAL_ORDER
+from real_time_flight_data_pipeline_spark.plans.catalog import REGISTRY
+from real_time_flight_data_pipeline_spark.session import get_spark
+from scale_curve import WORK, build_corpus_100x
+
+CORPUS = WORK / "sf100x"
+WATCHDOG_SEC = 600
+OUT = pathlib.Path(__file__).with_name("smoke_100x_results.json")
+
+
+def main() -> None:
+    spark = get_spark(app_name="flightframe-smoke-100x")
+    if not (CORPUS / "documents.parquet").exists():
+        build_corpus_100x(spark)
+    sc = spark.sparkContext
+    results: dict[str, dict] = {}
+    for name in ORIGINAL_ORDER:
+        q = REGISTRY.get(name)
+        if q is None:
+            continue
+        group = f"smoke100x-{name}"
+        sc.setJobGroup(group, name, interruptOnCancel=True)
+        timer = threading.Timer(
+            WATCHDOG_SEC, lambda g=group: sc.cancelJobGroup(g)
+        )
+        timer.start()
+        t0 = time.perf_counter()
+        try:
+            df = q.builder(spark, str(CORPUS))
+            df.write.format("noop").mode("overwrite").save()
+            sec = round(time.perf_counter() - t0, 2)
+            results[name] = {"status": "ok", "sec": sec}
+            print(f"ok         {name}: {sec}s", flush=True)
+        except Exception as e:
+            sec = round(time.perf_counter() - t0, 2)
+            msg = f"{type(e).__name__}: {e}"
+            if sec >= WATCHDOG_SEC - 5 and "cancelled" in msg.lower():
+                results[name] = {"status": "timeout", "sec": sec}
+                print(f"TIMEOUT    {name}: cancelled at {sec}s", flush=True)
+            elif "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                results[name] = {"status": "skipped_other_tables"}
+                print(f"skip       {name}: needs non-100x tables", flush=True)
+            else:
+                results[name] = {"status": "error", "sec": sec,
+                                 "error": msg.splitlines()[0][:300]}
+                print(f"ERROR      {name}: {msg.splitlines()[0][:200]}",
+                      flush=True)
+        finally:
+            timer.cancel()
+            sc.setJobGroup("", "")
+        OUT.write_text(json.dumps(results, indent=1))  # survive partial runs
+    n_ok = sum(1 for r in results.values() if r["status"] == "ok")
+    n_bad = sum(1 for r in results.values()
+                if r["status"] in ("error", "timeout"))
+    n_skip = len(results) - n_ok - n_bad
+    print(json.dumps({"metric": "smoke_100x", "ok": n_ok, "failed": n_bad,
+                      "skipped_other_tables": n_skip}))
+
+
+if __name__ == "__main__":
+    main()
