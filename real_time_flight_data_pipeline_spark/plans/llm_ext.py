@@ -1316,6 +1316,97 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Incremental dedup — the new crawl increment against the existing corpus
+# ===========================================================================
+_INC_BATCH_MOD = "% 5 = 4"  # ~20% of the near corpus plays the increment
+
+
+@_register(
+    "docs_incremental_dedup",
+    f"""
+    WITH pairs AS ({_near_dup_oracle()}),
+    corpus AS ({_NEAR_CORPUS_SQL}),
+    batch AS (SELECT doc_id FROM corpus WHERE doc_id {_INC_BATCH_MOD}),
+    partners AS (
+      SELECT p.a_id AS doc_id, p.b_id AS pid FROM pairs p
+      WHERE p.a_id {_INC_BATCH_MOD}
+      UNION ALL
+      SELECT p.b_id AS doc_id, p.a_id AS pid FROM pairs p
+      WHERE p.b_id {_INC_BATCH_MOD}
+    ),
+    elig AS (
+      SELECT doc_id, pid FROM partners
+      WHERE pid < doc_id OR NOT (pid {_INC_BATCH_MOD})
+    ),
+    dec AS (
+      SELECT doc_id, min(pid) AS matched_id,
+             CAST(count(*) AS BIGINT) AS n_matches
+      FROM elig GROUP BY doc_id
+    )
+    SELECT b.doc_id, d.matched_id IS NOT NULL AS is_dup, d.matched_id,
+           COALESCE(d.n_matches, 0) AS n_matches
+    FROM batch b LEFT JOIN dec d ON d.doc_id = b.doc_id
+    """,
+    "Incremental dedup: per-document keep/drop decisions for a new crawl "
+    "increment (~20% of the corpus by deterministic doc_id rule) against "
+    "the EXISTING corpus plus lower-id members of its own batch — the "
+    "production shape where dedup runs per-increment forever, not as a "
+    "full-corpus recompute. A batch doc is dropped if any verified "
+    "near-dup partner is a base doc (always eligible) or an earlier batch "
+    "doc (doc_id order = arrival order within the increment); matched_id "
+    "is the smallest eligible partner, n_matches the eligible-partner "
+    "count. 100 TB shape: the base corpus's LSH band table is a PERSISTED "
+    "index bucketed by band_key (minhash_bands_from in plans/northstar.py; "
+    "write/probe with a zero-Exchange index side pinned by "
+    "tests/test_dedup_index.py) — each increment computes signatures for "
+    "ITS OWN docs only and probes the index, so per-increment cost is "
+    "O(batch + collisions), never O(corpus)",
+    reference="[NORTH-STAR] incremental corpus dedup (the per-snapshot "
+    "CommonCrawl curation loop); composes docs_near_dup_pairs",
+    tags=("dedup", "northstar"),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The pair frame is consumed twice (both partner directions) — lazy
+    # barrier so LSH banding + verification run once.
+    pairs = (
+        q_near_dup_pairs(spark, sf_dir)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+
+    def in_batch(c: Column) -> Column:
+        return (c % 5) == 4
+
+    batch = (
+        _near_corpus(spark, sf_dir)
+        .select("doc_id")
+        .filter(in_batch(F.col("doc_id")))
+    )
+    partners = (
+        pairs.filter(in_batch(F.col("a_id")))
+        .select(F.col("a_id").alias("doc_id"), F.col("b_id").alias("pid"))
+        .unionByName(
+            pairs.filter(in_batch(F.col("b_id"))).select(
+                F.col("b_id").alias("doc_id"), F.col("a_id").alias("pid")
+            )
+        )
+    )
+    elig = partners.filter(
+        (F.col("pid") < F.col("doc_id")) | ~in_batch(F.col("pid"))
+    )
+    dec = elig.groupBy("doc_id").agg(
+        F.min("pid").alias("matched_id"),
+        F.count(F.lit(1)).alias("n_matches"),
+    )
+    return batch.join(dec, "doc_id", "left").select(
+        "doc_id",
+        F.col("matched_id").isNotNull().alias("is_dup"),
+        "matched_id",
+        F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+    )
+
+
+# ===========================================================================
 # End-to-end curation funnel — the whole pipeline as one declarative plan
 # ===========================================================================
 def _curation_funnel_oracle() -> str:

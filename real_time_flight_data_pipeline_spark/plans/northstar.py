@@ -461,22 +461,22 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def near_dup_pairs_from(corpus_toks: DataFrame) -> DataFrame:
-    """MinHash-LSH verified near-dup pairs over a (doc_id, toks) frame.
-
-    Standalone the toks projection collapses into the scan (identical plan
-    to inlining the tokenizer); docs_curation_funnel feeds a materialized
-    token frame so the corpus is tokenized exactly once across stages.
-    """
-    # Barrier: downstream references shingles many times (hash pass + both
-    # sides of the verify join + intersection sizes); without
-    # materialization CollapseProject re-derives tokenize+shingle per
-    # occurrence (measured 45s in the verify stage alone at sf0.1).
-    shin = corpus_toks.select(
+def shingle_frame(corpus_toks: DataFrame) -> DataFrame:
+    """(doc_id, sh): distinct word-trigram shingles per doc, behind a lazy
+    materialization barrier (many consumers re-reference it)."""
+    return corpus_toks.select(
         "doc_id", F.array_distinct(TX.shingles(F.col("toks"), 3)).alias("sh")
     ).localCheckpoint(eager=False)
-    # Second barrier: keep the single md5 base-hash pass out of the 8
-    # inlined minhash columns (8x md5 otherwise).
+
+
+def minhash_bands_from(shin: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) LSH band table from a shingle frame —
+    the unit a PERSISTED dedup index stores: at 100 TB the corpus's band
+    table is written once, bucketed by band_key (operators tested in
+    tests/test_dedup_index.py), and each new crawl increment probes it
+    with only ITS OWN bands — no corpus-side recompute or shuffle."""
+    # Barrier: keep the single md5 base-hash pass out of the 8 inlined
+    # minhash columns (8x md5 otherwise).
     hsh = shin.select(
         "doc_id", TX.shingle_base_hashes(F.col("sh")).alias("hs")
     ).localCheckpoint(eager=False)
@@ -484,7 +484,7 @@ def near_dup_pairs_from(corpus_toks: DataFrame) -> DataFrame:
         "doc_id",
         *[TX.minhash_from_hashes(F.col("hs"), s).alias(f"mh{s}") for s in range(_N_MINHASH)],
     )
-    bands = mh.select(
+    return mh.select(
         "doc_id",
         F.explode(
             F.array(
@@ -504,6 +504,21 @@ def near_dup_pairs_from(corpus_toks: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
+
+
+def near_dup_pairs_from(corpus_toks: DataFrame) -> DataFrame:
+    """MinHash-LSH verified near-dup pairs over a (doc_id, toks) frame.
+
+    Standalone the toks projection collapses into the scan (identical plan
+    to inlining the tokenizer); docs_curation_funnel feeds a materialized
+    token frame so the corpus is tokenized exactly once across stages.
+    """
+    # Barrier: downstream references shingles many times (hash pass + both
+    # sides of the verify join + intersection sizes); without
+    # materialization CollapseProject re-derives tokenize+shingle per
+    # occurrence (measured 45s in the verify stage alone at sf0.1).
+    shin = shingle_frame(corpus_toks)
+    bands = minhash_bands_from(shin)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
