@@ -17,7 +17,7 @@ pipeline is identical to what would run on a raw corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -943,13 +943,47 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Banded hyperplane LSH for embedding near-dup blocking: B independent
 # bands of P planes each (disjoint plane families via plane_offset). A pair
 # is a candidate if it collides in ANY band. Near-dups at cosine >= 0.99
-# (angle ~8.1 deg) collide per band with p ~ (1 - theta/pi)^P ~ 0.69, so
-# 4 bands give ~99% recall — and scale-variant copies (same direction)
-# collide in every band by construction.
+# (angle ~8.1 deg) collide per band with p ~ (1 - theta/pi)^p_eff, and
+# scale-variant copies (same direction) collide in every band by
+# construction.
+#
+# r8 scale fix (caught by scripts/smoke_100x.py: 600 s watchdog TIMEOUT at
+# the 100x corpus): a FIXED plane count means a FIXED bucket count, so
+# bucket occupancy — and the per-bucket pairwise candidate volume — grows
+# as O(n^2 / 2^P). Every vector now computes a 16-plane signature, and the
+# bucket is its first p_eff bits (a signature prefix is itself a valid
+# hyperplane-LSH bucket), where p_eff grows with the corpus so buckets hold
+# ~_EMB_TARGET_BUCKET vectors: candidate volume stays O(n), not O(n^2).
+# p_eff derives from count(*) through an INTEGER CASE ladder (no libm —
+# log2 could round differently across engines), expressed as the
+# power-of-two divisor shift_div = 2^(16 - p_eff) applied with integer
+# division on BOTH engines. Recall trade is explicit: per-band collision
+# 0.955^p_eff at theta = 8.1 deg -> 4-band recall 0.99 at p_eff=8 (small
+# corpora, the pre-r8 behavior) sliding to 0.94 at p_eff=15; exact copies
+# are unaffected (they collide at any p_eff).
 _EMB_DIM = 64
 _EMB_BANDS = 4
-_EMB_PLANES = 8
+_EMB_PLANES = 16  # signature width; effective planes = 16 - log2(shift_div)
 _EMB_SEED = 42
+_EMB_TARGET_BUCKET = 8
+# (corpus-size ceiling, divisor): n <= 8 * 2^p_eff  ->  div = 2^(16 - p_eff)
+_EMB_SHIFT_LADDER = [(2048, 256), (4096, 128), (8192, 64), (16384, 32),
+                     (32768, 16), (65536, 8), (131072, 4), (262144, 2)]
+_EMB_SHIFT_FLOOR = 1  # >= 8 * 2^15 vectors: all 16 bits
+
+
+def _emb_shift_sql() -> str:
+    arms = " ".join(
+        f"WHEN n <= {ceil} THEN {div}" for ceil, div in _EMB_SHIFT_LADDER
+    )
+    return f"CASE {arms} ELSE {_EMB_SHIFT_FLOOR} END"
+
+
+def _emb_shift_col(n: Column) -> Column:
+    out = F.lit(_EMB_SHIFT_FLOOR)
+    for ceil, div in reversed(_EMB_SHIFT_LADDER):
+        out = F.when(n <= ceil, F.lit(div)).otherwise(out)
+    return out
 
 
 def _emb_near_dup_oracle() -> str:
@@ -983,7 +1017,15 @@ def _emb_near_dup_oracle() -> str:
       SELECT vec_id, list_transform(v, x -> x / n) AS vn
       FROM (SELECT *, sqrt(list_dot_product(v, v)) AS n FROM corpus)
     ),
-    bands AS ({bands_sql}),
+    sd AS (
+      SELECT {_emb_shift_sql()} AS shift_div
+      FROM (SELECT count(*) AS n FROM corpus)
+    ),
+    bands0 AS ({bands_sql}),
+    bands AS (
+      SELECT vec_id, band_idx, bucket // sd.shift_div AS bucket
+      FROM bands0 CROSS JOIN sd
+    ),
     cand AS (
       SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
       FROM bands a JOIN bands b
@@ -1004,9 +1046,14 @@ def _emb_near_dup_oracle() -> str:
     "embedding_near_dup_pairs",
     _emb_near_dup_oracle(),
     f"Embedding-cosine near-duplicate pairs blocked on banded hyperplane "
-    f"LSH buckets ({_EMB_BANDS} bands x {_EMB_PLANES} planes): the self-join "
-    "shuffles on (band, bucket) so candidate volume is O(colliding pairs), "
-    "never O(block^2) on a low-cardinality key; exact cosine >= 0.99 verify",
+    f"LSH buckets ({_EMB_BANDS} bands x 16-plane signatures, bucket = the "
+    "signature's first p_eff bits where p_eff grows with corpus size via "
+    "an integer CASE ladder — no libm): bucket occupancy stays "
+    f"~{_EMB_TARGET_BUCKET} vectors at ANY corpus size, so the (band, "
+    "bucket) self-join's candidate volume is O(n), never O(n^2/2^P) on a "
+    "fixed bucket count (the r8 100x smoke caught exactly that blowup: "
+    "600 s watchdog timeout, fixed to seconds); exact cosine >= 0.99 "
+    "verify; recall slide documented at the ladder definition",
     reference="[NORTH-STAR] embedding near-dup via SimHash-LSH (Charikar'02)",
     tags=("dedup", "similarity", "northstar"),
 )
@@ -1031,26 +1078,42 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.transform(F.col("v"), lambda x: x / F.col("n")).alias("vn"))
         .localCheckpoint(eager=False)
     )
-    bands = normed.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band_idx"),
-                        signature_col(
-                            "vn",
-                            _EMB_DIM,
-                            _EMB_PLANES,
-                            _EMB_SEED,
-                            plane_offset=band * _EMB_PLANES,
-                        ).alias("bucket"),
-                    )
-                    for band in range(_EMB_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "bb.band_idx", "bb.bucket").localCheckpoint(eager=True)
+    # shift_div = 2^(16 - p_eff) from the corpus count (1-row broadcast);
+    # the bucket is the 16-plane signature's first p_eff bits via integer
+    # division — identical arithmetic to the oracle's `bucket // shift_div`.
+    sd = normed.agg(
+        _emb_shift_col(F.count(F.lit(1))).cast("long").alias("shift_div")
+    )
+    bands = (
+        normed.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band_idx"),
+                            signature_col(
+                                "vn",
+                                _EMB_DIM,
+                                _EMB_PLANES,
+                                _EMB_SEED,
+                                plane_offset=band * _EMB_PLANES,
+                            ).alias("bucket"),
+                        )
+                        for band in range(_EMB_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("vec_id", "bb.band_idx", "bb.bucket")
+        .join(F.broadcast(sd))
+        .select(
+            "vec_id",
+            "band_idx",
+            F.expr("bucket div shift_div").alias("bucket"),
+        )
+        .localCheckpoint(eager=True)
+    )
     # ^ EAGER barrier before the self-join, measured 3x (5.1s -> 1.5s at
     # sf0.1): left fused, both join children re-evaluate the 32
     # higher-order-function plane dots inside the exchange stage (lambda
