@@ -3999,8 +3999,14 @@ def q_sources_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = gd.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = gd.select(F.col("source").alias("source_a"), "gh")
     b = gd.select(F.col("source").alias("source_b"), "gh")
+    # The per-source distinct-gram table is vocabulary-sized — NEVER
+    # broadcastable (the localCheckpoint hides stats, so Catalyst would
+    # statically broadcast one self-join side: broadcast OOM at the 100x
+    # corpus, caught by scripts/smoke_100x.py — the same class as the
+    # bigram LM join). shuffle_hash: both sides hash on gh, build side has
+    # <= #sources rows per gram.
     shared = (
-        a.join(b, "gh")
+        a.join(b.hint("shuffle_hash"), "gh")
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("shared_grams"))

@@ -15,9 +15,17 @@ The 10x synthesis preserves the statistical shape instead of inflating it:
   self-union would instead make every doc a 10-way exact duplicate and
   square the pair count, which is a different workload).
 - embeddings: 10 copies with re-keyed vec_ids; copies k>0 flip the sign of
-  every dimension d with (d+1)*k % 3 == 0. A shared flip pattern preserves
-  every intra-copy cosine exactly (sign^2 = 1) while decorrelating copies
-  from each other, so the near-dup pair count scales ~10x, not ~100x.
+  dimension d iff xxhash64(k*64 + d) is even — a DISTINCT pseudo-random
+  sign pattern per copy. Any fixed per-copy pattern preserves every
+  intra-copy cosine exactly (sign^2 = 1); distinct patterns decorrelate
+  copies from each other (cross-copy cosine ~ N(0, 1/sqrt(dim))), so the
+  near-dup pair count scales ~10x, not ~100x. (r8 fix: the original rule
+  flipped d iff (d+1)*k % 3 == 0, which has only THREE distinct patterns
+  over k mod 3 — copies within a class were mutually EXACT duplicates,
+  inflating cross-copy dup density ~70x over the constant-density claim;
+  caught when the fixed LSH query returned 7.06M pairs at 100x. All
+  embedding rows in scale_curve_results.json are re-measured on the
+  corrected corpus.)
 
 Run: python scripts/scale_curve.py            (writes /tmp/flightframe_scale)
      python scripts/scale_curve.py --100x     (r7 verdict #3: the 100x tier)
@@ -136,7 +144,9 @@ def build_corpus_100x(spark) -> None:
         (F.col("vec_id") + k * 10_000_000).alias("vec_id"),
         F.transform(
             F.col("embedding"),
-            lambda x, i: F.when(((i + 1) * k) % 3 == 0, -x).otherwise(x),
+            lambda x, i: F.when(
+                (k > 0) & (F.pmod(F.xxhash64(k * 64 + i), 2) == 0), -x
+            ).otherwise(x),
         ).alias("embedding"),
         "label",
     )
@@ -230,7 +240,9 @@ def build_corpora(spark) -> None:
         )
         flipped = F.transform(
             F.col("embedding"),
-            lambda x, i: F.when(((i + 1) * k) % 3 == 0, -x).otherwise(x),
+            lambda x, i: F.when(
+                F.pmod(F.xxhash64(F.lit(k) * 64 + i), 2) == 0, -x
+            ).otherwise(x),
         )
         emb_parts.append(
             emb.select(

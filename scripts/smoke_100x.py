@@ -43,12 +43,20 @@ OUT = pathlib.Path(__file__).with_name("smoke_100x_results.json")
 
 
 def main() -> None:
+    # Optional argv subset: re-smoke just the named queries, merging into
+    # the existing results file (a full sweep takes over an hour).
+    subset = list(dict.fromkeys(sys.argv[1:]))
+    unknown = sorted(set(subset) - set(REGISTRY))
+    if unknown:
+        sys.exit(f"unknown queries {unknown}")
     spark = get_spark(app_name="flightframe-smoke-100x")
     if not (CORPUS / "documents.parquet").exists():
         build_corpus_100x(spark)
     sc = spark.sparkContext
     results: dict[str, dict] = {}
-    for name in ORIGINAL_ORDER:
+    if subset and OUT.exists():
+        results = json.loads(OUT.read_text())
+    for name in subset or ORIGINAL_ORDER:
         q = REGISTRY.get(name)
         if q is None:
             continue
