@@ -106,6 +106,9 @@ QUERIES_100X = [
     "embedding_semdedup",          # alpha 0.65 (flat codebook, O(n^1.5) model)
     "embedding_semdedup_2level",   # alpha 0.53 (the production regime)
     "docs_curation_funnel",        # alpha 0.42 (bounds the whole pipeline)
+    # r8: watchdog-timeout at the first 100x smoke (fixed bucket count ->
+    # O(n^2) candidates); on the curve to keep the fix measured.
+    "embedding_near_dup_pairs",
 ]
 N_RUNS_100X = 2  # flat semdedup is O(n^1.5): minutes per run at 100x
 
