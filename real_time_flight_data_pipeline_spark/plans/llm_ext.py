@@ -1896,6 +1896,148 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Training-order curriculum interleave (r8) — stride scheduling. Emit the
+# corpus in a deterministic order where each language appears at its
+# mix-weight rate (the docs_mix_weights chain): doc r of language L is
+# scheduled at virtual time (2r-1)/(2*w_L), i.e. languages with larger
+# weights recur more often, uniformly spread — the data-ordering pass a
+# training pipeline runs after mixing weights are chosen and before
+# sequence packing. Integerized as vkey = (2r-1)*round(FX/w_L) so both
+# engines compare exact BIGINTs.
+# ===========================================================================
+_ORDER_FX = 1_000_000  # fixed-point scale for the integer stride round(FX/w)
+_ORDER_HEAD = 500  # emitted prefix of the global training order
+
+
+@_register(
+    "docs_training_order",
+    f"""
+    WITH t AS (
+      SELECT lang, CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_langs FROM t),
+    w AS (
+      SELECT lang,
+             CAST(round({_ORDER_FX} / least({_MIX_CAP},
+                  (1.0 / n_langs) / (CAST(n_tokens AS DOUBLE) / total)))
+                  AS BIGINT) AS inv_w
+      FROM t CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.lang, w.inv_w,
+             {_sql_md5_long("'order:' || CAST(d.doc_id AS VARCHAR)")} AS tie,
+             CAST(row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY {_sql_md5_long("'order:' || CAST(d.doc_id AS VARCHAR)")},
+                        d.doc_id) AS BIGINT) AS lang_rank
+      FROM documents d JOIN w ON d.lang = w.lang
+    )
+    SELECT doc_id, lang, lang_rank,
+           (2 * lang_rank - 1) * inv_w AS vkey
+    FROM ranked
+    ORDER BY vkey, tie, doc_id
+    LIMIT {_ORDER_HEAD}
+    """,
+    "Curriculum/training-order interleave via stride scheduling "
+    "(Waldspurger '95): per-language mix weights (the docs_mix_weights "
+    "chain, capped toward uniform) become integer strides "
+    f"round({_ORDER_FX}/w); doc r of language L gets virtual time "
+    "vkey=(2r-1)*stride, and sorting by vkey interleaves languages at "
+    "exactly their weight rates (per-language counts in any prefix are "
+    "within 1 of w_L-proportional) — deterministic, replay-stable data "
+    "ordering for training, the pass between mix weighting and sequence "
+    "packing. The per-language rank is computed WITHOUT a per-language "
+    "single-reducer window: range-partition by (lang, md5-tie), take "
+    "partition-local positions from monotonically_increasing_id behind a "
+    "checkpoint barrier, and add per-(lang,partition) offsets from a "
+    "bounded n_langs x n_partitions count table (broadcast by "
+    "construction) — ONE corpus shuffle total, the distributed-enumeration "
+    "idiom a 100 TB global ORDER BY needs. The emitted head is "
+    "TakeOrderedAndProject (per-partition top-k, driver merge); the full "
+    "ordering in production is a repartitionByRange(vkey) sorted write",
+    reference="[NORTH-STAR] training-data ordering (stride scheduling, "
+    "Waldspurger & Weihl OSDI'95; data-mixture execution per DoReMi "
+    "arXiv:2305.10429); composes docs_mix_weights",
+    tags=("northstar", "curation", "sampling"),
+)
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    t = docs.groupBy("lang").agg(
+        F.sum(F.size(TX.tokens(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    tot = t.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total")
+    w = t.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.round(
+            F.lit(_ORDER_FX)
+            / F.least(F.lit(_MIX_CAP), (F.lit(1.0) / F.col("n_langs")) / share)
+        )
+        .cast("long")
+        .alias("inv_w"),
+    )
+    tie = TX.md5_long(F.concat(F.lit("order:"), F.col("doc_id").cast("string")))
+    base = docs.select("doc_id", "lang", tie.alias("tie"))
+    # Distributed per-language enumeration: range partitioning makes each
+    # (lang, pid) group a CONTIGUOUS, sorted run, so the partition-local
+    # position from monotonically_increasing_id minus the group's min plus
+    # the cumulated counts of earlier partitions IS the global per-language
+    # rank — no per-language window (single reducer at 100 TB), no second
+    # corpus Exchange. The barrier pins pid/mid for both downstream uses.
+    nparts = spark.sparkContext.defaultParallelism
+    part = (
+        base.repartitionByRange(nparts, "lang", "tie", "doc_id")
+        .sortWithinPartitions("lang", "tie", "doc_id")
+        .select(
+            "*",
+            F.spark_partition_id().alias("pid"),
+            F.monotonically_increasing_id().alias("mid"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    grp = part.groupBy("lang", "pid").agg(
+        F.min("mid").alias("mid0"), F.count(F.lit(1)).alias("c")
+    )
+    off_w = (
+        Window.partitionBy("lang")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # O(n_langs x n_partitions) rows — bounded by construction, broadcast.
+    offsets = grp.select(
+        "lang",
+        "pid",
+        "mid0",
+        F.coalesce(F.sum("c").over(off_w), F.lit(0)).alias("off"),
+    )
+    ranked = part.join(F.broadcast(offsets), ["lang", "pid"]).select(
+        "doc_id",
+        "lang",
+        "tie",
+        (F.col("off") + F.col("mid") - F.col("mid0") + 1)
+        .cast("long")
+        .alias("lang_rank"),
+    )
+    keyed = ranked.join(F.broadcast(w), "lang").select(
+        "doc_id",
+        "lang",
+        "lang_rank",
+        ((2 * F.col("lang_rank") - 1) * F.col("inv_w")).alias("vkey"),
+        "tie",
+    )
+    return (
+        keyed.orderBy("vkey", "tie", "doc_id")
+        .limit(_ORDER_HEAD)
+        .select("doc_id", "lang", "lang_rank", "vkey")
+    )
+
+
+# ===========================================================================
 # SemDeDup (r6): semantic dedup via cluster-blocked cosine — assign
 # normalized embeddings to codebook cells, compare pairs ONLY within a
 # cell, drop the higher-id member of any pair above the similarity

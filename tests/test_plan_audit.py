@@ -31,6 +31,7 @@ _BNLJ_ALLOWED = {
     "events_hourly_gapfill",  # 1-row hour-bounds broadcast cross join (spine)
     "events_hourly_anomalies",  # same 1-row hour-bounds spine broadcast
     "docs_weighted_sample",  # 1-row grand-total broadcast (mix-weight chain)
+    "docs_training_order",  # same 1-row grand-total broadcast (mix-weight chain)
     "idle_rich_customer_segments",  # 1-row avg-balance scalar broadcast cross join
     "embedding_pq_adc_recall",  # 1-row query-vector broadcast (exact-scan baseline side)
     "embedding_pq_adc_recall_trained",  # same 1-row query-vector broadcast
