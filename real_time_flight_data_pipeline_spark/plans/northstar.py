@@ -17,7 +17,7 @@ pipeline is identical to what would run on a raw corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -955,9 +955,13 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hyperplane-LSH bucket), where p_eff grows with the corpus so buckets hold
 # ~_EMB_TARGET_BUCKET vectors: candidate volume stays O(n), not O(n^2).
 # p_eff derives from count(*) through an INTEGER CASE ladder (no libm —
-# log2 could round differently across engines), expressed as the
-# power-of-two divisor shift_div = 2^(16 - p_eff) applied with integer
-# division on BOTH engines. Recall trade is explicit: per-band collision
+# log2 could round differently across engines). The oracle applies it as
+# the power-of-two divisor shift_div = 2^(16 - p_eff) on a full 16-plane
+# signature; the Spark side reads the count first (a bounded footer-backed
+# scalar that shapes expression ARITY only) and computes just the first
+# p_eff planes per band — bit-identical buckets at p_eff/16 of the
+# plane-dot cost (the divide-a-16-plane-signature form benched 2.5x
+# slower at sf0.1). Recall trade is explicit: per-band collision
 # 0.955^p_eff at theta = 8.1 deg -> 4-band recall 0.99 at p_eff=8 (small
 # corpora, the pre-r8 behavior) sliding to 0.94 at p_eff=15; exact copies
 # are unaffected (they collide at any p_eff).
@@ -977,13 +981,6 @@ def _emb_shift_sql() -> str:
         f"WHEN n <= {ceil} THEN {div}" for ceil, div in _EMB_SHIFT_LADDER
     )
     return f"CASE {arms} ELSE {_EMB_SHIFT_FLOOR} END"
-
-
-def _emb_shift_col(n: Column) -> Column:
-    out = F.lit(_EMB_SHIFT_FLOOR)
-    for ceil, div in reversed(_EMB_SHIFT_LADDER):
-        out = F.when(n <= ceil, F.lit(div)).otherwise(out)
-    return out
 
 
 def _emb_near_dup_oracle() -> str:
@@ -1078,12 +1075,24 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.transform(F.col("v"), lambda x: x / F.col("n")).alias("vn"))
         .localCheckpoint(eager=False)
     )
-    # shift_div = 2^(16 - p_eff) from the corpus count (1-row broadcast);
-    # the bucket is the 16-plane signature's first p_eff bits via integer
-    # division — identical arithmetic to the oracle's `bucket // shift_div`.
-    sd = normed.agg(
-        _emb_shift_col(F.count(F.lit(1))).cast("long").alias("shift_div")
-    )
+    # p_eff from the corpus count via the same ladder as the oracle's
+    # shift_div (2^(16 - p_eff)). The count shapes the EXPRESSION ARITY
+    # only — a prefix of a hyperplane signature is itself the bucket, so
+    # computing just the first p_eff planes of each band is bit-identical
+    # to the oracle's 16-plane signature // shift_div while doing p_eff/16
+    # of the per-vector plane-dot work (the r8 ladder landed as a post-
+    # signature divide and benched 2.5x slower at sf0.1 for exactly this
+    # reason: 64 interpreted lambda dots per vector where 10 suffice).
+    # Driver-side count is a bounded scalar that only steers plan shape —
+    # the same adaptivity AQE applies to join strategies — and costs a
+    # footer-backed scan of one id column, not a data collect.
+    n_corpus = corpus.count()
+    div = _EMB_SHIFT_FLOOR
+    for ceil_, d in _EMB_SHIFT_LADDER:
+        if n_corpus <= ceil_:
+            div = d
+            break
+    p_eff = _EMB_PLANES - (div.bit_length() - 1)
     bands = (
         normed.select(
             "vec_id",
@@ -1095,7 +1104,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             signature_col(
                                 "vn",
                                 _EMB_DIM,
-                                _EMB_PLANES,
+                                p_eff,
                                 _EMB_SEED,
                                 plane_offset=band * _EMB_PLANES,
                             ).alias("bucket"),
@@ -1106,12 +1115,6 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bb"),
         )
         .select("vec_id", "bb.band_idx", "bb.bucket")
-        .join(F.broadcast(sd))
-        .select(
-            "vec_id",
-            "band_idx",
-            F.expr("bucket div shift_div").alias("bucket"),
-        )
         .localCheckpoint(eager=True)
     )
     # ^ EAGER barrier before the self-join, measured 3x (5.1s -> 1.5s at
