@@ -100,9 +100,21 @@ def main() -> None:
             result.NEUTRAL,
         )
         ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
-        ctx.getConfiguration().getLoggerConfig(
-            "org.apache.spark.scheduler.DAGScheduler"
-        ).addFilter(regex_filter)
+        cfg = ctx.getConfiguration()
+        target = "org.apache.spark.scheduler.DAGScheduler"
+        lc = cfg.getLoggerConfig(target)
+        if lc.getName() != target:
+            # getLoggerConfig returns the closest ANCESTOR (the root, in
+            # Spark's default config) when no dedicated LoggerConfig
+            # exists — attaching the filter there would suppress the
+            # message JVM-wide. Create a dedicated, additive config so
+            # the DENY applies to the DAGScheduler logger only.
+            lc = jvm.org.apache.logging.log4j.core.config.LoggerConfig(
+                target, lc.getLevel(), True
+            )
+            cfg.addLogger(target, lc)
+        if lc.getFilter() is None:  # don't stack one filter per invocation
+            lc.addFilter(regex_filter)
         ctx.updateLoggers()
     except Exception:
         traceback.print_exc(file=sys.stderr)

@@ -370,7 +370,15 @@ class BucketedParquetTable(ParquetTable):
     def compact(self, target_files: int = 1) -> None:
         """Bucketed layout already bounds files at n_buckets per commit;
         rewriting through overwrite() (no coalesce — that would break the
-        bucket spec) merges each bucket's accumulated files."""
+        bucket spec) merges each bucket's accumulated files. The file
+        count is therefore FIXED at n_buckets: a caller asking for any
+        other target gets an error, not a silently ignored argument."""
+        if target_files != 1:
+            raise ValueError(
+                "bucketed table compacts to one file per bucket "
+                f"(n_buckets={self.n_buckets}); target_files is not "
+                "tunable here"
+            )
         if self._current_version() is None:
             return
         self.overwrite(self.read())

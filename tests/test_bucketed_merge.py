@@ -171,6 +171,7 @@ def test_bucketed_table_versioning_contract(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {tbl._table_for(cur)}")
     assert tbl.read().count() == 300
     # and the re-registered DDL table still plans bucketed
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         m = _merge(tbl.read(), src)
@@ -179,4 +180,7 @@ def test_bucketed_table_versioning_contract(spark, tmp_path):
             m._jdf.queryExecution().executedPlan().toString()
         )
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+        # restore the SAVED value — session.py configures 64 MB, and a
+        # hardcoded Spark default here would leak a 10 MB threshold into
+        # every later plan-asserting test in the shared session.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
