@@ -2491,8 +2491,17 @@ def _pq_subs(e: DataFrame) -> DataFrame:
     )
 
 
-def _pq_sub_d2(x, c):
-    return V.dot(x, x) - 2 * V.dot(x, c) + V.dot(c, c)
+def _dot_sql(a: str, b: str) -> str:
+    """SQL-string twin of V.dot — the same sequential-fold tree, parsed
+    JVM-side in one call instead of ~12 py4j round-trips."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _pq_sub_d2_sql(x: str, c: str) -> str:
+    return f"({_dot_sql(x, x)} - 2 * {_dot_sql(x, c)} + {_dot_sql(c, c)})"
 
 
 def _pq_train_round(subs: DataFrame, cb: DataFrame) -> DataFrame:
@@ -2507,37 +2516,36 @@ def _pq_train_round(subs: DataFrame, cb: DataFrame) -> DataFrame:
         subs.join(F.broadcast(cb), "m")
         .groupBy("vec_id", "m")
         .agg(
-            F.min_by(
-                F.struct(F.col("c"), F.col("xs")),
-                F.struct(
-                    _pq_sub_d2(F.col("xs"), F.col("cs")).alias("d"),
-                    F.col("c").alias("cc"),
-                ),
+            F.expr(
+                f"min_by(struct(c, xs), "
+                f"struct({_pq_sub_d2_sql('xs', 'cs')} as d, c as cc))"
             ).alias("mm")
         )
     )
     assigned = a.select(
         "m", F.col("mm.c").alias("c"), F.col("mm.xs").alias("xs")
     )
+    # The _PQ_SUB per-component aggregates and the rebuild array are
+    # emitted as SQL strings (one JVM parse each) rather than nested
+    # Column calls: the Column form costs ~6 py4j round-trips per
+    # component per round of pure driver time (same finding as
+    # operators/similarity.signature_col, measured ~0.5 s per training
+    # round at sf0.1). The parsed trees — round, cast long, sum, then
+    # exactly one IEEE division per component — are identical.
     sums = assigned.groupBy("m", "c").agg(
         F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(
-                F.round(F.element_at("xs", i + 1) * _KM_SCALE).cast("long")
+            F.expr(
+                f"sum(cast(round(element_at(xs, {i + 1}) * {_KM_SCALE}) "
+                f"as bigint))"
             ).alias(f"s{i}")
             for i in range(_PQ_SUB)
         ],
     )
-    return sums.select(
-        "m",
-        "c",
-        F.array(
-            *[
-                (F.col(f"s{i}").cast("double") / F.col("n") / _KM_SCALE)
-                for i in range(_PQ_SUB)
-            ]
-        ).alias("cs"),
+    mean_arr = ", ".join(
+        f"cast(s{i} as double) / n / {_KM_SCALE}" for i in range(_PQ_SUB)
     )
+    return sums.select("m", "c", F.expr(f"array({mean_arr})").alias("cs"))
 
 
 def _pq_trained_cents(subs: DataFrame, rounds: int = 2) -> DataFrame:
@@ -2582,12 +2590,9 @@ def _pq_adc_scores(cand_subs: DataFrame, centd: DataFrame) -> DataFrame:
         cand_subs.join(F.broadcast(centd), "m")
         .groupBy("vec_id", "m")
         .agg(
-            F.min_by(
-                "qd_fp",
-                F.struct(
-                    _pq_sub_d2(F.col("xs"), F.col("cs")).alias("d"),
-                    F.col("c").alias("c"),
-                ),
+            F.expr(
+                f"min_by(qd_fp, "
+                f"struct({_pq_sub_d2_sql('xs', 'cs')} as d, c as c))"
             ).alias("qd_fp")
         )
     )
