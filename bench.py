@@ -93,7 +93,10 @@ def main() -> None:
         jvm = spark._jvm
         result = jvm.org.apache.logging.log4j.core.Filter.Result
         regex_filter = jvm.org.apache.logging.log4j.core.filter.RegexFilter.createFilter(
-            ".*non-existent accumulator.*",
+            # (?s): RegexFilter uses Matcher.matches() (full-match), so
+            # without DOTALL a message carrying a newline (e.g. appended
+            # stack trace) silently escapes the DENY (ADVICE r8).
+            "(?s).*non-existent accumulator.*",
             None,
             False,  # match the FORMATTED message, not the {} template
             result.DENY,

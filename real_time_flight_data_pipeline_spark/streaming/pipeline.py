@@ -30,6 +30,7 @@ for ``MERGE INTO`` with identical policy tables.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import shutil
 import uuid
@@ -257,13 +258,39 @@ class ParquetTable:
     def _write_version(self, df: DataFrame, out: str, v: str) -> None:
         df.select([f.name for f in self.schema.fields]).write.mode("overwrite").parquet(out)
 
+    def _commit_meta(self) -> dict | None:
+        """Physical-layout metadata to persist with the commit log line
+        (None for plain parquet). Subclasses whose reads depend on how the
+        files were WRITTEN (bucketing) record the spec here so a later
+        session can validate before trusting it."""
+        return None
+
+    def _version_meta(self, v: str) -> dict | None:
+        try:
+            with open(self._log) as f:
+                for line in f.read().splitlines():
+                    parts = line.split("\t")
+                    if parts and parts[0] == v:
+                        return (
+                            json.loads(parts[2])
+                            if len(parts) > 2 and parts[2]
+                            else None
+                        )
+        except (FileNotFoundError, ValueError):
+            pass
+        return None
+
     def overwrite(self, df: DataFrame) -> None:
         prev = self._current_version()
         v = f"v_{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, v)
         self._write_version(df, out, v)
+        meta = self._commit_meta()
+        line = f"{v}\t{datetime.now(timezone.utc).isoformat()}"
+        if meta:
+            line += "\t" + json.dumps(meta, separators=(",", ":"))
         with open(self._log, "a") as f:
-            f.write(f"{v}\t{datetime.now(timezone.utc).isoformat()}\n")
+            f.write(line + "\n")
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(v)
@@ -343,6 +370,23 @@ class BucketedParquetTable(ParquetTable):
             .saveAsTable(self._table_for(v))
         )
 
+    def _commit_meta(self) -> dict | None:
+        return {"bucket_key": self.bucket_key, "n_buckets": self.n_buckets}
+
+    def _bucket_spec_valid(self, v: str) -> bool:
+        """True iff the commit log records that version ``v``'s files were
+        WRITTEN bucketed with exactly the current spec. Registering bucket
+        metadata over files that were not written that way (a warehouse
+        created by plain ParquetTable, or an n_buckets change between
+        sessions) makes reads fail with 'Invalid bucket file' — or worse,
+        silently mis-prune (ADVICE r8). No/mismatched record => plain read."""
+        meta = self._version_meta(v)
+        return (
+            meta is not None
+            and meta.get("bucket_key") == self.bucket_key
+            and meta.get("n_buckets") == self.n_buckets
+        )
+
     def _ensure_registered(self, v: str) -> None:
         if self.spark.catalog.tableExists(self._table_for(v)):
             return
@@ -364,8 +408,20 @@ class BucketedParquetTable(ParquetTable):
             raise ValueError(
                 f"version {version!r} not in retained history {self.versions()}"
             )
-        self._ensure_registered(v)
-        return self.spark.table(self._table_for(v))
+        # A table already in the session catalog was registered either by
+        # the bucketed write itself or by a prior validated registration —
+        # trust it. Otherwise only register bucket metadata when the commit
+        # log proves the files match the spec; fall back to a plain parquet
+        # read (correct, just without the zero-Exchange merge property —
+        # regained at the next overwrite, which rewrites bucketed).
+        if self.spark.catalog.tableExists(self._table_for(v)):
+            return self.spark.table(self._table_for(v))
+        if self._bucket_spec_valid(v):
+            self._ensure_registered(v)
+            return self.spark.table(self._table_for(v))
+        return self.spark.read.schema(self.schema).parquet(
+            os.path.join(self.path, v)
+        )
 
     def compact(self, target_files: int = 1) -> None:
         """Bucketed layout already bounds files at n_buckets per commit;

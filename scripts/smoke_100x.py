@@ -61,21 +61,48 @@ def main() -> None:
         if q is None:
             continue
         group = f"smoke100x-{name}"
-        sc.setJobGroup(group, name, interruptOnCancel=True)
-        timer = threading.Timer(
-            WATCHDOG_SEC, lambda g=group: sc.cancelJobGroup(g)
-        )
-        timer.start()
+
+        # Run builder+write in a worker thread and join with a deadline
+        # (ADVICE r8): sc.cancelJobGroup only interrupts RUNNING Spark
+        # jobs, so a query whose blowup is driver-synchronous (long py4j
+        # plan construction, a driver loop between jobs — exactly the
+        # class the signature_col fix addressed) would otherwise hang the
+        # smoke far past WATCHDOG_SEC with no record. The worker inherits
+        # the job group via InheritableThreadLocal (PYSPARK_PIN_THREAD
+        # propagates setLocalProperty to child threads in Spark 4), so
+        # cancelJobGroup still kills the Spark-job-bound case; the
+        # driver-stalled case is detected by the join deadline and
+        # recorded as a timeout even though the thread itself cannot be
+        # killed (daemon=True keeps it from blocking process exit).
+        outcome: dict = {}
+
+        def _run(q=q, outcome=outcome, group=group) -> None:
+            sc.setJobGroup(group, group, interruptOnCancel=True)
+            try:
+                df = q.builder(spark, str(CORPUS))
+                df.write.format("noop").mode("overwrite").save()
+                outcome["ok"] = True
+            except Exception as e:  # noqa: BLE001 — classified below
+                outcome["error"] = f"{type(e).__name__}: {e}"
+
         t0 = time.perf_counter()
-        try:
-            df = q.builder(spark, str(CORPUS))
-            df.write.format("noop").mode("overwrite").save()
-            sec = round(time.perf_counter() - t0, 2)
+        worker = threading.Thread(target=_run, daemon=True, name=group)
+        worker.start()
+        worker.join(WATCHDOG_SEC)
+        if worker.is_alive():
+            sc.cancelJobGroup(group)
+            worker.join(30)  # grace for the cancellation to surface
+        sec = round(time.perf_counter() - t0, 2)
+        if worker.is_alive():
+            results[name] = {"status": "timeout", "sec": sec,
+                             "where": "driver-side (thread still alive)"}
+            print(f"TIMEOUT    {name}: driver-side stall at {sec}s",
+                  flush=True)
+        elif outcome.get("ok"):
             results[name] = {"status": "ok", "sec": sec}
             print(f"ok         {name}: {sec}s", flush=True)
-        except Exception as e:
-            sec = round(time.perf_counter() - t0, 2)
-            msg = f"{type(e).__name__}: {e}"
+        else:
+            msg = outcome.get("error", "worker died without outcome")
             if sec >= WATCHDOG_SEC - 5 and "cancelled" in msg.lower():
                 results[name] = {"status": "timeout", "sec": sec}
                 print(f"TIMEOUT    {name}: cancelled at {sec}s", flush=True)
@@ -87,9 +114,6 @@ def main() -> None:
                                  "error": msg.splitlines()[0][:300]}
                 print(f"ERROR      {name}: {msg.splitlines()[0][:200]}",
                       flush=True)
-        finally:
-            timer.cancel()
-            sc.setJobGroup("", "")
         OUT.write_text(json.dumps(results, indent=1))  # survive partial runs
     n_ok = sum(1 for r in results.values() if r["status"] == "ok")
     n_bad = sum(1 for r in results.values()

@@ -184,3 +184,49 @@ def test_bucketed_table_versioning_contract(spark, tmp_path):
         # hardcoded Spark default here would leak a 10 MB threshold into
         # every later plan-asserting test in the shared session.
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
+def test_mismatched_bucket_spec_falls_back_to_plain_read(spark, tmp_path):
+    """ADVICE r8: _ensure_registered must not trust bucket metadata the
+    files were not written with. Two real upgrade paths are simulated:
+    (a) a warehouse created by plain ParquetTable (no bucket spec in the
+    commit log) later opened as BucketedParquetTable; (b) an n_buckets
+    change between sessions. Both must READ correctly via the plain-parquet
+    fallback instead of failing with 'Invalid bucket file' / mis-pruning —
+    and the next overwrite regains the bucketed layout."""
+    init, _ = _frames(spark)
+    path = str(tmp_path / "fact")
+
+    # (a) version written by the PLAIN table: no spec recorded.
+    plain = ParquetTable(spark, path, _SCHEMA)
+    plain.overwrite(init.limit(150))
+    as_bucketed = BucketedParquetTable(
+        spark, path, _SCHEMA, bucket_key="flight_key", n_buckets=8
+    )
+    v_plain = as_bucketed.versions()[-1]
+    assert not as_bucketed._bucket_spec_valid(v_plain)
+    df = as_bucketed.read()
+    assert df.count() == 150
+    assert not spark.catalog.tableExists(as_bucketed._table_for(v_plain))
+    assert "Bucketed: true" not in df._jdf.queryExecution().executedPlan().toString()
+
+    # next overwrite rewrites bucketed, records the spec, and reads resolve
+    # through the catalog again (a bare scan prints Bucketed: false —
+    # "disabled by query planner" — so the registration is the assertion;
+    # the zero-Exchange MERGE property is pinned by the tests above).
+    as_bucketed.overwrite(init.limit(150))
+    v_new = as_bucketed.versions()[-1]
+    assert as_bucketed._bucket_spec_valid(v_new)
+    as_bucketed.read().count()
+    assert spark.catalog.tableExists(as_bucketed._table_for(v_new))
+
+    # (b) n_buckets changed between sessions: recorded spec (8) mismatches
+    # the new reader (16) -> plain fallback, not wrong bucket pruning.
+    resized = BucketedParquetTable(
+        spark, path, _SCHEMA, bucket_key="flight_key", n_buckets=16,
+        name=f"{as_bucketed.name}_r16",
+    )
+    assert not resized._bucket_spec_valid(v_new)
+    df16 = resized.read()
+    assert df16.count() == 150
+    assert "Bucketed: true" not in df16._jdf.queryExecution().executedPlan().toString()
