@@ -14,11 +14,15 @@ sorts, no driver collects, no UDFs.
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..functions import vectors as V
+from ..operators import similarity as SIM
 from .catalog import _register, _register_retired, _spread, _t
 from .northstar import (
     _NEAR_CORPUS_SQL,
@@ -3140,6 +3144,9 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic rule (argmin with id tie-breaks at both levels), so the
 # oracle mirrors it exactly rather than approximating it.
 # ===========================================================================
+_SEM_ROUTE_SCALE = 1_000_000  # fixed-point routing quantum (1e-6)
+
+
 def _sem2_oracle() -> str:
     return f"""
     WITH corpus AS (
@@ -3154,10 +3161,22 @@ def _sem2_oracle() -> str:
       FROM (SELECT *, sqrt(list_dot_product(v, v)) AS n FROM corpus)
     ),
     kv AS (
-      SELECT greatest({_SEM_K_MIN}, CAST(4 * ceil(sqrt(count(*))) AS BIGINT)) AS k,
-             CAST(ceil(sqrt(greatest({_SEM_K_MIN},
-                  CAST(4 * ceil(sqrt(count(*))) AS BIGINT)))) AS BIGINT) AS c
-      FROM corpus
+      -- K = ceil(n^(2/3)) computed EXACTLY in integers: pow/cbrt are not
+      -- correctly-rounded, so a float ceil could differ by 1 between
+      -- engines at integer boundaries; instead take a float guess k0 and
+      -- resolve the true smallest k with k^3 >= n^2 by integer compares
+      -- (robust to k0 off by +/-2).
+      SELECT greatest({_SEM_K_MIN}, kx) AS k,
+             CAST(ceil(sqrt(CAST(greatest({_SEM_K_MIN}, kx) AS DOUBLE))) AS BIGINT) AS c
+      FROM (
+        SELECT CASE WHEN (k0-1)*(k0-1)*(k0-1) >= nn THEN k0-1
+                    WHEN k0*k0*k0 >= nn THEN k0
+                    WHEN (k0+1)*(k0+1)*(k0+1) >= nn THEN k0+1
+                    ELSE k0+2 END AS kx
+        FROM (SELECT CAST(pow(CAST(nn AS DOUBLE), 1.0/3.0) AS BIGINT) AS k0, nn
+              FROM (SELECT CAST(count(*) AS BIGINT)*CAST(count(*) AS BIGINT) AS nn
+                    FROM corpus))
+      )
     ),
     cents AS (
       SELECT vec_id AS cid, vn AS cv FROM normed CROSS JOIN kv
@@ -3167,28 +3186,32 @@ def _sem2_oracle() -> str:
       SELECT vec_id AS sid, vn AS sv FROM normed CROSS JOIN kv
       WHERE vec_id < kv.c
     ),
+    -- Routing distances are FIXED-POINT (round(d2 * 1e6) as BIGINT, id
+    -- tie-break): the engine side evaluates them with BLAS (summation
+    -- order differs from a sequential fold), so the argmin must compare
+    -- quantized integers or a last-ulp difference could flip a route.
     cent_super AS (
       SELECT cid, cv, sid FROM (
         SELECT c.cid, c.cv, s.sid,
                row_number() OVER (PARTITION BY c.cid ORDER BY
-                 (list_dot_product(c.cv, c.cv) - 2*list_dot_product(c.cv, s.sv)
-                  + list_dot_product(s.sv, s.sv)), s.sid) AS rn
+                 CAST(round((list_dot_product(c.cv, c.cv) - 2*list_dot_product(c.cv, s.sv)
+                  + list_dot_product(s.sv, s.sv)) * {_SEM_ROUTE_SCALE}.0) AS BIGINT), s.sid) AS rn
         FROM cents c CROSS JOIN supers s) WHERE rn = 1
     ),
     coarse AS (
       SELECT vec_id, sid FROM (
         SELECT e.vec_id, s.sid,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 (list_dot_product(e.vn, e.vn) - 2*list_dot_product(e.vn, s.sv)
-                  + list_dot_product(s.sv, s.sv)), s.sid) AS rn
+                 CAST(round((list_dot_product(e.vn, e.vn) - 2*list_dot_product(e.vn, s.sv)
+                  + list_dot_product(s.sv, s.sv)) * {_SEM_ROUTE_SCALE}.0) AS BIGINT), s.sid) AS rn
         FROM normed e CROSS JOIN supers s) WHERE rn = 1
     ),
     assign AS (
       SELECT vec_id, cid FROM (
         SELECT e.vec_id, cs.cid,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 (list_dot_product(e.vn, e.vn) - 2*list_dot_product(e.vn, cs.cv)
-                  + list_dot_product(cs.cv, cs.cv)), cs.cid) AS rn
+                 CAST(round((list_dot_product(e.vn, e.vn) - 2*list_dot_product(e.vn, cs.cv)
+                  + list_dot_product(cs.cv, cs.cv)) * {_SEM_ROUTE_SCALE}.0) AS BIGINT), cs.cid) AS rn
         FROM normed e
         JOIN coarse co ON co.vec_id = e.vec_id
         JOIN cent_super cs ON cs.sid = co.sid) WHERE rn = 1
@@ -3212,27 +3235,35 @@ def _sem2_oracle() -> str:
 @_register(
     "embedding_semdedup_2level",
     _sem2_oracle(),
-    "Two-level SemDeDup in its production regime: a FINE codebook "
-    "(K = 4*sqrt(n) — cells avg sqrt(n)/4 members) with hierarchical "
-    "assignment: C = ceil(sqrt(K)) super-cells route each vector (n*C "
-    "dots), the fine argmin runs only over that super-cell's centroids "
-    "(n*K/C average) — ~2n*sqrt(K) total instead of flat n*K. The r7 "
-    "10x-scale measurement settled WHERE each variant belongs: under "
-    "the flat twin's SemDeDup rule K = sqrt(n)/2 the O(n^2/K) "
-    "within-cell pairwise term dominates ~4:1 AND hierarchical routing "
-    "concentrates cells (sum(cell^2) +104% measured), so a 2-level "
-    "assignment loses there by construction; with a fine codebook the "
-    "assignment term dominates and the coarse route pays for itself "
-    "(1x/10x numbers in scripts/scale_curve_results.json — the trade "
-    "is a number, not a guess). The super-centroids are the first C "
-    "centroids themselves, so every super-cell contains >= 1 centroid "
-    "by construction (no empty-route edge case). Both argmin levels "
-    "use explicit (distance, id) tie-breaks, so the hierarchical route "
-    "— and therefore the cell table and the dup set — is a "
-    "deterministic function the oracle mirrors exactly. The coarse "
-    "argmin carries vn through the aggregate, so the whole two-level "
-    "assignment costs ONE corpus shuffle; all small sides (codebook, "
-    "super-codebook, routing table) stay broadcasts",
+    "Two-level SemDeDup at its measured equilibrium: a FINE codebook of "
+    "K = ceil(n^(2/3)) cells with hierarchical assignment — C = "
+    "ceil(sqrt(K)) super-cells route each vector (n*C dots), the fine "
+    "argmin runs only over that super-cell's centroids (n*K/C average), "
+    "~2n*sqrt(K) total — and the within-cell pairwise pass executed as a "
+    "per-cell Arrow/BLAS Gram kernel (operators/similarity."
+    "cell_pairwise_dups). K ~ n^(2/3) is the point where the O(n^2/K) "
+    "pairwise term and the ~2n*sqrt(K) assignment term grow at the same "
+    "O(n^(4/3)) rate (r8's K = 4*sqrt(n) left pairwise growing n^(3/2): "
+    "the 0.98 segment exponent at 10->100x was exactly that term "
+    "arriving); the rule is computed in EXACT integer arithmetic "
+    "(smallest k with k^3 >= n^2) on both engines so no pow ulp can "
+    "skew K. The kernel is a physical-plan substitution, NOT a "
+    "semantics change: exact float64 dots, same HALF_UP round-6 "
+    "compare, same higher-id-is-dup rule — so unlike the PQ-ADC "
+    "candidate route (the other documented escape) there is NO recall "
+    "trade and the oracle stays the plain exact self-join. It wins by "
+    "shuffling the cell table once (groupBy cid) instead of twice "
+    "(self-join sides), materializing zero candidate pair rows, and "
+    "running the O(cell^2) dots as fused dgemm instead of interpreted "
+    "aggregate(zip_with) lambdas (~20x/pair); Gram blocks are row-"
+    "chunked to <=32 MB so a concentrated cell cannot OOM. The super-"
+    "centroids are the first C centroids themselves, so every "
+    "super-cell contains >= 1 centroid by construction. Both argmin "
+    "levels use explicit (distance, id) tie-breaks, so the route — and "
+    "therefore the cell table and the dup set — is a deterministic "
+    "function the oracle mirrors exactly. The coarse argmin carries vn "
+    "through the aggregate, so the whole two-level assignment costs ONE "
+    "corpus shuffle; all small sides stay broadcasts",
     reference="[NORTH-STAR] hierarchical quantization routing (IVF "
     "coarse quantizer, Jegou'11) applied to SemDeDup (Abbas'23); pairs "
     "with embedding_semdedup as its measured scale twin",
@@ -3256,101 +3287,91 @@ def q_embedding_semdedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    # K = 4*sqrt(n) — the FINE-codebook regime this variant exists for
-    # (vs the flat twin's SemDeDup-rule K = sqrt(n)/2). Measured at the
-    # 10x corpus (r7): under K = sqrt(n)/2 the O(n^2/K) within-cell
-    # pairwise term dominates total cost ~4:1, and hierarchical routing
-    # CONCENTRATES cells (sum(cell^2) +104%) — so a 2-level assignment
-    # can never win there; its production home is K >> sqrt(n), where
-    # assignment is the dominant term, cells are small, and the coarse
-    # route cuts n*K to ~2n*sqrt(K). K from the cached normed frame — a
-    # `corpus` agg would re-scan the parquet source (same fix as flat).
-    kcol = F.greatest(
-        F.lit(_SEM_K_MIN), (4 * F.ceil(F.sqrt(F.count(F.lit(1))))).cast("long")
+    # K = ceil(n^(2/3)) — the equilibrium where the O(n^2/K) within-cell
+    # pairwise term and the ~2n*sqrt(K) hierarchical-assignment term grow
+    # at the same O(n^(4/3)) rate (r8 used K = 4*sqrt(n), which leaves
+    # pairwise growing n^(3/2) — the measured 0.98 segment exponent at
+    # 10->100x was that term arriving on schedule). Computed EXACTLY in
+    # integers (smallest k with k^3 >= n^2), mirroring the oracle's CASE
+    # ladder, so no pow ulp can skew K. The count materializes the lazy
+    # normed checkpoint, which every later job then reuses.
+    n = normed.count()
+    nn = n * n
+    k0 = int(round(nn ** (1.0 / 3.0))) + 2
+    while (k0 - 1) ** 3 >= nn:
+        k0 -= 1
+    k = max(_SEM_K_MIN, k0)
+    c = math.isqrt(k)
+    c += 1 if c * c < k else 0
+    # Codebook collect: K = n^(2/3) rows of dim doubles — 3.4 MB at the
+    # 100x corpus, ~512 MB at n = 1e9 vectors. Holding the codebook in
+    # one place is inherent to k-means-family structures (same bound as
+    # the broadcast the join-based form used); past executor-broadcast
+    # comfort the documented fallback is the two-pass form: shuffle by
+    # super-cell, join each sid's codebook slice (the r8 shape).
+    crows = sorted(
+        normed.filter(F.col("vec_id") < k).collect(), key=lambda r: r.vec_id
     )
-    kdf = normed.agg(
-        kcol.alias("k"), F.ceil(F.sqrt(kcol)).cast("long").alias("c")
-    )
-    # cents/supers/cent_super are all K-row-bounded derivations of the
-    # already-checkpointed normed frame: re-deriving them per broadcast is
-    # a cached-RDD filter, cheaper than the extra persist jobs the r6
-    # checkpoints cost (part of the 8.2 s -> sub-flat r7 fix).
-    cents = (
-        normed.join(F.broadcast(kdf))
-        .filter(F.col("vec_id") < F.col("k"))
-        .select(F.col("vec_id").alias("cid"), F.col("vn").alias("cv"))
-    )
-    supers = (
-        normed.join(F.broadcast(kdf))
-        .filter(F.col("vec_id") < F.col("c"))
-        .select(F.col("vec_id").alias("sid"), F.col("vn").alias("sv"))
-    )
+    cid_arr = np.array([r.vec_id for r in crows], dtype=np.int64)
+    cmat = np.array([r.vn for r in crows], dtype=np.float64)
+    smask = cid_arr < c
+    sid_arr, smat = cid_arr[smask], cmat[smask]
 
-    def _d2(x, c):
-        return V.dot(x, x) - 2 * V.dot(x, c) + V.dot(c, c)
+    def _route_fp(x_mat, c_mat):
+        """Fixed-point squared-L2 matrix: round(d2 * 1e6) as int64.
+        BLAS sums in a different order than the oracle's sequential
+        fold, so routing compares QUANTIZED integers (with id
+        tie-breaks via first-argmin over id-sorted codebooks) — a
+        last-ulp float difference can never flip a route."""
+        xx = np.einsum("ij,ij->i", x_mat, x_mat)
+        cc = np.einsum("ij,ij->i", c_mat, c_mat)
+        d2 = xx[:, None] - 2.0 * (x_mat @ c_mat.T) + cc[None, :]
+        return np.floor(d2 * _SEM_ROUTE_SCALE + 0.5).astype(np.int64)
 
-    cent_super = (
-        cents.join(F.broadcast(supers))
-        .groupBy("cid")
-        .agg(
-            F.min_by(
-                F.struct("sid", "cv"),
-                F.struct(
-                    _d2(F.col("cv"), F.col("sv")).alias("d"),
-                    F.col("sid").alias("s"),
-                ),
-            ).alias("m")
-        )
-        .select("cid", F.col("m.sid").alias("sid"), F.col("m.cv").alias("cv"))
-    )
-    # Coarse route carries vn THROUGH the argmin (min_by of a (sid, vn)
-    # struct) so the fine level needs NO join back to normed; the fine
-    # groupBy then reuses the coarse groupBy's vec_id partitioning (the
-    # broadcast join preserves it), so the whole two-level assignment
-    # costs ONE corpus shuffle — the r6 shape paid three (coarse agg,
-    # normed join-back, fine agg) plus an eager checkpoint barrier, which
-    # is why it lost to flat below the crossover.
-    coarse = (
-        normed.join(F.broadcast(supers))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.struct(F.col("sid"), F.col("vn")),
-                F.struct(
-                    _d2(F.col("vn"), F.col("sv")).alias("d"),
-                    F.col("sid").alias("s"),
-                ),
-            ).alias("m")
-        )
-        .select("vec_id", F.col("m.sid").alias("sid"), F.col("m.vn").alias("vn"))
-    )
-    cells = (
-        coarse.join(F.broadcast(cent_super), "sid")
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.struct(F.col("cid"), F.col("vn")),
-                F.struct(
-                    _d2(F.col("vn"), F.col("cv")).alias("d"),
-                    F.col("cid").alias("c"),
-                ),
-            ).alias("m")
-        )
-        .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.vn").alias("vn"))
-        .localCheckpoint(eager=False)  # lazy barrier (r6 verdict #1)
-    )
-    a = cells.alias("a")
-    b = cells.alias("b")
-    dups = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(F.round(V.dot(F.col("a.vn"), F.col("b.vn")), 6) >= _SEM_TAU)
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .dropDuplicates()
-    )
+    # Centroid->super routing computed driver-side (K x C, tiny).
+    cent_sid = sid_arr[np.argmin(_route_fp(cmat, smat), axis=1)]
+    bc = spark.sparkContext.broadcast((cid_arr, cmat, cent_sid, sid_arr, smat))
+
+    def _assign(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side import
+        import pandas as pd  # noqa: PLC0415
+
+        cid_a, cmat_a, cent_sid_a, sid_a, smat_a = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x_mat = np.stack(pdf["vn"].to_numpy()).astype(np.float64)
+            route = sid_a[np.argmin(_route_fp(x_mat, smat_a), axis=1)]
+            cid_out = np.empty(len(pdf), dtype=np.int64)
+            for s in np.unique(route):
+                rmask = route == s
+                cmask = cent_sid_a == s
+                sub = _route_fp(x_mat[rmask], cmat_a[cmask])
+                cid_out[rmask] = cid_a[cmask][np.argmin(sub, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": cid_out,
+                    "vn": pdf["vn"],
+                }
+            )
+
+    # Two-level assignment as a PURE MAP (r9): coarse route n*C dots +
+    # fine argmin over the routed super-cell's ~K/C centroids, both as
+    # Arrow-batched BLAS against the broadcast codebook. The r8 form
+    # exploded n*C (and n*K/C) joined rows each carrying the 64-double
+    # vector through broadcast-join + min_by — at the 100x corpus that
+    # interpreted explosion was the query's dominant term once the
+    # pairwise kernel landed. Zero shuffles here; the groupBy(cid) in
+    # the dup kernel below is the query's ONLY corpus shuffle.
+    cells = normed.mapInPandas(
+        _assign, schema="vec_id long, cid long, vn array<double>"
+    ).localCheckpoint(eager=False)  # lazy barrier (r6 verdict #1)
+    # Within-cell pairwise pass as the BLAS Gram kernel (r8 verdict #1):
+    # exact same dup set as the cid self-join (round-6 HALF_UP compare),
+    # one cid shuffle instead of two join sides, zero materialized pair
+    # rows. Cells are disjoint, so emitted ids are already unique.
+    dups = SIM.cell_pairwise_dups(cells, _SEM_TAU)
     return (
         cells.select("vec_id", "cid")
         .join(dups.withColumn("is_dup", F.lit(True)), "vec_id", "left")
