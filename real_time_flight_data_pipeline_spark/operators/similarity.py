@@ -128,12 +128,27 @@ def cell_pairwise_dups(
     * Arrow batches the transfer; the kernel is partition-local (a cell
       never spans tasks), so no new shuffle, no driver involvement.
 
-    Memory is bounded by row-blocking the Gram product (<= ~32 MB per
-    block regardless of cell size), so one pathologically concentrated
-    cell cannot OOM an executor. Fixed-point HALF_UP (floor(x*scale+0.5))
-    mirrors Spark's F.round/DuckDB's round for the positive-threshold
-    compare; dots are IEEE doubles either way, and the existing round-6
-    convention already absorbs summation-order differences cross-engine.
+    Memory: row-blocking bounds the Gram SCRATCH (<= ~32 MB per block
+    regardless of cell size) — it does NOT bound the group itself.
+    ``applyInPandas`` materializes the whole cell (ids + dim-double
+    vectors, plus Arrow buffers) in one executor before ``_dups`` runs,
+    so the real bound is max cell rows x (dim x 8 B x ~3) per executor
+    core: ~1.5 GB for a 1M-member dim-64 cell. The SemDeDup caller keeps
+    cells at ~n^(1/3) average members (K = n^(2/3)), far inside that; a
+    caller with pathologically skewed cells must salt/split oversized
+    cells before the groupBy or fall back to the self-join form above a
+    cell-size threshold — blocking alone will not save it.
+
+    Fixed-point HALF_UP (floor(x*scale+0.5)) mirrors Spark's F.round /
+    DuckDB's round for the positive-threshold compare; dots are IEEE
+    doubles either way, and the existing round-6 convention absorbs
+    summation-order differences cross-engine. Residual ulp risk: the
+    engines round the DECIMAL expansion of the dot while this kernel
+    scales in binary, so a dot whose decimal form sits on the opposite
+    side of the x.5 boundary from its binary x*1e6 product could in
+    principle flip vs the oracle. No such value has ever been observed
+    in the gates (the dots that matter sit ~1e-2 from tau); noted here
+    because this path gates hash-equality.
     """
     scale = float(10 ** round_decimals)
     thr = int(round(tau * scale))

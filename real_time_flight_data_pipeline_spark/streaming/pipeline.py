@@ -271,11 +271,14 @@ class ParquetTable:
                 for line in f.read().splitlines():
                     parts = line.split("\t")
                     if parts and parts[0] == v:
-                        return (
-                            json.loads(parts[2])
-                            if len(parts) > 2 and parts[2]
-                            else None
-                        )
+                        if len(parts) <= 2 or not parts[2]:
+                            return None
+                        meta = json.loads(parts[2])
+                        # Valid JSON that is not an object (log corruption
+                        # or a future format change) must degrade to the
+                        # safe plain-parquet read, not crash callers that
+                        # .get() on it (ADVICE r9).
+                        return meta if isinstance(meta, dict) else None
         except (FileNotFoundError, ValueError):
             pass
         return None

@@ -56,6 +56,11 @@ def main() -> None:
     results: dict[str, dict] = {}
     if subset and OUT.exists():
         results = json.loads(OUT.read_text())
+    # After a driver-side stall the abandoned daemon worker keeps executing
+    # (py4j plan construction; Spark work outside the cancelled group), so
+    # every LATER timing shares the machine with that zombie (ADVICE r9).
+    # Correctness outcomes are still valid; timings are not — flag them.
+    tainted_by: str | None = None
     for name in subset or ORIGINAL_ORDER:
         q = REGISTRY.get(name)
         if q is None:
@@ -95,11 +100,16 @@ def main() -> None:
         sec = round(time.perf_counter() - t0, 2)
         if worker.is_alive():
             results[name] = {"status": "timeout", "sec": sec,
-                             "where": "driver-side (thread still alive)"}
-            print(f"TIMEOUT    {name}: driver-side stall at {sec}s",
-                  flush=True)
+                             "where": "driver-side (thread still alive)",
+                             "note": "subsequent timings unreliable — "
+                                     "zombie worker still running"}
+            tainted_by = name
+            print(f"TIMEOUT    {name}: driver-side stall at {sec}s "
+                  f"(remaining timings tainted)", flush=True)
         elif outcome.get("ok"):
             results[name] = {"status": "ok", "sec": sec}
+            if tainted_by:
+                results[name]["tainted_by"] = tainted_by
             print(f"ok         {name}: {sec}s", flush=True)
         else:
             msg = outcome.get("error", "worker died without outcome")

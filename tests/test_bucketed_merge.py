@@ -230,3 +230,34 @@ def test_mismatched_bucket_spec_falls_back_to_plain_read(spark, tmp_path):
     df16 = resized.read()
     assert df16.count() == 150
     assert "Bucketed: true" not in df16._jdf.queryExecution().executedPlan().toString()
+
+
+def test_corrupt_commit_log_meta_degrades_to_plain_read(spark, tmp_path):
+    """ADVICE r9: a commit-log meta field that is valid JSON but NOT an
+    object (log corruption, future format change) must degrade to the
+    plain-parquet fallback, not crash _bucket_spec_valid with an
+    AttributeError mid-read."""
+    init, _ = _frames(spark)
+    path = str(tmp_path / "fact")
+    tbl = BucketedParquetTable(
+        spark, path, _SCHEMA, bucket_key="flight_key", n_buckets=8
+    )
+    tbl.overwrite(init.limit(100))
+    v = tbl.versions()[-1]
+    assert tbl._bucket_spec_valid(v)
+
+    # Corrupt the meta field of the committed line: valid JSON, not a dict.
+    log = tbl._log
+    lines = open(log).read().splitlines()
+    lines[-1] = "\t".join(lines[-1].split("\t")[:2] + ['["not","a","dict"]'])
+    with open(log, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    assert tbl._version_meta(v) is None
+    assert not tbl._bucket_spec_valid(v)
+    fresh = BucketedParquetTable(
+        spark, path, _SCHEMA, bucket_key="flight_key", n_buckets=8,
+        name=f"{tbl.name}_corrupt",
+    )
+    df = fresh.read()  # must not raise
+    assert df.count() == 100
