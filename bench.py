@@ -51,6 +51,17 @@ N_RUNS = 3
 CANARY_QUERY = "top_users_by_value"
 
 
+def _warm_head(spark, sf_dir: str) -> None:
+    """Untimed pass over the sweep head + rotation-window head (the
+    coldest plans). Shared by the initial warmup and the canary
+    convergence loop."""
+    for name in dict.fromkeys([*ORIGINAL_ORDER[:5], *list(REGISTRY)[:5]]):
+        if name in REGISTRY:
+            REGISTRY[name].builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+
 def _time_canary(spark, sf_dir: str) -> float:
     # One untimed run first: the canary measures HOST drift, so its own
     # plan/codegen state must be warm at both measurement points (the
@@ -160,18 +171,26 @@ def main() -> None:
         # codegen) at the front of the driver's window — r7's driver
         # sweep read docs_bpe_encode at 8.1 s vs 4.4 s warm for exactly
         # this reason.
-        for name in dict.fromkeys(
-            [*ORIGINAL_ORDER[:5], *list(REGISTRY)[:5]]
-        ):
-            if name in REGISTRY:
-                REGISTRY[name].builder(spark, sf_dir).write.format(
-                    "noop"
-                ).mode("overwrite").save()
+        _warm_head(spark, sf_dir)
     except Exception:
         traceback.print_exc(file=sys.stderr)
 
+    # Warm UNTIL CONVERGED (r8 verdict #6, carried to r9 #7): a single
+    # warmup pass still left start-of-sweep residual slowness — measured
+    # canary drift 0.764/0.798 across two rounds, below the [0.8, 1.25]
+    # noise band. Probe the canary until two consecutive probes agree
+    # within 10% (<= 3 repeats), re-running the head warmup between
+    # divergent probes; the LAST probe is the start sample, so it is by
+    # construction taken on a converged host/JIT state.
     try:
         canary_start = _time_canary(spark, sf_dir)
+        for _ in range(3):
+            probe = _time_canary(spark, sf_dir)
+            converged = abs(probe - canary_start) <= 0.10 * canary_start
+            canary_start = probe
+            if converged:
+                break
+            _warm_head(spark, sf_dir)
     except Exception:
         canary_start = None
         traceback.print_exc(file=sys.stderr)

@@ -3145,6 +3145,71 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle mirrors it exactly rather than approximating it.
 # ===========================================================================
 _SEM_ROUTE_SCALE = 1_000_000  # fixed-point routing quantum (1e-6)
+# Driver-collect budget for the semdedup codebook (K rows x dim doubles).
+# K = n^(2/3) stays tiny through every tested scale (3.4 MB at the 100x
+# corpus) but reaches ~512 MB at n = 1e9 vectors; above this budget the
+# query switches to the two-pass shuffle-by-super-cell assignment (the r8
+# shape) in which no driver-side collect grows with n (r9 verdict #8 —
+# previously this escape existed only as a comment).
+_SEM_CODEBOOK_MAX_BYTES = 256 << 20
+
+
+def _sem_d2q(a: Column, b: Column) -> Column:
+    """Quantized squared L2 between two array<double> columns: the engine-
+    side twin of the kernel path's ``_route_fp`` (floor(d2*1e6 + 0.5) as
+    int64, so a last-ulp float difference cannot flip a route except
+    exactly at a 1e-6 quantum boundary — same residual the kernel has)."""
+    d2 = V.dot(a, a) - 2 * V.dot(a, b) + V.dot(b, b)
+    return F.floor(d2 * _SEM_ROUTE_SCALE + F.lit(0.5)).cast("long")
+
+
+def _semdedup_assign_two_pass(normed: DataFrame, k: int, c: int) -> DataFrame:
+    """Two-level assignment with NO driver-side codebook: route via
+    broadcast of the C = ceil(sqrt(K)) super-centroids (C stays <= ~1000
+    at n = 1e9 — genuinely tiny), then shuffle BOTH the vectors and the
+    K-row codebook by super-cell id and argmin within the slice. Two
+    corpus shuffles (groupBy vec_id x2) + one codebook shuffle instead of
+    the kernel path's zero — the price of never holding K rows in one
+    place. Tie-breaks mirror the kernel exactly: smallest quantized d2,
+    then smallest centroid id (min_by over a (d, id) struct == first
+    argmin over an id-sorted codebook)."""
+    cents = normed.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("vn").alias("cvn")
+    )
+    supers = normed.filter(F.col("vec_id") < c).select(
+        F.col("vec_id").alias("sid"), F.col("vn").alias("svn")
+    )
+
+    def _route(df, id_col, vec_col):
+        d = _sem_d2q(F.col(vec_col), F.col("svn"))
+        return (
+            df.join(F.broadcast(supers))
+            .groupBy(id_col)
+            .agg(
+                F.min_by(
+                    "sid", F.struct(d.alias("d"), F.col("sid").alias("t"))
+                ).alias("sid"),
+                F.any_value(vec_col).alias(vec_col),
+            )
+        )
+
+    cent_routed = _route(cents, "cid", "cvn")
+    vec_routed = _route(normed, "vec_id", "vn")
+    d_fine = _sem_d2q(F.col("vn"), F.col("cvn"))
+    # shuffle_hash, not broadcast: the codebook side is an unbounded
+    # corpus-derived aggregate — exactly the statically-misplanned
+    # broadcast class the 100x tier caught twice (r8).
+    return (
+        vec_routed.join(cent_routed.hint("shuffle_hash"), "sid")
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                "cid", F.struct(d_fine.alias("d"), F.col("cid").alias("t"))
+            ).alias("cid"),
+            F.any_value("vn").alias("vn"),
+        )
+        .select("vec_id", "cid", "vn")
+    )
 
 
 def _sem2_oracle() -> str:
@@ -3317,67 +3382,78 @@ def q_embedding_semdedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Codebook collect: K = n^(2/3) rows of dim doubles — 3.4 MB at the
     # 100x corpus, ~512 MB at n = 1e9 vectors. Holding the codebook in
     # one place is inherent to k-means-family structures (same bound as
-    # the broadcast the join-based form used); past executor-broadcast
-    # comfort the documented fallback is the two-pass form: shuffle by
-    # super-cell, join each sid's codebook slice (the r8 shape).
-    crows = sorted(
-        normed.filter(F.col("vec_id") < k).collect(), key=lambda r: r.vec_id
-    )
-    cid_arr = np.array([r.vec_id for r in crows], dtype=np.int64)
-    cmat = np.array([r.vn for r in crows], dtype=np.float64)
-    smask = cid_arr < c
-    sid_arr, smat = cid_arr[smask], cmat[smask]
+    # the broadcast the join-based form used); past the driver-collect
+    # budget the query switches IN CODE to the two-pass form (shuffle by
+    # super-cell, join each sid's codebook slice — the r8 shape), so no
+    # driver collect here grows unbounded with n (r9 verdict #8).
+    dim = len(normed.select("vn").head()[0])
+    if k * dim * 8 > _SEM_CODEBOOK_MAX_BYTES:
+        cells = _semdedup_assign_two_pass(normed, k, c).localCheckpoint(
+            eager=False
+        )
+    else:
+        crows = sorted(
+            normed.filter(F.col("vec_id") < k).collect(),
+            key=lambda r: r.vec_id,
+        )
+        cid_arr = np.array([r.vec_id for r in crows], dtype=np.int64)
+        cmat = np.array([r.vn for r in crows], dtype=np.float64)
+        smask = cid_arr < c
+        sid_arr, smat = cid_arr[smask], cmat[smask]
 
-    def _route_fp(x_mat, c_mat):
-        """Fixed-point squared-L2 matrix: round(d2 * 1e6) as int64.
-        BLAS sums in a different order than the oracle's sequential
-        fold, so routing compares QUANTIZED integers (with id
-        tie-breaks via first-argmin over id-sorted codebooks) — a
-        last-ulp float difference can never flip a route."""
-        xx = np.einsum("ij,ij->i", x_mat, x_mat)
-        cc = np.einsum("ij,ij->i", c_mat, c_mat)
-        d2 = xx[:, None] - 2.0 * (x_mat @ c_mat.T) + cc[None, :]
-        return np.floor(d2 * _SEM_ROUTE_SCALE + 0.5).astype(np.int64)
+        def _route_fp(x_mat, c_mat):
+            """Fixed-point squared-L2 matrix: round(d2 * 1e6) as int64.
+            BLAS sums in a different order than the oracle's sequential
+            fold, so routing compares QUANTIZED integers (with id
+            tie-breaks via first-argmin over id-sorted codebooks) — a
+            last-ulp float difference can never flip a route."""
+            xx = np.einsum("ij,ij->i", x_mat, x_mat)
+            cc = np.einsum("ij,ij->i", c_mat, c_mat)
+            d2 = xx[:, None] - 2.0 * (x_mat @ c_mat.T) + cc[None, :]
+            return np.floor(d2 * _SEM_ROUTE_SCALE + 0.5).astype(np.int64)
 
-    # Centroid->super routing computed driver-side (K x C, tiny).
-    cent_sid = sid_arr[np.argmin(_route_fp(cmat, smat), axis=1)]
-    bc = spark.sparkContext.broadcast((cid_arr, cmat, cent_sid, sid_arr, smat))
+        # Centroid->super routing computed driver-side (K x C, tiny).
+        cent_sid = sid_arr[np.argmin(_route_fp(cmat, smat), axis=1)]
+        bc = spark.sparkContext.broadcast(
+            (cid_arr, cmat, cent_sid, sid_arr, smat)
+        )
 
-    def _assign(batches):
-        import numpy as np  # noqa: PLC0415 — worker-side import
-        import pandas as pd  # noqa: PLC0415
+        def _assign(batches):
+            import numpy as np  # noqa: PLC0415 — worker-side import
+            import pandas as pd  # noqa: PLC0415
 
-        cid_a, cmat_a, cent_sid_a, sid_a, smat_a = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x_mat = np.stack(pdf["vn"].to_numpy()).astype(np.float64)
-            route = sid_a[np.argmin(_route_fp(x_mat, smat_a), axis=1)]
-            cid_out = np.empty(len(pdf), dtype=np.int64)
-            for s in np.unique(route):
-                rmask = route == s
-                cmask = cent_sid_a == s
-                sub = _route_fp(x_mat[rmask], cmat_a[cmask])
-                cid_out[rmask] = cid_a[cmask][np.argmin(sub, axis=1)]
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "cid": cid_out,
-                    "vn": pdf["vn"],
-                }
-            )
+            cid_a, cmat_a, cent_sid_a, sid_a, smat_a = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x_mat = np.stack(pdf["vn"].to_numpy()).astype(np.float64)
+                route = sid_a[np.argmin(_route_fp(x_mat, smat_a), axis=1)]
+                cid_out = np.empty(len(pdf), dtype=np.int64)
+                for s in np.unique(route):
+                    rmask = route == s
+                    cmask = cent_sid_a == s
+                    sub = _route_fp(x_mat[rmask], cmat_a[cmask])
+                    cid_out[rmask] = cid_a[cmask][np.argmin(sub, axis=1)]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "cid": cid_out,
+                        "vn": pdf["vn"],
+                    }
+                )
 
-    # Two-level assignment as a PURE MAP (r9): coarse route n*C dots +
-    # fine argmin over the routed super-cell's ~K/C centroids, both as
-    # Arrow-batched BLAS against the broadcast codebook. The r8 form
-    # exploded n*C (and n*K/C) joined rows each carrying the 64-double
-    # vector through broadcast-join + min_by — at the 100x corpus that
-    # interpreted explosion was the query's dominant term once the
-    # pairwise kernel landed. Zero shuffles here; the groupBy(cid) in
-    # the dup kernel below is the query's ONLY corpus shuffle.
-    cells = normed.mapInPandas(
-        _assign, schema="vec_id long, cid long, vn array<double>"
-    ).localCheckpoint(eager=False)  # lazy barrier (r6 verdict #1)
+        # Two-level assignment as a PURE MAP (r9): coarse route n*C dots
+        # + fine argmin over the routed super-cell's ~K/C centroids, both
+        # as Arrow-batched BLAS against the broadcast codebook. The r8
+        # form exploded n*C (and n*K/C) joined rows each carrying the
+        # 64-double vector through broadcast-join + min_by — at the 100x
+        # corpus that interpreted explosion was the query's dominant term
+        # once the pairwise kernel landed. Zero shuffles here; the
+        # groupBy(cid) in the dup kernel below is the query's ONLY corpus
+        # shuffle.
+        cells = normed.mapInPandas(
+            _assign, schema="vec_id long, cid long, vn array<double>"
+        ).localCheckpoint(eager=False)  # lazy barrier (r6 verdict #1)
     # Within-cell pairwise pass as the BLAS Gram kernel (r8 verdict #1):
     # exact same dup set as the cid self-join (round-6 HALF_UP compare),
     # one cid shuffle instead of two join sides, zero materialized pair

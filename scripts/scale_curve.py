@@ -57,6 +57,7 @@ from real_time_flight_data_pipeline_spark.plans.catalog import (
     RETIRED_REGISTRY,
 )
 from real_time_flight_data_pipeline_spark.session import get_spark
+from real_time_flight_data_pipeline_spark.sources.parquet import load_table
 
 # embedding_semdedup retired from the driver rotation in r8 but stays the
 # measured flat baseline of the 2-level variant on this curve.
@@ -160,6 +161,66 @@ def build_corpus_100x(spark) -> None:
     e100.repartition(64).write.mode("overwrite").parquet(
         str(WORK / "sf100x" / "embeddings.parquet")
     )
+
+
+_KEY_OFF = 10_000_000  # per-copy key offset; every sf0.1 key is < 10M
+
+
+def build_relational_100x(spark) -> None:
+    """100 shape-preserving copies of the events/TPC-H tier (r9 verdict
+    next-#3: 82 of 147 queries had no 100x point — the static-broadcast
+    defect class was caught twice in the docs tier ONLY because that tier
+    had a third point). Facts and mid-size dims grow 100x with re-keyed
+    ids so per-key group sizes, join fan-outs, and referential integrity
+    are preserved: copy k's orders reference copy k's customers, so a
+    customer still has ~10 orders, a user still has ~67 events — only the
+    table cardinality grows (a naive fact-only 100x would instead give
+    every customer 100x the orders, a different workload). nation/region
+    stay fixed (they do not scale in TPC-H either). Copy 0 keeps original
+    keys and strings, so literal-key probes still hit; unique-ish name
+    strings are salted per copy so distinct-by-name shapes hold. Event
+    timestamps are left unchanged: 100x rows in the same window models
+    higher throughput, which is the scale axis the stream queries face."""
+    out = WORK / "sf100x"
+    out.mkdir(parents=True, exist_ok=True)
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )  # INT96 carries no stats -> no time-range pruning downstream
+    k = F.col("k")
+    plan = {
+        # table: (key cols re-keyed +k*OFF, string cols salted per copy)
+        "customer": (("c_custkey",), ("c_name",), 8),
+        "supplier": (("s_suppkey",), ("s_name",), 2),
+        "part": (("p_partkey",), ("p_name",), 8),
+        "orders": (("o_orderkey", "o_custkey"), (), 32),
+        "lineitem": (("l_orderkey", "l_partkey", "l_suppkey"), (), 64),
+        "events": (("event_id", "user_id"), (), 32),
+    }
+    for name, (key_cols, salt_cols, parts) in plan.items():
+        df = load_table(spark, BASE, name)
+        sel = []
+        for c in df.columns:
+            if c in key_cols:
+                sel.append((F.col(c) + k * _KEY_OFF).alias(c))
+            elif c in salt_cols:
+                sel.append(
+                    F.when(k == 0, F.col(c))
+                    .otherwise(F.concat(F.col(c), F.lit("_"), k.cast("string")))
+                    .alias(c)
+                )
+            else:
+                sel.append(F.col(c))
+        (
+            df.select("*", F.explode(F.sequence(F.lit(0), F.lit(99))).alias("k"))
+            .select(sel)
+            .repartition(parts)
+            .write.mode("overwrite")
+            .parquet(str(out / f"{name}.parquet"))
+        )
+    for name in ("nation", "region"):  # fixed-size dims: verbatim
+        load_table(spark, BASE, name).write.mode("overwrite").parquet(
+            str(out / f"{name}.parquet")
+        )
 
 
 def fit_exponent(points: list[tuple[float, float]]) -> float:

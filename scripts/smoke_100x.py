@@ -17,7 +17,10 @@ Classification per query:
   or a super-linear blowup; MUST be investigated, never allowlisted.
 - error: raised; message head recorded — broadcast OOMs land here.
 - skipped_other_tables: the builder needs tables the 100x corpus does
-  not synthesize (TPC-H/events tier); out of scope by construction.
+  not synthesize. Since r10 the corpus synthesizes the FULL table set
+  (scale_curve.build_relational_100x: 60M lineitem / 15M orders / 10M
+  events + re-keyed dims), so this status should no longer occur; it is
+  kept as a tripwire for future tables.
 
 Run: python scripts/smoke_100x.py        (writes scripts/smoke_100x_results.json)
 """
@@ -35,7 +38,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 from real_time_flight_data_pipeline_spark.plans import ORIGINAL_ORDER
 from real_time_flight_data_pipeline_spark.plans.catalog import REGISTRY
 from real_time_flight_data_pipeline_spark.session import get_spark
-from scale_curve import WORK, build_corpus_100x
+from scale_curve import WORK, build_corpus_100x, build_relational_100x
 
 CORPUS = WORK / "sf100x"
 WATCHDOG_SEC = 600
@@ -52,6 +55,8 @@ def main() -> None:
     spark = get_spark(app_name="flightframe-smoke-100x")
     if not (CORPUS / "documents.parquet").exists():
         build_corpus_100x(spark)
+    if not (CORPUS / "lineitem.parquet").exists():
+        build_relational_100x(spark)  # r10: events/TPC-H tier, no more skips
     sc = spark.sparkContext
     results: dict[str, dict] = {}
     if subset and OUT.exists():
