@@ -1,0 +1,177 @@
+"""Persisted IVF-PQ index: build once, probe many (r8 verdict ask #4).
+
+The catalog query ``embedding_ivfpq_topk`` trains its coarse and PQ
+codebooks in-query so the DuckDB oracle can verify every step bit-for-bit;
+a deployed ANN service trains ONCE and serves probes from a persisted
+layout. This module is that layout:
+
+    <path>/coarse/   K rows (cid, cv)            — trained coarse codebook
+    <path>/pq/       M*K rows (m, c, cs)         — trained PQ codebooks
+    <path>/cells/    n rows (vec_id, codes),     — PQ-encoded corpus,
+                     directory-partitioned by cell
+
+A probe reads the two tiny codebook tables plus ONLY the ``n_probe``
+probed cell partitions — the literal ``cell IN (...)`` filter is a static
+PartitionFilter, so (K - nprobe)/K of the corpus files are never opened —
+computes the M*K ADC distance table for the query engine-side, and scores
+candidates by code lookup. Raw vectors are never touched at probe time.
+
+Semantics are IDENTICAL to ``embedding_ivfpq_topk`` (same deterministic
+training, same fixed-point ADC, same tie-breaks), so a probe's top-k is
+bit-identical to the oracle-verified catalog query — pinned in
+``tests/test_ivfpq_index.py``. At 100 TB: build is the one heavy pass
+(train + encode + one shuffle to lay out by cell); each probe costs two
+tiny codebook reads + a scan of ~nprobe/K of the encoded corpus (codes
+are M bytes/vector, not dim*8), which is the faiss IVFADC serving shape
+re-expressed as parquet + partition pruning.
+
+Reference: Jegou'11 "Product Quantization for Nearest Neighbor Search"
+section III (IVFADC); composes the measured catalog ladder
+(embedding_kmeans_2iter, embedding_pq_adc_recall_trained).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+
+def build_ivfpq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """One-time heavy pass: train both codebooks, PQ-encode the corpus,
+    and lay it out partitioned by coarse cell."""
+    from ..plans.llm_ext import (  # noqa: PLC0415 — avoid import cycle
+        _km_assign,
+        _km_load,
+        _km_trained_centroids,
+        _pq_sub_d2_sql,
+        _pq_subs,
+        _pq_trained_cents,
+    )
+
+    e = _km_load(spark, sf_dir)
+    coarse = _km_trained_centroids(e).localCheckpoint(eager=False)
+    coarse.write.mode("overwrite").parquet(f"{path}/coarse")
+    cells = _km_assign(e, coarse)
+    subs = _pq_subs(e)
+    _pq_trained_cents(subs).write.mode("overwrite").parquet(f"{path}/pq")
+    # Read the codebook BACK for the encode join: the persisted table is
+    # the source of truth a later incremental batch will see, and its
+    # known file size lets Catalyst size the broadcast from statistics.
+    cents = spark.read.parquet(f"{path}/pq")
+    codes = (
+        subs.join(F.broadcast(cents), "m")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.expr(
+                f"min_by(c, struct({_pq_sub_d2_sql('xs', 'cs')} as d, "
+                f"c as c))"
+            ).alias("code")
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, code))), "
+                "s -> s.code)"
+            ).alias("codes")
+        )
+    )
+    (
+        codes.join(cells.withColumnRenamed("cid", "cell"), "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+
+
+def _query_lit(vals: Sequence[float]) -> F.Column:
+    """Literal array column via one JVM-parsed expression (repr() is the
+    shortest IEEE round-trip form, same convention as signature_col)."""
+    return F.expr("array(" + ", ".join(f"{float(v)!r}D" for v in vals) + ")")
+
+
+def probe_cells(
+    spark: SparkSession,
+    path: str,
+    query_vec: Sequence[float],
+    n_probe: int | None = None,
+) -> list[int]:
+    """Coarse routing: the query's ``n_probe`` nearest cell ids. A BOUNDED
+    collect (n_probe rows) — the only driver step of a probe; the ids
+    become the literal IN that turns the cells read into a static
+    partition prune instead of a join."""
+    from ..plans.llm_ext import _KM_NPROBE  # noqa: PLC0415 — import cycle
+
+    n_probe = _KM_NPROBE if n_probe is None else n_probe
+    qx = _query_lit(query_vec)
+    d = (
+        V.dot(qx, qx)
+        - 2 * V.dot(qx, F.col("cv"))
+        + V.dot(F.col("cv"), F.col("cv"))
+    )
+    return [
+        int(r.cid)
+        for r in spark.read.parquet(f"{path}/coarse")
+        .select("cid", d.alias("d"))
+        .orderBy("d", "cid")
+        .limit(n_probe)
+        .collect()
+    ]
+
+
+def probe_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """Serve one query from the persisted index. No training, no corpus
+    shuffle: nprobe cells' files + two codebook reads."""
+    from ..plans.llm_ext import (  # noqa: PLC0415 — avoid import cycle
+        _PQ_M,
+        _PQ_SCALE,
+        _PQ_SUB,
+    )
+
+    probed = probe_cells(spark, path, query_vec, n_probe)
+    # ADC distance table, M*K rows: same fixed-point pipeline as the
+    # catalog query's _pq_centd, with the query sliced engine-side.
+    qs = spark.createDataFrame(
+        [
+            (m, [float(v) for v in query_vec[m * _PQ_SUB : (m + 1) * _PQ_SUB]])
+            for m in range(_PQ_M)
+        ],
+        "m int, qsub array<double>",
+    )
+    qd = (
+        V.dot(F.col("qsub"), F.col("qsub"))
+        - 2 * V.dot(F.col("qsub"), F.col("cs"))
+        + V.dot(F.col("cs"), F.col("cs"))
+    )
+    centd = (
+        spark.read.parquet(f"{path}/pq")
+        .join(F.broadcast(qs), "m")
+        .select("m", "c", F.round(qd * _PQ_SCALE).cast("long").alias("qd_fp"))
+    )
+    cand = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell").isin([int(c) for c in probed])
+    )
+    scored = (
+        cand.select("vec_id", "cell", F.posexplode("codes").alias("m", "code"))
+        .join(F.broadcast(centd), "m")
+        .filter(F.col("code") == F.col("c"))
+        .groupBy("vec_id")
+        .agg(
+            F.any_value("cell").alias("cell"),
+            F.sum("qd_fp").alias("adc_fp"),
+        )
+    )
+    return (
+        scored.orderBy("adc_fp", "vec_id")
+        .limit(k)
+        .select("vec_id", F.col("cell").cast("long").alias("cell"), "adc_fp")
+    )

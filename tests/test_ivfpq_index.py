@@ -1,0 +1,110 @@
+"""Build-once / probe-many for IVF-PQ (r8 verdict ask #4, carried r9 #4).
+
+The catalog's embedding_ivfpq_topk rebuilds its index in-query (so the
+oracle can verify training); this pins the DEPLOYED shape: train+encode
+persisted once by operators/ann_index.build_ivfpq_index, then probes that
+(a) return the bit-identical top-k the oracle-verified catalog query
+returns, (b) prune the corpus scan to the nprobe probed cell partitions
+(static PartitionFilters — no other partition's files are opened), and
+(c) never touch the raw embeddings table at probe time.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_flight_data_pipeline_spark.operators.ann_index import (
+    build_ivfpq_index,
+    probe_cells,
+    probe_ivfpq_index,
+)
+from real_time_flight_data_pipeline_spark.plans.catalog import REGISTRY
+from real_time_flight_data_pipeline_spark.sources.parquet import load_table
+
+from .conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    build_ivfpq_index(spark, SF_CORRECT, path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def query_vec(spark):
+    # The catalog query's query vector: corpus vec_id 0.
+    row = (
+        load_table(spark, SF_CORRECT, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("x"))
+        .head()
+    )
+    return list(row.x)
+
+
+def test_probe_matches_catalog_query(spark, index_path, query_vec):
+    got = sorted(
+        tuple(r) for r in probe_ivfpq_index(spark, index_path, query_vec).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["embedding_ivfpq_topk"].builder(spark, SF_CORRECT).collect()
+    )
+    assert got == want
+
+
+def _scan_metrics(df, name: str) -> list[int]:
+    plan = df._jdf.queryExecution().executedPlan()
+    leaves = plan.collectLeaves()
+    vals = []
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        if m.contains(name):
+            vals.append(m.apply(name).value())
+    return vals
+
+
+def test_probe_prunes_to_probed_partitions(spark, index_path, query_vec):
+    n_cells = len(glob.glob(f"{index_path}/cells/cell=*"))
+    assert n_cells > 4, "corpus must span more cells than nprobe"
+    probed = probe_cells(spark, index_path, query_vec)
+    assert len(probed) == 4
+
+    # The literal IN must land as a partition filter on the cells scan...
+    cand = spark.read.parquet(f"{index_path}/cells").filter(
+        F.col("cell").isin(probed)
+    )
+    cand.collect()
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    part = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in part
+
+    # ...and the executed scan's OWN metric must count exactly the probed
+    # partitions' files — the scanned-file-count assertion (r9 ask #4),
+    # not a plan-string promise. inputFiles() can't show this: it lists
+    # the relation pre-pruning.
+    probed_files = sum(
+        len(glob.glob(f"{index_path}/cells/cell={c}/*.parquet"))
+        for c in probed
+    )
+    total_files = len(glob.glob(f"{index_path}/cells/cell=*/*.parquet"))
+    num_files = _scan_metrics(cand, "numFiles")
+    assert num_files == [probed_files]
+    assert probed_files < total_files
+
+
+def test_probe_is_training_free(spark, index_path, query_vec):
+    """A probe's plan reads exactly three index tables — no k-means / PQ
+    training stages (the catalog query's in-query build has ~10 extra
+    aggregates); structurally: no scan outside the index path and no
+    localCheckpoint barriers (training's signature in the plans)."""
+    probe = probe_ivfpq_index(spark, index_path, query_vec)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "embeddings.parquet" not in plan
+    # pq + cells; coarse is consumed by the bounded driver-side nprobe
+    # collect, and the query slices are a LocalTableScan.
+    assert plan.count("FileScan") == 2
