@@ -26,6 +26,7 @@ from ..operators import similarity as SIM
 from .catalog import _register, _register_retired, _spread, _t
 from .northstar import (
     _NEAR_CORPUS_SQL,
+    _PACK_TOKENS,
     _SQL_LANG_COUNTS,
     _SQL_TOKS,
     _near_corpus,
@@ -1968,6 +1969,19 @@ _ORDER_HEAD = 500  # emitted prefix of the global training order
 )
 def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    keyed = _curriculum_keyed(spark, docs)
+    return (
+        keyed.orderBy("vkey", "tie", "doc_id")
+        .limit(_ORDER_HEAD)
+        .select("doc_id", "lang", "lang_rank", "vkey")
+    )
+
+
+def _curriculum_keyed(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The stride-scheduled curriculum keying shared by docs_training_order
+    and docs_packing_efficiency: per-language mix weights -> integer
+    strides -> (doc_id, lang, tie, lang_rank, vkey) with the distributed
+    per-language enumeration (no per-language single-reducer window)."""
     t = docs.groupBy("lang").agg(
         F.sum(F.size(TX.tokens(F.col("text")))).cast("long").alias("n_tokens")
     )
@@ -2027,17 +2041,12 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lang_rank"),
     )
-    keyed = ranked.join(F.broadcast(w), "lang").select(
+    return ranked.join(F.broadcast(w), "lang").select(
         "doc_id",
         "lang",
         "lang_rank",
         ((2 * F.col("lang_rank") - 1) * F.col("inv_w")).alias("vkey"),
         "tie",
-    )
-    return (
-        keyed.orderBy("vkey", "tie", "doc_id")
-        .limit(_ORDER_HEAD)
-        .select("doc_id", "lang", "lang_rank", "vkey")
     )
 
 
@@ -4686,4 +4695,421 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top10 = adc.orderBy("adc_fp", "vec_id").limit(10)
     return F.broadcast(top10).join(cand, "vec_id").select(
         "vec_id", "cell", "adc_fp"
+    )
+
+
+# ===========================================================================
+# Incremental index maintenance (r10): assign a NEW vector batch to the
+# cells of a codebook trained on HISTORY ONLY — no retraining — and
+# near-dup the batch against in-cell history. This is the write path of
+# the persisted IVF index (operators/ann_index.py): history's assignment
+# stands in for the persisted cell layout; the batch pays K broadcast
+# dots per vector plus one within-cell candidate join, never a corpus
+# re-shuffle or a training pass.
+# ===========================================================================
+def _inc_index_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    hist AS MATERIALIZED (SELECT vec_id, x FROM e WHERE vec_id % 10 <> 9),
+    batch AS MATERIALIZED (
+      SELECT vec_id, x FROM e WHERE vec_id % 10 = 9
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(x, v -> v * 1.01) AS x
+      FROM e WHERE vec_id % 10 = 0
+    ),
+    c1 AS (SELECT vec_id AS cid, x AS cv FROM hist
+           WHERE vec_id BETWEEN 0 AND {_KM_K - 1}),
+    a1 AS ({_km_sql_assign("hist", "c1")}),
+    comp AS (
+      SELECT a1.cid, generate_subscripts(h.x, 1) AS pos, unnest(h.x) AS v
+      FROM hist h JOIN a1 USING (vec_id)
+    ),
+    sums AS (
+      SELECT cid, pos, SUM(CAST(round(v * {_KM_SCALE}) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM comp GROUP BY cid, pos
+    ),
+    c2 AS MATERIALIZED (
+      SELECT cid, list(CAST(s AS DOUBLE) / n / {_KM_SCALE} ORDER BY pos) AS cv
+      FROM sums GROUP BY cid
+    ),
+    hcells AS ({_km_sql_assign("hist", "c2")}),
+    bcells AS MATERIALIZED ({_km_sql_assign("batch", "c2")}),
+    hn AS (
+      SELECT vec_id, list_transform(x, v -> v / n) AS vn
+      FROM (SELECT *, sqrt(list_dot_product(x, x)) AS n FROM hist)
+    ),
+    bn AS (
+      SELECT vec_id, list_transform(x, v -> v / n) AS vn
+      FROM (SELECT *, sqrt(list_dot_product(x, x)) AS n FROM batch)
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM bcells b
+      JOIN hcells h ON b.cid = h.cid
+      JOIN bn ON bn.vec_id = b.vec_id
+      JOIN hn ON hn.vec_id = h.vec_id
+      WHERE round(list_dot_product(bn.vn, hn.vn), 6) >= {_SEM_TAU}
+    )
+    SELECT b.vec_id, b.cid,
+           (b.vec_id IN (SELECT vec_id FROM dups)) AS is_dup
+    FROM bcells b
+    """
+
+
+@_register(
+    "embedding_incremental_index",
+    _inc_index_oracle(),
+    "Incremental ANN-index maintenance: a new vector batch (the held-out "
+    "tenth of the corpus plus planted scaled copies, which keep cosine "
+    "exactly 1.0) is assigned to the cells of a k-means codebook trained "
+    "on HISTORY ONLY — the exact one-update training of "
+    "embedding_kmeans_2iter, never re-run on the batch — then near-dup'd "
+    "against in-cell history vectors (round-6 cosine >= 0.99, the "
+    "SemDeDup threshold). This is the arrival path of a production "
+    "vector index: history's assignment stands in for the persisted "
+    "cell-partitioned layout (operators/ann_index.py is the build side; "
+    "tests/test_ivfpq_index.py pins that layout's probe), and the batch "
+    "pays K broadcast dots per vector + one within-cell batch-x-history "
+    "join — no corpus re-shuffle, no retraining. Normalized vectors are "
+    "carried THROUGH the argmin aggregate (min_by struct), so each side "
+    "is assigned in one pass; the in-cell join explicitly hints "
+    "shuffle_hash on the history side — a corpus-derived aggregate must "
+    "never be statically broadcast (the r8 100x lesson). Scale shape: "
+    "batch cost scales with |batch|, not |history|; the within-cell "
+    "candidate term is bounded by cell occupancy exactly as in SemDeDup",
+    reference="[NORTH-STAR] incremental IVF maintenance (faiss add-"
+    "after-train); composes embedding_kmeans_2iter training + SemDeDup "
+    "in-cell dedup; build-side twin of operators/ann_index.py",
+    tags=("similarity", "dedup", "northstar", "iterative"),
+)
+def q_embedding_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _km_load(spark, sf_dir)
+    hist = e.filter(F.col("vec_id") % 10 != 9)
+    batch = e.filter(F.col("vec_id") % 10 == 9).unionByName(
+        e.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(F.col("x"), lambda v: v * 1.01).alias("x"),
+        )
+    )
+    cents = _km_trained_centroids(hist).localCheckpoint(eager=False)
+    d = (
+        V.dot(F.col("x"), F.col("x"))
+        - 2 * V.dot(F.col("x"), F.col("cv"))
+        + V.dot(F.col("cv"), F.col("cv"))
+    )
+
+    def _assign_carry(df: DataFrame) -> DataFrame:
+        # Normalized vector rides through the argmin (house pattern: no
+        # join-back to the source frame; one aggregate per side).
+        normed = df.withColumn("n", V.norm(F.col("x"))).select(
+            "vec_id",
+            "x",
+            F.transform(F.col("x"), lambda v: v / F.col("n")).alias("vn"),
+        )
+        return (
+            normed.join(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    "cid", F.struct(d.alias("d"), F.col("cid").alias("c"))
+                ).alias("cid"),
+                F.any_value("vn").alias("vn"),
+            )
+        )
+
+    b = _assign_carry(batch).localCheckpoint(eager=False)  # reused twice
+    h = _assign_carry(hist)
+    dups = (
+        b.alias("b")
+        .join(h.hint("shuffle_hash").alias("h"), "cid")
+        .filter(F.round(V.dot(F.col("b.vn"), F.col("h.vn")), 6) >= _SEM_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        b.select("vec_id", "cid")
+        .join(dups.withColumn("is_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+# ===========================================================================
+# Packing efficiency under the curriculum order (r10): compose
+# docs_training_order's stride-scheduled global order with
+# docs_sequence_packing's contiguous-bin model and measure what the
+# interleave costs in document fragmentation — the number a training team
+# reads before choosing concat-then-chunk packing over per-doc padding.
+# ===========================================================================
+def _packing_eff_oracle() -> str:
+    return f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, lang, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+             {_sql_md5_long("'order:' || CAST(doc_id AS VARCHAR)")} AS tie
+      FROM documents
+    ),
+    t AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lt
+          FROM tok GROUP BY lang),
+    tot AS (SELECT CAST(sum(lt) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_langs FROM t),
+    w AS (
+      SELECT lang,
+             CAST(round({_ORDER_FX} / least({_MIX_CAP},
+                  (1.0 / n_langs) / (CAST(lt AS DOUBLE) / total)))
+                  AS BIGINT) AS inv_w
+      FROM t CROSS JOIN tot
+    ),
+    keyed AS (
+      SELECT tok.doc_id, tok.lang, tok.n_tokens, tok.tie,
+             (2 * CAST(row_number() OVER (PARTITION BY tok.lang
+                       ORDER BY tok.tie, tok.doc_id) AS BIGINT) - 1)
+             * w.inv_w AS vkey
+      FROM tok JOIN w USING (lang)
+    ),
+    pref AS MATERIALIZED (
+      SELECT *, CAST(sum(n_tokens) OVER (ORDER BY vkey, tie, doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                AS prefix_before
+      FROM keyed
+    ),
+    g AS (SELECT CAST((sum(n_tokens) + {_PACK_TOKENS - 1}) // {_PACK_TOKENS}
+                      AS BIGINT) AS n_bins,
+                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM pref)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS lang_tokens,
+           CAST(sum(CASE WHEN n_tokens > 0
+                          AND prefix_before // {_PACK_TOKENS}
+                              <> (prefix_before + n_tokens - 1)
+                                 // {_PACK_TOKENS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+           n_bins,
+           CAST(total_tokens AS DOUBLE) / (n_bins * {_PACK_TOKENS})
+             AS fill_ratio
+    FROM pref CROSS JOIN g
+    GROUP BY lang, n_bins, total_tokens
+    """
+
+
+@_register(
+    "docs_packing_efficiency",
+    _packing_eff_oracle(),
+    f"Packing efficiency of the curriculum order: documents are laid out "
+    "in docs_training_order's stride-scheduled GLOBAL order (vkey, tie, "
+    f"doc_id), concatenated, and chunked into {_PACK_TOKENS}-token bins "
+    "(docs_sequence_packing's contiguous model); per language this "
+    "reports how many documents the chunking splits across a bin "
+    "boundary, plus the global bin count and fill ratio — the "
+    "fragmentation cost of interleaving languages at mix-weight rates, "
+    "measured before anyone trains on it. The global prefix sum is "
+    "computed WITHOUT a global window: repartitionByRange on the order "
+    "key, partition-local running sums behind a checkpoint barrier, and "
+    "per-partition token offsets from a bounded n_partitions-row "
+    "aggregate (broadcast) — the same distributed-enumeration idiom as "
+    "docs_training_order, here summing tokens instead of counting rows. "
+    "The only unpartitioned window runs over that bounded aggregate "
+    "(n_partitions rows), never the corpus. ONE corpus shuffle for the "
+    "range partitioning (+1 for the doc_id token join); at 100 TB the "
+    "same plan writes the packed order as a repartitionByRange sorted "
+    "write with bins as a derived column",
+    reference="[NORTH-STAR] training-batch assembly: stride scheduling "
+    "(Waldspurger '95) x sequence packing; composes docs_training_order "
+    "+ docs_sequence_packing",
+    tags=("northstar", "curation", "window", "text"),
+)
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    keyed = _curriculum_keyed(spark, docs)
+    tok = docs.select(
+        "doc_id", TX.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    k2 = keyed.join(tok, "doc_id")
+    nparts = spark.sparkContext.defaultParallelism
+    part = (
+        k2.repartitionByRange(nparts, "vkey", "tie", "doc_id")
+        .sortWithinPartitions("vkey", "tie", "doc_id")
+        .select("*", F.spark_partition_id().alias("pid"))
+        .localCheckpoint(eager=False)
+    )
+    wloc = (
+        Window.partitionBy("pid")
+        .orderBy("vkey", "tie", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = part.withColumn(
+        "local_pref",
+        (F.sum("n_tokens").over(wloc) - F.col("n_tokens")).cast("long"),
+    )
+    grp = part.groupBy("pid").agg(
+        F.sum("n_tokens").cast("long").alias("ptok")
+    )
+    # Unpartitioned window over the BOUNDED per-partition aggregate
+    # (n_partitions rows) — post-aggregation by construction.
+    offw = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = grp.select(
+        "pid",
+        F.coalesce(F.sum("ptok").over(offw), F.lit(0))
+        .cast("long")
+        .alias("off"),
+    )
+    pref = loc.join(F.broadcast(offsets), "pid").withColumn(
+        "prefix_before", (F.col("off") + F.col("local_pref")).cast("long")
+    )
+    split = (F.col("n_tokens") > 0) & (
+        F.floor(F.col("prefix_before") / _PACK_TOKENS)
+        != F.floor(
+            (F.col("prefix_before") + F.col("n_tokens") - 1) / _PACK_TOKENS
+        )
+    )
+    totals = pref.agg(
+        F.floor((F.sum("n_tokens") + (_PACK_TOKENS - 1)) / _PACK_TOKENS)
+        .cast("long")
+        .alias("n_bins"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    return (
+        pref.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("lang_tokens"),
+            F.sum(split.cast("int")).cast("long").alias("n_split_docs"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            "n_split_docs",
+            "n_bins",
+            (
+                F.col("total_tokens").cast("double")
+                / (F.col("n_bins") * _PACK_TOKENS)
+            ).alias("fill_ratio"),
+        )
+    )
+
+
+# ===========================================================================
+# Cross-snapshot corpus dedup drift (r10): the orders_snapshot_diff CDC
+# pattern applied to the documents table's DEDUP IDENTITY — per content
+# fingerprint, how the duplicate structure moved between two corpus
+# snapshots (a crawl refresh): new content, vanished content, and
+# fingerprints whose duplicate multiplicity grew or shrank.
+# ===========================================================================
+def _snapshot_drift_oracle() -> str:
+    return rf"""
+    WITH v1 AS (
+      SELECT {_sql_md5_long("'fp:' || text")} AS fp,
+             CAST(count(*) AS BIGINT) AS n1
+      FROM documents WHERE doc_id % 5 <> 4 GROUP BY 1
+    ),
+    v2src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN regexp_replace(text, '\s+\S+\s*$', '')
+                  ELSE text END AS text
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    v2 AS (
+      SELECT {_sql_md5_long("'fp:' || text")} AS fp,
+             CAST(count(*) AS BIGINT) AS n2
+      FROM v2src GROUP BY 1
+    )
+    SELECT CASE WHEN v1.fp IS NULL THEN 'new_content'
+                WHEN v2.fp IS NULL THEN 'vanished'
+                WHEN n2 > n1 THEN 'dup_grown'
+                WHEN n2 < n1 THEN 'dup_shrunk'
+                ELSE 'stable' END AS change_type,
+           CAST(count(*) AS BIGINT) AS n_fingerprints,
+           CAST(sum(COALESCE(n2, 0) - COALESCE(n1, 0)) AS BIGINT)
+             AS docs_delta
+    FROM v1 FULL OUTER JOIN v2 ON v1.fp = v2.fp
+    GROUP BY 1
+    """
+
+
+@_register(
+    "docs_snapshot_dedup_drift",
+    _snapshot_drift_oracle(),
+    "Cross-snapshot corpus dedup drift: two corpus versions derive "
+    "deterministically from documents (v1 = 80% pre-refresh slice; v2 = "
+    "the refresh, where every 7th doc's tail token changed and every "
+    "11th doc gained an exact duplicate), each snapshot collapses to "
+    "(content fingerprint, multiplicity), and ONE keyed full outer join "
+    "classifies every fingerprint as new_content / vanished / dup_grown "
+    "/ dup_shrunk / stable with the net document delta per class — the "
+    "dedup-identity twin of orders_snapshot_diff, and the audit a "
+    "curation pipeline runs between crawls to see whether duplication "
+    "is accumulating faster than content. Scale shape: each snapshot "
+    "shuffles O(distinct fingerprints) after map-side partial counts "
+    "(never raw docs), the diff join is keyed on the fingerprint, and "
+    "the output is 5 rows; md5-prefix fingerprints (not xxhash64) keep "
+    "both engines hash-identical",
+    reference="SURVEY.md §2.7 M7 read-side complement on documents; "
+    "[NORTH-STAR] CDC/snapshot reconciliation x exact dedup; pairs with "
+    "orders_snapshot_diff (plans/relational_ext.py)",
+    tags=("dedup", "cdc", "northstar"),
+)
+def q_snapshot_dedup_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    fp = TX.md5_long(F.concat(F.lit("fp:"), F.col("text")))
+    v1 = (
+        docs.filter(F.col("doc_id") % 5 != 4)
+        .select(fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    mutated = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.regexp_replace("text", r"\s+\S+\s*$", ""),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    copies = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    v2 = (
+        mutated.unionByName(copies)
+        .select(fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    j = v1.withColumnRenamed("fp", "fp1").join(
+        v2.withColumnRenamed("fp", "fp2"),
+        F.col("fp1") == F.col("fp2"),
+        "full_outer",
+    )
+    change = (
+        F.when(F.col("fp1").isNull(), "new_content")
+        .when(F.col("fp2").isNull(), "vanished")
+        .when(F.col("n2") > F.col("n1"), "dup_grown")
+        .when(F.col("n2") < F.col("n1"), "dup_shrunk")
+        .otherwise("stable")
+    )
+    return (
+        j.select(
+            change.alias("change_type"),
+            (
+                F.coalesce(F.col("n2"), F.lit(0))
+                - F.coalesce(F.col("n1"), F.lit(0))
+            ).alias("delta"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum("delta").cast("long").alias("docs_delta"),
+        )
     )

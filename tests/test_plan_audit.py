@@ -43,6 +43,10 @@ _BNLJ_ALLOWED = {
     "docs_lsh_recall",  # same shape: 1-row truth-count x 1-row hit-count
     "events_value_equidepth_hist",  # 1-row quartile-boundary broadcast
     "embedding_ivfpq_topk",  # 1-row query-vector + nprobe-row probe-list broadcasts
+    "embedding_incremental_index",  # K-row trained-centroid broadcasts (k-means
+    # training + both assignment sides), same bounded shape as kmeans_2iter
+    "docs_packing_efficiency",  # 1-row grand-total (mix-weight chain) +
+    # 1-row bins-total broadcast cross joins
 }
 
 _ALL = sorted(REGISTRY)
@@ -73,6 +77,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     "rfm_purchase_segments",
     # 12-step lag post-aggregation over O(months) rows (~80 at any SF).
     "lineitem_monthly_revenue_yoy",
+    # per-partition token-offset cumsum post-aggregation over O(n_partitions)
+    # rows (the distributed-enumeration idiom's bounded offset table).
+    "docs_packing_efficiency",
 }
 
 
