@@ -103,6 +103,7 @@ def cell_pairwise_dups(
     vec_col: str = "vn",
     cell_col: str = "cid",
     round_decimals: int = 6,
+    max_cell_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Exact within-cell near-duplicate ids via a per-cell BLAS Gram kernel.
 
@@ -134,10 +135,17 @@ def cell_pairwise_dups(
     vectors, plus Arrow buffers) in one executor before ``_dups`` runs,
     so the real bound is max cell rows x (dim x 8 B x ~3) per executor
     core: ~1.5 GB for a 1M-member dim-64 cell. The SemDeDup caller keeps
-    cells at ~n^(1/3) average members (K = n^(2/3)), far inside that; a
-    caller with pathologically skewed cells must salt/split oversized
-    cells before the groupBy or fall back to the self-join form above a
-    cell-size threshold — blocking alone will not save it.
+    cells at ~n^(1/3) average members (K = n^(2/3)), far inside that.
+    Against PATHOLOGICAL skew the guard is in code, not advice
+    (r9 ADVICE): cells larger than ``max_cell_rows`` are routed to the
+    exact streaming self-join form — same fixed-point compare, no
+    whole-cell materialization, pair rows stream through the join — and
+    the two paths' outputs union (cells are disjoint, so no overlap).
+    The size pre-check is one map-combined count per cell (O(K) shuffled
+    rows) plus two broadcast joins against the oversized-cell id list —
+    empty by construction for the SemDeDup caller, which keeps the
+    default guard on. Pass ``max_cell_rows=None`` to skip the pre-check
+    entirely when the cell-size distribution is externally bounded.
 
     Fixed-point HALF_UP (floor(x*scale+0.5)) mirrors Spark's F.round /
     DuckDB's round for the positive-threshold compare; dots are IEEE
@@ -173,7 +181,41 @@ def cell_pairwise_dups(
             dup |= g.any(axis=0)
         return pd.DataFrame({id_col: ids[dup].astype(np.int64)})
 
-    return cells.groupBy(cell_col).applyInPandas(_dups, schema=f"{id_col} long")
+    def _kernel(df: DataFrame) -> DataFrame:
+        return df.groupBy(cell_col).applyInPandas(
+            _dups, schema=f"{id_col} long"
+        )
+
+    if max_cell_rows is None:
+        return _kernel(cells)
+
+    # Skew guard: route cells too large to materialize as one pandas
+    # group to the exact streaming self-join (identical fixed-point
+    # compare — floor(dot*scale + 0.5) >= thr — so path choice can never
+    # change the dup set). The oversized-id list is bounded above by
+    # n / max_cell_rows rows, safe to broadcast.
+    big_ids = (
+        cells.groupBy(cell_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_cell_rows)
+        .select(cell_col)
+    )
+    small_dups = _kernel(cells.join(F.broadcast(big_ids), cell_col, "anti"))
+    big = cells.join(F.broadcast(big_ids), cell_col, "semi")
+    a, b = big.alias("a"), big.alias("b")
+    pair_dot = V.dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    big_dups = (
+        a.join(
+            b,
+            (F.col(f"a.{cell_col}") == F.col(f"b.{cell_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(F.floor(pair_dot * scale + F.lit(0.5)) >= thr)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    # Cells are disjoint across the two paths, so a plain union suffices.
+    return small_dups.unionByName(big_dups)
 
 
 def topk_cosine_ivf(

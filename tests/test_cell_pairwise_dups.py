@@ -151,3 +151,55 @@ def test_block_edge_cell_sizes(spark, n):
     want = _ref_dups(ids, mat, tau)
     assert n - 1 in want
     assert got == want
+
+
+def test_skew_guard_routes_big_cells_to_self_join(spark):
+    """Cells above max_cell_rows must take the streaming self-join path
+    and produce the EXACT same dup set as the kernel; small cells in the
+    same input still take the kernel. Verified by result equality across
+    the guarded, unguarded, and reference forms."""
+    dim, tau = 4, 0.99
+    rng = np.random.RandomState(3)
+    rows = []
+    mats = {}
+    for cid, n in [(0, 60), (1, 7)]:  # cell 0 oversized under the test cap
+        mat = rng.randn(n, dim)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        mat[n - 1] = mat[0]
+        mat[n // 2] = mat[1]
+        mats[cid] = mat
+        base = cid * 1000
+        rows += [
+            (base + i, cid, [float(x) for x in mat[i]]) for i in range(n)
+        ]
+    df = spark.createDataFrame(rows, schema=CELL_SCHEMA).cache()
+    try:
+        guarded = SIM.cell_pairwise_dups(df, tau, max_cell_rows=20)
+        want = set()
+        for cid, mat in mats.items():
+            ids = np.arange(len(mat), dtype=np.int64) + cid * 1000
+            want |= _ref_dups(ids, mat, tau)
+        got = {r.vec_id for r in guarded.collect()}
+        assert got == want
+        # unguarded kernel agrees (path choice never changes the dup set)
+        unguarded = SIM.cell_pairwise_dups(df, tau, max_cell_rows=None)
+        assert {r.vec_id for r in unguarded.collect()} == want
+        # and the guarded plan actually contains BOTH paths: the Arrow
+        # kernel (small cells) and a join (the oversized cell).
+        plan = guarded._jdf.queryExecution().optimizedPlan().toString()
+        assert "FlatMapGroupsInPandas" in plan or "_dups" in plan
+        assert "Join" in plan
+    finally:
+        df.unpersist()
+
+
+def test_skew_guard_noop_when_no_big_cells(spark):
+    """With every cell under the cap, the guarded result equals the
+    unguarded kernel result (the self-join branch is empty)."""
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [1.0, 0.0]),
+        (3, 1, [0.0, 1.0]),
+    ]
+    got = _run_kernel(spark, rows, tau=0.99)
+    assert got == {2}
