@@ -87,6 +87,82 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     )
 
 
+def add_to_ivfpq_index(
+    spark: SparkSession, path: str, new_vectors: DataFrame
+) -> None:
+    """Incremental add (faiss add-after-train): assign and PQ-encode a new
+    vector batch with the PERSISTED codebooks — no retraining, no touch of
+    existing cell files — and append the encoded rows into their cell
+    partitions. ``new_vectors`` must carry (vec_id, embedding). Cost is
+    O(|batch|) broadcast dots + one |batch|-sized write; the catalog twin
+    (embedding_incremental_index) holds the assign-without-retrain
+    semantics to the DuckDB oracle, this is the persisted-layout side."""
+    from ..plans.llm_ext import (  # noqa: PLC0415 — avoid import cycle
+        _PQ_M,
+        _PQ_SUB,
+        _pq_sub_d2_sql,
+    )
+
+    e = new_vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    ).localCheckpoint(eager=False)
+    coarse = spark.read.parquet(f"{path}/coarse")
+    d = (
+        V.dot(F.col("x"), F.col("x"))
+        - 2 * V.dot(F.col("x"), F.col("cv"))
+        + V.dot(F.col("cv"), F.col("cv"))
+    )
+    cells = (
+        e.join(F.broadcast(coarse))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                "cid", F.struct(d.alias("d"), F.col("cid").alias("c"))
+            ).alias("cell")
+        )
+    )
+    subs = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(F.col("x"), m * _PQ_SUB + 1, _PQ_SUB).alias(
+                            "xs"
+                        ),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.xs")
+    cents = spark.read.parquet(f"{path}/pq")
+    codes = (
+        subs.join(F.broadcast(cents), "m")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.expr(
+                f"min_by(c, struct({_pq_sub_d2_sql('xs', 'cs')} as d, "
+                f"c as c))"
+            ).alias("code")
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, code))), "
+                "s -> s.code)"
+            ).alias("codes")
+        )
+    )
+    (
+        codes.join(cells, "vec_id")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+
+
 def _query_lit(vals: Sequence[float]) -> F.Column:
     """Literal array column via one JVM-parsed expression (repr() is the
     shortest IEEE round-trip form, same convention as signature_col)."""

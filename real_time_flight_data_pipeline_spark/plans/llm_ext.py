@@ -4707,6 +4707,21 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dots per vector plus one within-cell candidate join, never a corpus
 # re-shuffle or a training pass.
 # ===========================================================================
+def _km_sql_assign_q(src_e: str, src_c: str) -> str:
+    """Quantized variant of _km_sql_assign (round(d2 * 1e6) BIGINT, cid
+    tie-break): the engine side routes with BLAS, whose summation order
+    differs from the oracle's sequential fold, so the argmin must compare
+    fixed-point integers — the semdedup-2level routing convention."""
+    return f"""
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             CAST(round((list_dot_product(e.x, e.x) - 2*list_dot_product(e.x, c.cv)
+              + list_dot_product(c.cv, c.cv)) * {_SEM_ROUTE_SCALE}.0) AS BIGINT), c.cid) AS rn
+    FROM {src_e} e CROSS JOIN {src_c} c) WHERE rn = 1
+"""
+
+
 def _inc_index_oracle() -> str:
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
@@ -4718,9 +4733,23 @@ def _inc_index_oracle() -> str:
              list_transform(x, v -> v * 1.01) AS x
       FROM e WHERE vec_id % 10 = 0
     ),
-    c1 AS (SELECT vec_id AS cid, x AS cv FROM hist
-           WHERE vec_id BETWEEN 0 AND {_KM_K - 1}),
-    a1 AS ({_km_sql_assign("hist", "c1")}),
+    kv AS (
+      -- K = max({_KM_K}, ceil(sqrt(|hist|))) computed EXACTLY in integers
+      -- (same ladder idiom as semdedup's k^3 >= n^2 rule): a pinned K
+      -- collapses at scale — within-cell candidates grow O(b*n/K), so K
+      -- must grow with the corpus for the near-dup term to stay
+      -- O(b*sqrt(n)).
+      SELECT greatest({_KM_K},
+               CASE WHEN (k0-1)*(k0-1) >= n THEN k0-1
+                    WHEN k0*k0 >= n THEN k0
+                    WHEN (k0+1)*(k0+1) >= n THEN k0+1
+                    ELSE k0+2 END) AS k
+      FROM (SELECT CAST(sqrt(CAST(n AS DOUBLE)) AS BIGINT) AS k0, n
+            FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM hist))
+    ),
+    c1 AS (SELECT vec_id AS cid, x AS cv FROM hist CROSS JOIN kv
+           WHERE vec_id < kv.k),
+    a1 AS ({_km_sql_assign_q("hist", "c1")}),
     comp AS (
       SELECT a1.cid, generate_subscripts(h.x, 1) AS pos, unnest(h.x) AS v
       FROM hist h JOIN a1 USING (vec_id)
@@ -4734,8 +4763,8 @@ def _inc_index_oracle() -> str:
       SELECT cid, list(CAST(s AS DOUBLE) / n / {_KM_SCALE} ORDER BY pos) AS cv
       FROM sums GROUP BY cid
     ),
-    hcells AS ({_km_sql_assign("hist", "c2")}),
-    bcells AS MATERIALIZED ({_km_sql_assign("batch", "c2")}),
+    hcells AS ({_km_sql_assign_q("hist", "c2")}),
+    bcells AS MATERIALIZED ({_km_sql_assign_q("batch", "c2")}),
     hn AS (
       SELECT vec_id, list_transform(x, v -> v / n) AS vn
       FROM (SELECT *, sqrt(list_dot_product(x, x)) AS n FROM hist)
@@ -4764,21 +4793,26 @@ def _inc_index_oracle() -> str:
     "Incremental ANN-index maintenance: a new vector batch (the held-out "
     "tenth of the corpus plus planted scaled copies, which keep cosine "
     "exactly 1.0) is assigned to the cells of a k-means codebook trained "
-    "on HISTORY ONLY — the exact one-update training of "
-    "embedding_kmeans_2iter, never re-run on the batch — then near-dup'd "
-    "against in-cell history vectors (round-6 cosine >= 0.99, the "
-    "SemDeDup threshold). This is the arrival path of a production "
-    "vector index: history's assignment stands in for the persisted "
-    "cell-partitioned layout (operators/ann_index.py is the build side; "
-    "tests/test_ivfpq_index.py pins that layout's probe), and the batch "
-    "pays K broadcast dots per vector + one within-cell batch-x-history "
-    "join — no corpus re-shuffle, no retraining. Normalized vectors are "
-    "carried THROUGH the argmin aggregate (min_by struct), so each side "
-    "is assigned in one pass; the in-cell join explicitly hints "
-    "shuffle_hash on the history side — a corpus-derived aggregate must "
-    "never be statically broadcast (the r8 100x lesson). Scale shape: "
-    "batch cost scales with |batch|, not |history|; the within-cell "
-    "candidate term is bounded by cell occupancy exactly as in SemDeDup",
+    "on HISTORY ONLY — one exact assign/update pass "
+    "(embedding_kmeans_2iter's arithmetic) with a DATA-DERIVED "
+    "K = max(8, ceil(sqrt(|history|))) computed by the same exact-integer "
+    "ladder idiom as the semdedup K rule, never re-run on the batch — "
+    "then near-dup'd against in-cell history vectors (round-6 cosine >= "
+    "0.99, the SemDeDup threshold). This is the arrival path of a "
+    "production vector index: history's assignment stands in for the "
+    "persisted cell-partitioned layout (operators/ann_index.py is the "
+    "build side with add_to_ivfpq_index as this query's persisted twin; "
+    "tests/test_ivfpq_index.py pins layout, probe, and add), and the "
+    "batch pays K broadcast dots per vector + one within-cell "
+    "batch-x-history join — no corpus re-shuffle, no retraining. "
+    "Normalized vectors are carried THROUGH the argmin aggregate (min_by "
+    "struct), so each side is assigned in one pass; the in-cell join "
+    "explicitly hints shuffle_hash on the history side — a corpus-derived "
+    "aggregate must never be statically broadcast (the r8 100x lesson). "
+    "Scale shape: sqrt-K keeps the within-cell candidate term at "
+    "O(batch x sqrt(n)) — a pinned K would collapse to O(batch x n), the "
+    "exact anti-pattern the semdedup family's 100x point exposed; the "
+    "K-row codebook broadcast is ~sqrt(n) x dim doubles (16 MB at n=1e9)",
     reference="[NORTH-STAR] incremental IVF maintenance (faiss add-"
     "after-train); composes embedding_kmeans_2iter training + SemDeDup "
     "in-cell dedup; build-side twin of operators/ann_index.py",
@@ -4793,30 +4827,116 @@ def q_embedding_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame
             F.transform(F.col("x"), lambda v: v * 1.01).alias("x"),
         )
     )
-    cents = _km_trained_centroids(hist).localCheckpoint(eager=False)
-    d = (
-        V.dot(F.col("x"), F.col("x"))
-        - 2 * V.dot(F.col("x"), F.col("cv"))
-        + V.dot(F.col("cv"), F.col("cv"))
+    # K = max(_KM_K, ceil(sqrt(|hist|))) — data-derived, exact-integer
+    # (math.isqrt mirrors the oracle's CASE ladder): a pinned K would put
+    # n/K vectors per cell and the batch-vs-history candidate term would
+    # grow O(b*n); sqrt-K keeps it O(b*sqrt(n)), the same discipline the
+    # semdedup family learned at its 100x point. The count also
+    # materializes the lazy corpus checkpoint for every later job.
+    n_hist = hist.count()
+    if n_hist == 0:
+        # No history -> no centroids -> the oracle's bcells is empty, so
+        # the result is empty (and the codebook collect below would build
+        # a shape-(0,) matrix — the semdedup r9 lesson).
+        return batch.select(
+            "vec_id",
+            F.lit(0).cast("long").alias("cid"),
+            F.lit(False).alias("is_dup"),
+        ).limit(0)
+    k0 = math.isqrt(n_hist)
+    k = max(_KM_K, k0 if k0 * k0 >= n_hist else k0 + 1)
+
+    def _codebook(rows):
+        rows = sorted(rows, key=lambda r: r[0])
+        return (
+            np.array([r[0] for r in rows], dtype=np.int64),
+            np.array([list(r[1]) for r in rows], dtype=np.float64),
+        )
+
+    def _route(bc, carry: str):
+        """Arrow/BLAS nearest-centroid routing (the semdedup-2level
+        kernel shape): quantized fixed-point argmin with cid tie via
+        first-argmin over the id-sorted codebook, so a BLAS-vs-fold ulp
+        can never flip a route; the ``carry`` column rides through
+        untouched (its values stay exact-fold Spark arithmetic)."""
+
+        def fn(batches):
+            import numpy as np  # noqa: PLC0415 — worker-side import
+            import pandas as pd  # noqa: PLC0415
+
+            cid_a, cmat = bc.value
+            cc = np.einsum("ij,ij->i", cmat, cmat)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["x"].to_numpy()).astype(np.float64)
+                xx = np.einsum("ij,ij->i", x, x)
+                d2 = xx[:, None] - 2.0 * (x @ cmat.T) + cc[None, :]
+                q = np.floor(d2 * _SEM_ROUTE_SCALE + 0.5).astype(np.int64)
+                out = {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": cid_a[np.argmin(q, axis=1)],
+                    carry: pdf[carry],
+                }
+                yield pd.DataFrame(out)
+
+        return fn
+
+    # Training pass: route history against the K-row init codebook (a
+    # bounded driver collect — K = ceil(sqrt(n)) rows of dim doubles,
+    # ~16 MB even at n = 1e9; far under _SEM_CODEBOOK_MAX_BYTES), then
+    # the exact scaled-long centroid update engine-side. The r10 first
+    # cut executed these n*K dots as keyless-broadcast interpreted
+    # zip_with folds — measured 592 s at the 100x corpus, a whisker
+    # under the watchdog; the BLAS form is the same fix semdedup-2level
+    # shipped in r9.
+    bc1 = spark.sparkContext.broadcast(
+        _codebook(
+            [(r.vec_id, r.x) for r in hist.filter(F.col("vec_id") < k).collect()]
+        )
+    )
+    a1x = hist.mapInPandas(
+        _route(bc1, "x"), schema="vec_id long, cid long, x array<double>"
+    )
+    comp = a1x.select("cid", F.posexplode("x").alias("pos0", "v")).select(
+        "cid", (F.col("pos0") + 1).alias("pos"), "v"
+    )
+    sums = comp.groupBy("cid", "pos").agg(
+        F.sum(F.round(F.col("v") * _KM_SCALE).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cents = (
+        sums.select(
+            "cid",
+            F.struct(
+                "pos",
+                (F.col("s").cast("double") / F.col("n") / _KM_SCALE).alias(
+                    "m"
+                ),
+            ).alias("pm"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(F.array_sort(F.collect_list("pm")), lambda s: s.m)
+            .alias("cv")
+        )
+    )
+    bc2 = spark.sparkContext.broadcast(
+        _codebook([(r.cid, r.cv) for r in cents.collect()])
     )
 
     def _assign_carry(df: DataFrame) -> DataFrame:
-        # Normalized vector rides through the argmin (house pattern: no
-        # join-back to the source frame; one aggregate per side).
+        # Normalized vector rides through the route untouched; vn itself
+        # is exact-fold Spark arithmetic (the round-6 dup compare depends
+        # on its exact values), only the ROUTING is BLAS-quantized.
         normed = df.withColumn("n", V.norm(F.col("x"))).select(
             "vec_id",
             "x",
             F.transform(F.col("x"), lambda v: v / F.col("n")).alias("vn"),
         )
-        return (
-            normed.join(F.broadcast(cents))
-            .groupBy("vec_id")
-            .agg(
-                F.min_by(
-                    "cid", F.struct(d.alias("d"), F.col("cid").alias("c"))
-                ).alias("cid"),
-                F.any_value("vn").alias("vn"),
-            )
+        return normed.mapInPandas(
+            _route(bc2, "vn"),
+            schema="vec_id long, cid long, vn array<double>",
         )
 
     b = _assign_carry(batch).localCheckpoint(eager=False)  # reused twice

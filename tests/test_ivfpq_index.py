@@ -108,3 +108,70 @@ def test_probe_is_training_free(spark, index_path, query_vec):
     # pq + cells; coarse is consumed by the bounded driver-side nprobe
     # collect, and the query slices are a LocalTableScan.
     assert plan.count("FileScan") == 2
+
+
+def test_incremental_add_no_retrain(spark, tmp_path):
+    """Build on a history slice, add the held-out batch with the persisted
+    codebooks, and verify: (a) rows = history + batch, (b) every batch
+    vector landed in its nearest persisted coarse cell (recomputed
+    independently via probe_cells on the vector itself), (c) a probe
+    whose exact clone arrived IN THE BATCH returns that clone at ADC
+    distance equal to the original's — the added rows are first-class
+    probe results, and the codebooks provably did not move."""
+    from real_time_flight_data_pipeline_spark.operators.ann_index import (
+        add_to_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    hist_dir = str(tmp_path / "hist")
+    emb.filter(F.col("vec_id") % 10 != 9).write.parquet(
+        f"{hist_dir}/embeddings.parquet"
+    )
+    path = str(tmp_path / "index")
+    build_ivfpq_index(spark, hist_dir, path)
+    n_hist = spark.read.parquet(f"{path}/cells").count()
+
+    clone_src = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("x"))
+        .head()
+        .x
+    )
+    batch = emb.filter(F.col("vec_id") % 10 == 9).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(
+        spark.createDataFrame(
+            [(9_000_000, [float(v) for v in clone_src])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    add_to_ivfpq_index(spark, path, batch)
+
+    cells = spark.read.parquet(f"{path}/cells")
+    n_batch = batch.count()
+    assert cells.count() == n_hist + n_batch
+
+    # (b) spot-check assignments: each sampled batch vector's partition
+    # equals its nearest persisted coarse cell.
+    sample = emb.filter(F.col("vec_id") % 10 == 9).limit(5).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    ).collect()
+    placed = {
+        r.vec_id: r.cell
+        for r in cells.join(
+            spark.createDataFrame(
+                [(s.vec_id,) for s in sample], "vec_id long"
+            ),
+            "vec_id",
+            "semi",
+        ).collect()
+    }
+    for s in sample:
+        assert placed[s.vec_id] == probe_cells(spark, path, list(s.x), 1)[0]
+
+    # (c) the planted clone is a first-class probe result with the same
+    # ADC distance as its source vector.
+    top = probe_ivfpq_index(spark, path, [float(v) for v in clone_src], k=10)
+    rows = {r.vec_id: r.adc_fp for r in top.collect()}
+    assert 9_000_000 in rows and 0 in rows
+    assert rows[9_000_000] == rows[0]
