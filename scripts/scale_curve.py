@@ -98,6 +98,11 @@ QUERIES = [
     # decontamination sharing one tokenize. Its curve bounds the whole
     # curation pipeline, not just single operators.
     "docs_curation_funnel",
+    # r10: the incremental-index arrival path — sqrt-K training + BLAS
+    # routing + within-cell batch-vs-history dup join; its first cut
+    # (pinned K, interpreted dots) measured 592 s at 100x, so this query
+    # stays ON the curve to keep the fix measured.
+    "embedding_incremental_index",
 ]
 N_RUNS = 3
 # r7 verdict #3: the steepest 1x/10x exponents get a third point at 100x.
@@ -110,6 +115,9 @@ QUERIES_100X = [
     # r8: watchdog-timeout at the first 100x smoke (fixed bucket count ->
     # O(n^2) candidates); on the curve to keep the fix measured.
     "embedding_near_dup_pairs",
+    # r10: 592 s at its first 100x smoke (pinned K + interpreted routing);
+    # the sqrt-K + BLAS fix needs its three-point exponent on record.
+    "embedding_incremental_index",
 ]
 N_RUNS_100X = 2  # flat semdedup is O(n^1.5): minutes per run at 100x
 
