@@ -43,8 +43,8 @@ _BNLJ_ALLOWED = {
     "docs_lsh_recall",  # same shape: 1-row truth-count x 1-row hit-count
     "events_value_equidepth_hist",  # 1-row quartile-boundary broadcast
     "embedding_ivfpq_topk",  # 1-row query-vector + nprobe-row probe-list broadcasts
-    "embedding_incremental_index",  # K-row trained-centroid broadcasts (k-means
-    # training + both assignment sides), same bounded shape as kmeans_2iter
+    # (embedding_incremental_index left the list when its routing moved to
+    # the BLAS kernel — its plan now has zero BNLJ and stays gated.)
     "docs_packing_efficiency",  # 1-row grand-total (mix-weight chain) +
     # 1-row bins-total broadcast cross joins
 }
