@@ -87,16 +87,13 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     )
 
 
-def add_to_ivfpq_index(
+def encode_batch(
     spark: SparkSession, path: str, new_vectors: DataFrame
-) -> None:
-    """Incremental add (faiss add-after-train): assign and PQ-encode a new
-    vector batch with the PERSISTED codebooks — no retraining, no touch of
-    existing cell files — and append the encoded rows into their cell
-    partitions. ``new_vectors`` must carry (vec_id, embedding). Cost is
-    O(|batch|) broadcast dots + one |batch|-sized write; the catalog twin
-    (embedding_incremental_index) holds the assign-without-retrain
-    semantics to the DuckDB oracle, this is the persisted-layout side."""
+) -> DataFrame:
+    """Assign + PQ-encode a vector batch with the PERSISTED codebooks —
+    no retraining. Returns (vec_id, codes, cell); shared by the one-shot
+    add below and the streaming maintainer
+    (streaming/vector_index.py)."""
     from ..plans.llm_ext import (  # noqa: PLC0415 — avoid import cycle
         _PQ_M,
         _PQ_SUB,
@@ -155,8 +152,21 @@ def add_to_ivfpq_index(
             ).alias("codes")
         )
     )
+    return codes.join(cells, "vec_id")
+
+
+def add_to_ivfpq_index(
+    spark: SparkSession, path: str, new_vectors: DataFrame
+) -> None:
+    """Incremental add (faiss add-after-train): assign and PQ-encode a new
+    vector batch with the PERSISTED codebooks — no retraining, no touch of
+    existing cell files — and append the encoded rows into their cell
+    partitions. ``new_vectors`` must carry (vec_id, embedding). Cost is
+    O(|batch|) broadcast dots + one |batch|-sized write; the catalog twin
+    (embedding_incremental_index) holds the assign-without-retrain
+    semantics to the DuckDB oracle, this is the persisted-layout side."""
     (
-        codes.join(cells, "vec_id")
+        encode_batch(spark, path, new_vectors)
         .write.mode("append")
         .partitionBy("cell")
         .parquet(f"{path}/cells")
