@@ -6,7 +6,11 @@ records both sides at sf0.1: one build (train + encode + cell layout) and
 the median of repeated probes against the persisted layout — the number
 that shows probe latency is decoupled from training cost (r9 verdict #4).
 
-Run: python scripts/ivfpq_index_bench.py   (writes ivfpq_index_results.json)
+Run: python scripts/ivfpq_index_bench.py              (sf0.1)
+     python scripts/ivfpq_index_bench.py --100x       (the 100x corpus —
+         probe latency must stay decoupled as the corpus grows, since a
+         probe reads nprobe/K partitions + two codebooks, not the corpus)
+Writes/merges ivfpq_index_results.json keyed by tier.
 """
 
 from __future__ import annotations
@@ -30,27 +34,35 @@ from real_time_flight_data_pipeline_spark.session import get_spark
 from real_time_flight_data_pipeline_spark.sources.parquet import load_table
 
 SF = "/root/testdata/sf0.1"
+SF_100X = "/tmp/flightframe_scale/sf100x"
 INDEX = "/tmp/flightframe_ivfpq_index"
 N_PROBES = 5
 OUT = pathlib.Path(__file__).with_name("ivfpq_index_results.json")
 
 
 def main() -> None:
+    tier100 = "--100x" in sys.argv[1:]
+    sf_dir, tier = (SF_100X, "sf100x") if tier100 else (SF, "sf0.1")
     spark = get_spark(app_name="flightframe-ivfpq-index-bench")
+    if tier100 and not pathlib.Path(f"{sf_dir}/embeddings.parquet").exists():
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+        from scale_curve import build_corpus_100x  # noqa: PLC0415
+
+        build_corpus_100x(spark)
     qvec = list(
-        load_table(spark, SF, "embeddings")
+        load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == 0)
         .select(F.col("embedding").cast("array<double>").alias("x"))
         .head()
         .x
     )
     # Warmup: classloading/codegen on the catalog twin.
-    REGISTRY["embedding_ivfpq_topk"].builder(spark, SF).write.format(
+    REGISTRY["embedding_ivfpq_topk"].builder(spark, sf_dir).write.format(
         "noop"
     ).mode("overwrite").save()
 
     t0 = time.perf_counter()
-    build_ivfpq_index(spark, SF, INDEX)
+    build_ivfpq_index(spark, sf_dir, INDEX)
     build_sec = round(time.perf_counter() - t0, 3)
 
     probes = []
@@ -62,13 +74,13 @@ def main() -> None:
         probes.append(round(time.perf_counter() - t0, 3))
 
     t0 = time.perf_counter()
-    REGISTRY["embedding_ivfpq_topk"].builder(spark, SF).write.format(
+    REGISTRY["embedding_ivfpq_topk"].builder(spark, sf_dir).write.format(
         "noop"
     ).mode("overwrite").save()
     inquery_sec = round(time.perf_counter() - t0, 3)
 
     result = {
-        "sf": 0.1,
+        "tier": tier,
         "build_sec": build_sec,
         "probe_median_sec": round(statistics.median(probes), 3),
         "probe_runs": probes,
@@ -77,7 +89,11 @@ def main() -> None:
         "catalog_inquery_sec (train+probe fused) and build_sec "
         "(one-time).",
     }
-    OUT.write_text(json.dumps(result, indent=1))
+    merged = json.loads(OUT.read_text()) if OUT.exists() else {}
+    if "tier" not in merged and merged:  # legacy flat layout
+        merged = {"sf0.1": merged}
+    merged[tier] = result
+    OUT.write_text(json.dumps(merged, indent=1))
     print(json.dumps(result))
 
 
