@@ -90,11 +90,13 @@ class VectorIndexMaintainer:
         )
         added = deduped.localCheckpoint(eager=True)
         n_added = added.count()
+        # Count fresh BEFORE the append: a re-listing of the cells path
+        # after the write would see the just-added files and undercount.
+        n_fresh = fresh.count()
         if n_added:
             added.write.mode("append").partitionBy("cell").parquet(
                 f"{self.path}/cells"
             )
-        n_fresh = fresh.count()
         return IngestStats(
             n_batch=n_batch,
             n_replayed=n_batch - n_fresh,
