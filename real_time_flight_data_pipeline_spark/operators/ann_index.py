@@ -173,6 +173,118 @@ def add_to_ivfpq_index(
     )
 
 
+def _fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem for ``path`` (works on local FS and HDFS alike —
+    compaction must not assume posix)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def cell_file_counts(spark: SparkSession, path: str) -> dict[int, int]:
+    """Parquet part-file count per cell partition of ``<path>/cells`` —
+    the quantity threshold compaction bounds. Driver-side listing of K
+    directories (K = coarse codebook size, small by construction)."""
+    fs, jvm = _fs(spark, path)
+    root = jvm.org.apache.hadoop.fs.Path(f"{path}/cells")
+    counts: dict[int, int] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not st.isDirectory() or not name.startswith("cell="):
+            continue
+        n = 0
+        for f in fs.listStatus(st.getPath()):
+            if f.getPath().getName().endswith(".parquet"):
+                n += 1
+        counts[int(name.split("=", 1)[1])] = n
+    return counts
+
+
+def recover_compaction(spark: SparkSession, path: str) -> None:
+    """Finish or roll back a compaction swap that crashed mid-flight.
+
+    The swap protocol (``compact_index_cells``) per over-threshold cell is
+    two atomic directory renames: (A) live cell dir -> ``cells_old``, then
+    (B) staged dir -> live. Recovery is therefore mechanical:
+      - ``cells_old/cell=X`` present AND live ``cells/cell=X`` present →
+        crashed after (B): the swap completed, drop the old copy.
+      - ``cells_old/cell=X`` present, live missing, staged present →
+        crashed between (A) and (B): finish rename (B), then drop old.
+      - ``cells_old/cell=X`` present, live missing, staged missing →
+        cannot happen if staging is written before any rename (it is);
+        roll the old copy back anyway — content is never lost.
+    Idempotent; called automatically at the top of compact_index_cells."""
+    fs, jvm = _fs(spark, path)
+    hp = jvm.org.apache.hadoop.fs.Path
+    old_root = hp(f"{path}/cells_old")
+    if not fs.exists(old_root):
+        # No swap in flight; a crash between staging and the first rename
+        # leaves only an orphan staging dir — safe to drop (content is
+        # still fully live) and cheaper than carrying it forever.
+        fs.delete(hp(f"{path}/cells_staged"), True)
+        return
+    for st in fs.listStatus(old_root):
+        name = st.getPath().getName()
+        if not name.startswith("cell="):
+            continue
+        live = hp(f"{path}/cells/{name}")
+        staged = hp(f"{path}/cells_staged/{name}")
+        if fs.exists(live):
+            fs.delete(st.getPath(), True)
+        elif fs.exists(staged):
+            fs.rename(staged, live)
+            fs.delete(st.getPath(), True)
+        else:
+            fs.rename(st.getPath(), live)
+    fs.delete(old_root, True)
+    fs.delete(hp(f"{path}/cells_staged"), True)
+
+
+def compact_index_cells(
+    spark: SparkSession, path: str, max_files_per_cell: int = 8
+) -> list[int]:
+    """Rewrite cells whose part-file count exceeds the bound into one file
+    each (r10 verdict #2). Micro-batch appends accrete small part-files
+    inside cell partitions; a probe of nprobe cells then opens O(batches)
+    files and the measured flat probe latency drifts. This is the OPTIMIZE
+    step of the index lifecycle: content-preserving (same rows, so an ==
+    re-run after any crash is idempotent), reading ONLY the over-threshold
+    cells (static PartitionFilter — the same prune probes use).
+
+    Crash safety: the compacted copy is fully staged under
+    ``cells_staged`` BEFORE any live directory is touched; the swap is two
+    atomic renames per cell through a ``cells_old`` holding dir, and
+    ``recover_compaction`` (run first, fail-loud-free) finishes or rolls
+    back any interrupted swap. At no point is a cell's content only in
+    memory. Returns the compacted cell ids."""
+    recover_compaction(spark, path)
+    counts = cell_file_counts(spark, path)
+    over = sorted(c for c, n in counts.items() if n > max_files_per_cell)
+    if not over:
+        return []
+    fs, jvm = _fs(spark, path)
+    hp = jvm.org.apache.hadoop.fs.Path
+    # Stage: one file per cell. repartition by cell gives each cell's rows
+    # to one task; partitionBy then emits exactly one file per cell dir.
+    (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("cell").isin([int(c) for c in over]))
+        .repartition(len(over), "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells_staged")
+    )
+    old_root = hp(f"{path}/cells_old")
+    fs.mkdirs(old_root)
+    for c in over:
+        live = hp(f"{path}/cells/cell={c}")
+        fs.rename(live, hp(f"{path}/cells_old/cell={c}"))      # (A)
+        fs.rename(hp(f"{path}/cells_staged/cell={c}"), live)   # (B)
+    fs.delete(old_root, True)
+    fs.delete(hp(f"{path}/cells_staged"), True)
+    return over
+
+
 def _query_lit(vals: Sequence[float]) -> F.Column:
     """Literal array column via one JVM-parsed expression (repr() is the
     shortest IEEE round-trip form, same convention as signature_col)."""

@@ -9,15 +9,28 @@ Dedup identity is the PQ quantization itself: two vectors with the same
 (cell, codes) are indistinguishable to every probe, so admitting both
 only inflates the index — the arrival-side analog of SemDeDup at the
 codebook's resolution. This needs NO raw-vector history (the index stores
-codes, M small ints per vector, never embeddings), which is what makes
-the check affordable on every micro-batch at 100 TB: it is a join of the
-encoded batch against the codes table, keyed on the quantization.
+codes, M small ints per vector, never embeddings).
+
+What makes the check affordable on every micro-batch at 100 TB is CELL
+PRUNING (r10 verdict #1): the encoded batch's cell set is known and small
+(≤ min(|batch|, K)), and both dedup keys are cell-local — a replayed
+vec_id re-encodes to the same cell (encoding with the persisted codebooks
+is deterministic and ids are content-immutable, the T3 replay contract),
+and a quantization key (cell, codes) can by construction only collide
+inside its own cell. So the index side of both anti-joins is first
+filtered to the batch's cells — a literal ``cell IN (...)`` that lands as
+a static PartitionFilter (the same prune ``probe_ivfpq_index`` uses), and
+per-batch cost is O(batch's cell partitions), not O(index). Pinned by a
+scanned-file assertion in ``tests/test_streaming_vector_index.py``.
 
 Idempotency needs no ledger: the accept step anti-joins on vec_id against
 the live index, so a replayed micro-batch (including one whose previous
 attempt half-appended before a crash) re-adds only the rows that are
 actually missing. Appends land inside existing cell partitions; orphan
 part-files from a mid-write crash hold rows later replays skip by id.
+Appended small files are bounded by threshold compaction
+(``operators.ann_index.compact_index_cells``), which the maintainer can
+run opportunistically via ``maybe_compact``.
 
 Reference parity: the reference's loader upserts arrivals into warehouse
 tables keyed on natural ids (SURVEY §2.7 M3 insert-ignore / §2.9 T3
@@ -44,10 +57,11 @@ VECTOR_SCHEMA = T.StructType(
 
 @dataclass
 class IngestStats:
-    n_batch: int
+    n_batch: int          # distinct vec_ids in the micro-batch
     n_replayed: int      # vec_id already in the index (replay / re-send)
     n_quantized_dup: int  # PQ-identical to an indexed or in-batch vector
     n_added: int
+    n_id_dup: int = 0     # extra same-id rows collapsed before encoding
 
 
 class VectorIndexMaintainer:
@@ -60,15 +74,43 @@ class VectorIndexMaintainer:
     def _cells(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/cells")
 
+    def _pruned_existing(self, enc: DataFrame) -> tuple[DataFrame, list[int]]:
+        """The index side of both accept anti-joins, PRUNED to the encoded
+        batch's cell set (r10 verdict #1). The collect is bounded by
+        min(|batch|, K coarse cells); the returned frame's scan carries a
+        static ``cell IN (...)`` PartitionFilter, so per-batch dedup reads
+        only the batch's cell partitions — O(batch cells), not O(index).
+        Sound because both keys are cell-local: a replayed id lands in the
+        same cell (deterministic encode, content-immutable ids) and a
+        quantization key embeds its cell."""
+        batch_cells = [
+            int(r.cell) for r in enc.select("cell").distinct().collect()
+        ]
+        return (
+            self._cells().filter(F.col("cell").isin(batch_cells)),
+            batch_cells,
+        )
+
     def ingest_batch(self, batch: DataFrame) -> IngestStats:
-        n_batch = batch.count()
-        if n_batch == 0:
+        n_rows = batch.count()
+        if n_rows == 0:
             return IngestStats(0, 0, 0, 0)
+        # A micro-batch may re-send the same vec_id more than once (at-least
+        # -once sources); two same-id rows whose embeddings differ could
+        # quantize differently and BOTH survive a quantization-key dedup,
+        # permanently breaking the unique-vec_id invariant (ADVICE r10). So
+        # collapse to one deterministic row per id FIRST — min(embedding)
+        # (arrays order lexicographically), not dropDuplicates, so a retry
+        # that sees a different row order picks the same representative.
+        batch = batch.groupBy("vec_id").agg(
+            F.min("embedding").alias("embedding")
+        )
         enc = encode_batch(self.spark, self.path, batch).localCheckpoint(
             eager=True  # eager: the accept joins and the append must see
             # ONE encoding; lazy would re-encode per action
         )
-        existing = self._cells()
+        n_batch = enc.count()
+        existing, _ = self._pruned_existing(enc)
         # Replay guard: ids already present add nothing (idempotent-by-key,
         # the T3 contract — no ledger, so a half-appended crash replays
         # cleanly too).
@@ -102,6 +144,20 @@ class VectorIndexMaintainer:
             n_replayed=n_batch - n_fresh,
             n_quantized_dup=n_fresh - n_added,
             n_added=n_added,
+            n_id_dup=n_rows - n_batch,
+        )
+
+    def maybe_compact(self, max_files_per_cell: int = 8) -> list[int]:
+        """Threshold-triggered small-file compaction (r10 verdict #2):
+        rewrite cells whose part-file count exceeds the bound so probe
+        latency stays at its build-time figure as micro-batches accrete.
+        Content-preserving and crash-safe (staged swap with fail-loud
+        recovery) — see ``operators.ann_index.compact_index_cells``. Call
+        between triggers, never concurrently with an in-flight append."""
+        from ..operators.ann_index import compact_index_cells  # noqa: PLC0415
+
+        return compact_index_cells(
+            self.spark, self.path, max_files_per_cell=max_files_per_cell
         )
 
 

@@ -159,7 +159,98 @@ def test_ingest_stats_partition_batch(spark, tmp_path):
     )
     s1 = m.ingest_batch(held)
     assert s1.n_batch == s1.n_replayed + s1.n_quantized_dup + s1.n_added
-    assert s1.n_added > 0 and s1.n_replayed == 0
+    assert s1.n_added > 0 and s1.n_replayed == 0 and s1.n_id_dup == 0
     # empty batch short-circuit (T7)
     s0 = m.ingest_batch(held.limit(0))
     assert s0 == type(s0)(0, 0, 0, 0)
+
+
+def test_ingest_collapses_in_batch_id_dups(spark, tmp_path):
+    """ADVICE r10 (medium): a micro-batch that re-sends the same vec_id —
+    even with embeddings far enough apart to quantize differently — must
+    admit at most ONE row for that id, deterministically (min embedding),
+    or replay idempotency's unique-vec_id invariant breaks permanently."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    hist_dir = str(tmp_path / "hist")
+    emb.filter(F.col("vec_id") % 10 != 9).write.parquet(
+        f"{hist_dir}/embeddings.parquet"
+    )
+    path = str(tmp_path / "index")
+    build_ivfpq_index(spark, hist_dir, path)
+    m = VectorIndexMaintainer(spark, path)
+
+    held = emb.filter(F.col("vec_id") % 10 == 9).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    va = _vec(emb, 9)
+    ids = sorted(r.vec_id for r in held.select("vec_id").collect())
+    vb = _vec(emb, ids[-1])  # a different corpus vector: distinct cell or
+    # codes with near-certainty, which is exactly the dangerous case
+    dup_id = 7_000_000
+    batch = spark.createDataFrame(
+        [(dup_id, va), (dup_id, vb)],
+        "vec_id long, embedding array<double>",
+    )
+    s = m.ingest_batch(batch)
+    assert s.n_id_dup == 1 and s.n_batch == 1
+    assert s.n_batch == s.n_replayed + s.n_quantized_dup + s.n_added
+    cells = spark.read.parquet(f"{path}/cells")
+    got = cells.filter(F.col("vec_id") == dup_id).collect()
+    assert len(got) <= 1
+    if got:  # the surviving row is the min-embedding representative
+        from real_time_flight_data_pipeline_spark.operators.ann_index import (
+            probe_cells,
+        )
+
+        rep = min([va, vb])
+        assert got[0].cell == probe_cells(spark, path, rep, 1)[0]
+    # replaying the same dup-bearing batch is a no-op either way
+    n_before = spark.read.parquet(f"{path}/cells").count()
+    s2 = m.ingest_batch(batch)
+    assert s2.n_added == 0
+    assert spark.read.parquet(f"{path}/cells").count() == n_before
+
+
+def test_ingest_dedup_scans_only_batch_cells(spark, tmp_path):
+    """r10 verdict #1 done-criterion: the index side of the accept
+    anti-joins reads ONLY the encoded batch's cell partitions (plus the
+    two tiny codebooks for encoding) — asserted from the executed scan's
+    own numFiles metric, not a plan-string promise."""
+    import glob
+
+    from .test_ivfpq_index import _scan_metrics
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    hist_dir = str(tmp_path / "hist")
+    emb.filter(F.col("vec_id") % 10 != 9).write.parquet(
+        f"{hist_dir}/embeddings.parquet"
+    )
+    path = str(tmp_path / "index")
+    build_ivfpq_index(spark, hist_dir, path)
+    m = VectorIndexMaintainer(spark, path)
+
+    held = emb.filter(F.col("vec_id") % 10 == 9).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    small = held.limit(2)  # 2 vectors -> at most 2 cells
+    enc = encode_batch(spark, path, small).localCheckpoint(eager=True)
+    existing, batch_cells = m._pruned_existing(enc)
+    n_cells_total = len(glob.glob(f"{path}/cells/cell=*"))
+    assert 0 < len(batch_cells) <= 2 < n_cells_total
+
+    existing.collect()
+    plan = existing._jdf.queryExecution().executedPlan().toString()
+    part = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in part  # static prune, not a post-scan filter
+
+    batch_files = sum(
+        len(glob.glob(f"{path}/cells/cell={c}/*.parquet"))
+        for c in batch_cells
+    )
+    total_files = len(glob.glob(f"{path}/cells/cell=*/*.parquet"))
+    assert _scan_metrics(existing, "numFiles") == [batch_files]
+    assert batch_files < total_files
+
+    # and the full ingest built on that pruned frame stays correct:
+    s = m.ingest_batch(small)
+    assert s.n_batch == s.n_replayed + s.n_quantized_dup + s.n_added
