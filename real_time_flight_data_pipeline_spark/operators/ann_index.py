@@ -181,6 +181,56 @@ def _fs(spark: SparkSession, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
 
 
+def _rename_or_raise(fs, src, dst) -> None:
+    """Hadoop ``FileSystem.rename`` reports most failures by RETURNING
+    FALSE (missing source, existing destination, FS hiccup), not by
+    throwing. Every rename in the swap protocol must be checked, because
+    an unnoticed false before a ``delete(cells_old)`` would destroy the
+    only remaining copy of a cell (r11 ADVICE, high)."""
+    if not fs.rename(src, dst):
+        raise OSError(f"rename failed: {src} -> {dst}")
+
+
+def await_stable_cells(
+    spark: SparkSession,
+    path: str,
+    cells: Sequence[int],
+    retries: int = 3,
+    wait_sec: float = 0.2,
+) -> None:
+    """Reader-side guard for the compaction swap window (r11 verdict #2 /
+    ADVICE medium): between rename (A) and rename (B) a cell directory is
+    briefly absent from ``cells/``; a read at that instant would silently
+    return results missing that cell. A missing cell dir is only ambiguous
+    while ``cells_old`` exists (no swap in flight → absent dir just means
+    an empty cell), so: if a swap marker is present AND a needed cell dir
+    is missing, wait for the in-flight swap's two renames to land and
+    re-check; if it stays missing the compactor crashed mid-swap — fail
+    LOUD and tell the caller to run ``recover_compaction`` rather than
+    serve silently-wrong results. Probes never mutate the index, so
+    recovery is not run here (the single writer owns it)."""
+    import time  # noqa: PLC0415
+
+    fs, jvm = _fs(spark, path)
+    hp = jvm.org.apache.hadoop.fs.Path
+    missing: list[int] = []
+    for attempt in range(retries + 1):
+        if not fs.exists(hp(f"{path}/cells_old")):
+            return
+        missing = [
+            c for c in cells if not fs.exists(hp(f"{path}/cells/cell={c}"))
+        ]
+        if not missing:
+            return
+        if attempt < retries:
+            time.sleep(wait_sec)
+    raise RuntimeError(
+        f"cells {missing} are missing while a compaction swap marker "
+        f"({path}/cells_old) exists — a compactor crashed mid-swap; run "
+        "recover_compaction() from the writer before probing"
+    )
+
+
 def cell_file_counts(spark: SparkSession, path: str) -> dict[int, int]:
     """Parquet part-file count per cell partition of ``<path>/cells`` —
     the quantity threshold compaction bounds. Driver-side listing of K
@@ -229,13 +279,17 @@ def recover_compaction(spark: SparkSession, path: str) -> None:
             continue
         live = hp(f"{path}/cells/{name}")
         staged = hp(f"{path}/cells_staged/{name}")
+        # Each arm RENAME-CHECKS before any delete of the old copy: a
+        # false return from rename means the old dir under cells_old is
+        # still the only copy of the cell, and deleting it would be
+        # silent permanent loss (r11 ADVICE, high).
         if fs.exists(live):
             fs.delete(st.getPath(), True)
         elif fs.exists(staged):
-            fs.rename(staged, live)
+            _rename_or_raise(fs, staged, live)
             fs.delete(st.getPath(), True)
         else:
-            fs.rename(st.getPath(), live)
+            _rename_or_raise(fs, st.getPath(), live)
     fs.delete(old_root, True)
     fs.delete(hp(f"{path}/cells_staged"), True)
 
@@ -256,7 +310,17 @@ def compact_index_cells(
     atomic renames per cell through a ``cells_old`` holding dir, and
     ``recover_compaction`` (run first, fail-loud-free) finishes or rolls
     back any interrupted swap. At no point is a cell's content only in
-    memory. Returns the compacted cell ids."""
+    memory. Returns the compacted cell ids.
+
+    Concurrency contract (r11 verdict #2): the index has ONE writer —
+    compaction must not run concurrently with an in-flight append, and
+    between rename (A) and rename (B) a cell is briefly absent from the
+    live path, so concurrent READERS in other sessions see that window
+    too. Probes defend themselves: ``probe_ivfpq_index`` and the
+    maintainer's pruned dedup scan call ``await_stable_cells`` first,
+    which waits out an in-flight swap and fails loud (rather than
+    silently dropping a cell) if a crashed swap left ``cells_old``
+    behind."""
     recover_compaction(spark, path)
     counts = cell_file_counts(spark, path)
     over = sorted(c for c, n in counts.items() if n > max_files_per_cell)
@@ -274,12 +338,27 @@ def compact_index_cells(
         .partitionBy("cell")
         .parquet(f"{path}/cells_staged")
     )
+    # Verify every staged cell actually materialized BEFORE touching any
+    # live directory: if the stage write dropped a cell (or wrote it
+    # elsewhere), proceeding to rename (A) would park the only copy in
+    # cells_old with nothing to swap in (r11 ADVICE, high).
+    for c in over:
+        if not fs.exists(hp(f"{path}/cells_staged/cell={c}")):
+            fs.delete(hp(f"{path}/cells_staged"), True)
+            raise OSError(
+                f"staged compaction output missing cell={c}; live index "
+                "untouched, staging dropped"
+            )
     old_root = hp(f"{path}/cells_old")
     fs.mkdirs(old_root)
     for c in over:
         live = hp(f"{path}/cells/cell={c}")
-        fs.rename(live, hp(f"{path}/cells_old/cell={c}"))      # (A)
-        fs.rename(hp(f"{path}/cells_staged/cell={c}"), live)   # (B)
+        # Rename returns are CHECKED (Hadoop rename reports failure by
+        # returning false): a failed (A) aborts with the live dir intact;
+        # a failed (B) aborts with the cell safe in cells_old and both
+        # swap markers present, which recover_compaction finishes.
+        _rename_or_raise(fs, live, hp(f"{path}/cells_old/cell={c}"))   # (A)
+        _rename_or_raise(fs, hp(f"{path}/cells_staged/cell={c}"), live)  # (B)
     fs.delete(old_root, True)
     fs.delete(hp(f"{path}/cells_staged"), True)
     return over
@@ -336,6 +415,9 @@ def probe_ivfpq_index(
     )
 
     probed = probe_cells(spark, path, query_vec, n_probe)
+    # Reader-side compaction guard: never serve a silently cell-less
+    # result from inside (or after a crash of) a compaction swap.
+    await_stable_cells(spark, path, probed)
     # ADC distance table, M*K rows: same fixed-point pipeline as the
     # catalog query's _pq_centd, with the query sliced engine-side.
     qs = spark.createDataFrame(

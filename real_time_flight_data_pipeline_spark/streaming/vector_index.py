@@ -65,11 +65,32 @@ class IngestStats:
 
 
 class VectorIndexMaintainer:
-    """foreachBatch sink over a persisted IVF-PQ index directory."""
+    """foreachBatch sink over a persisted IVF-PQ index directory.
 
-    def __init__(self, spark: SparkSession, index_path: str) -> None:
+    ``strict_ids`` picks the replay guard's index projection (r11 ADVICE,
+    medium): the default (False) prunes the vec_id anti-join to the
+    batch's cell set, which is O(batch cells) per batch but sound ONLY
+    under the content-immutability contract — a re-sent id must carry the
+    same embedding, else it re-encodes into a different cell, escapes the
+    pruned guard, and is appended as a duplicate id. The in-batch
+    min(embedding) collapse defends WITHIN a batch; it cannot defend
+    across batches. ``strict_ids=True`` runs the id guard against an
+    UNPRUNED id projection instead — a column-pruned scan of just the
+    vec_id column over all cells (O(index ids) per batch, ids are 8
+    bytes/row) — which catches cross-batch contract violations at the
+    cost the r10 pruning removed. Choose per deployment: trusted
+    replay-only sources keep the default; sources that may mutate
+    payloads under a reused id pay for strict."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_path: str,
+        strict_ids: bool = False,
+    ) -> None:
         self.spark = spark
         self.path = index_path
+        self.strict_ids = strict_ids
 
     def _cells(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/cells")
@@ -83,9 +104,14 @@ class VectorIndexMaintainer:
         Sound because both keys are cell-local: a replayed id lands in the
         same cell (deterministic encode, content-immutable ids) and a
         quantization key embeds its cell."""
+        from ..operators.ann_index import await_stable_cells  # noqa: PLC0415
+
         batch_cells = [
             int(r.cell) for r in enc.select("cell").distinct().collect()
         ]
+        # Same reader-side compaction guard as probes: never dedup against
+        # a cell set with a mid-swap hole in it.
+        await_stable_cells(self.spark, self.path, batch_cells)
         return (
             self._cells().filter(F.col("cell").isin(batch_cells)),
             batch_cells,
@@ -105,16 +131,35 @@ class VectorIndexMaintainer:
         batch = batch.groupBy("vec_id").agg(
             F.min("embedding").alias("embedding")
         )
+        n_batch = batch.count()  # distinct ids, counted from the collapsed
+        # batch itself — NOT from the encoded frame, so an encode-side drop
+        # can never be misreported as an id-dup (r11 ADVICE, low)
         enc = encode_batch(self.spark, self.path, batch).localCheckpoint(
             eager=True  # eager: the accept joins and the append must see
             # ONE encoding; lazy would re-encode per action
         )
-        n_batch = enc.count()
+        n_enc = enc.count()
+        if n_enc != n_batch:
+            # Encoding is total by construction (broadcast-cross assign +
+            # inner joins on frames derived from the same input); a row
+            # going missing means a malformed embedding slipped past the
+            # source schema — fail loud, don't silently under-ingest.
+            raise ValueError(
+                f"encode_batch dropped {n_batch - n_enc} of {n_batch} "
+                "rows; malformed embeddings in the micro-batch"
+            )
         existing, _ = self._pruned_existing(enc)
         # Replay guard: ids already present add nothing (idempotent-by-key,
         # the T3 contract — no ledger, so a half-appended crash replays
-        # cleanly too).
-        fresh = enc.join(existing.select("vec_id"), "vec_id", "anti")
+        # cleanly too). Strict mode checks ids against the WHOLE index
+        # (column-pruned to just vec_id), catching re-sent ids whose
+        # mutated embedding re-encoded into a different cell.
+        id_guard = (
+            self._cells().select("vec_id")
+            if self.strict_ids
+            else existing.select("vec_id")
+        )
+        fresh = enc.join(id_guard, "vec_id", "anti")
         # Quantized dedup: the (cell, codes) key IS the index's resolution.
         qkey = F.concat_ws(
             "_", F.col("cell"), F.concat_ws(",", F.col("codes"))
@@ -153,7 +198,11 @@ class VectorIndexMaintainer:
         latency stays at its build-time figure as micro-batches accrete.
         Content-preserving and crash-safe (staged swap with fail-loud
         recovery) — see ``operators.ann_index.compact_index_cells``. Call
-        between triggers, never concurrently with an in-flight append."""
+        between triggers, never concurrently with an in-flight append;
+        concurrent probes from OTHER sessions are tolerated because every
+        reader (probe_ivfpq_index, _pruned_existing) first runs
+        ``await_stable_cells``, which waits out the swap window and fails
+        loud on a crashed swap instead of silently dropping a cell."""
         from ..operators.ann_index import compact_index_cells  # noqa: PLC0415
 
         return compact_index_cells(
@@ -172,8 +221,18 @@ def run_file_replay_vectors(
     source_dir: str,
     maintainer: VectorIndexMaintainer,
     checkpoint_dir: str,
+    compact_max_files: int | None = 8,
 ) -> None:
-    """Drain a file-replay vector stream through the index maintainer."""
+    """Drain a file-replay vector stream through the index maintainer.
+
+    After each micro-batch's append the maintainer opportunistically
+    compacts any cell whose part-file count exceeded
+    ``compact_max_files`` (r11 verdict #1/#2 wiring): foreachBatch sinks
+    run serially within the query, so the compaction never overlaps an
+    in-flight append — the single-writer contract holds by construction.
+    The threshold check itself is a driver-side listing of K cell dirs
+    (K = coarse codebook size), so the common no-op case costs no Spark
+    job. ``compact_max_files=None`` disables compaction."""
     stream = (
         spark.readStream.schema(VECTOR_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -184,6 +243,8 @@ def run_file_replay_vectors(
         if batch_df.isEmpty():
             return
         maintainer.ingest_batch(batch_df)
+        if compact_max_files is not None:
+            maintainer.maybe_compact(max_files_per_cell=compact_max_files)
 
     q = (
         stream.writeStream.foreachBatch(sink)
