@@ -190,10 +190,14 @@ def cell_pairwise_dups(
         return _kernel(cells)
 
     # Skew guard: route cells too large to materialize as one pandas
-    # group to the exact streaming self-join (identical fixed-point
-    # compare — floor(dot*scale + 0.5) >= thr — so path choice can never
-    # change the dup set). The oversized-id list is bounded above by
-    # n / max_cell_rows rows, safe to broadcast.
+    # group to the streaming self-join. Both paths apply the same
+    # fixed-point compare — floor(dot*scale + 0.5) >= thr — but the dot
+    # itself is BLAS (batched, reassociated) on one path and Spark's
+    # sequential fold on the other, so a pair whose product lands within
+    # a last-ulp of a 1e-6 quantum boundary CAN in principle flip between
+    # paths (r11 ADVICE: the earlier "never change the dup set" claim
+    # overreached). The quantization makes that the only residual, the
+    # same one the semdedup kernels carry.
     big_ids = (
         cells.groupBy(cell_col)
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -10,6 +10,14 @@ Run: python scripts/ivfpq_index_bench.py              (sf0.1)
      python scripts/ivfpq_index_bench.py --100x       (the 100x corpus —
          probe latency must stay decoupled as the corpus grows, since a
          probe reads nprobe/K partitions + two codebooks, not the corpus)
+     python scripts/ivfpq_index_bench.py --increments [--100x]
+         (r11 verdict #1/#3: build from 90% of the corpus, stream the
+         held 10% through VectorIndexMaintainer in N_INCR micro-batches,
+         and record (a) per-batch ingest wall time — must stay FLAT as
+         the index grows, since the accept anti-joins prune to the
+         batch's cells — and (b) probe latency after all increments,
+         uncompacted vs after compact_index_cells, against the
+         build-time probe figure.)
 Writes/merges ivfpq_index_results.json keyed by tier.
 """
 
@@ -37,7 +45,105 @@ SF = "/root/testdata/sf0.1"
 SF_100X = "/tmp/flightframe_scale/sf100x"
 INDEX = "/tmp/flightframe_ivfpq_index"
 N_PROBES = 5
+N_INCR = 24
 OUT = pathlib.Path(__file__).with_name("ivfpq_index_results.json")
+
+
+def _probe_median(spark, path, qvec, n=N_PROBES) -> tuple[float, list]:
+    from real_time_flight_data_pipeline_spark.operators.ann_index import (
+        probe_ivfpq_index as probe,
+    )
+
+    runs = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        probe(spark, path, qvec).write.format("noop").mode("overwrite").save()
+        runs.append(round(time.perf_counter() - t0, 3))
+    return round(statistics.median(runs), 3), runs
+
+
+def run_increments(spark, sf_dir: str, tier: str) -> dict:
+    """Build from 90% of the corpus, ingest the held 10% in N_INCR
+    micro-batches, measure flat-ingest and probe-vs-compaction."""
+    import shutil
+
+    from real_time_flight_data_pipeline_spark.operators.ann_index import (
+        cell_file_counts,
+        compact_index_cells,
+    )
+    from real_time_flight_data_pipeline_spark.streaming.vector_index import (
+        VectorIndexMaintainer,
+    )
+
+    work = "/tmp/flightframe_ivfpq_incr"
+    shutil.rmtree(work, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    hist = emb.filter(F.col("vec_id") % 10 != 9)
+    hist.write.parquet(f"{work}/hist/embeddings.parquet")
+    path = f"{work}/index"
+    t0 = time.perf_counter()
+    build_ivfpq_index(spark, f"{work}/hist", path)
+    build_sec = round(time.perf_counter() - t0, 3)
+    qvec = list(emb.filter(F.col("vec_id") == 0).head().embedding)
+    probe_build, _ = _probe_median(spark, path, qvec)
+
+    held = emb.filter(F.col("vec_id") % 10 == 9).withColumn(
+        "b", F.pmod(F.xxhash64("vec_id"), F.lit(N_INCR))
+    )
+    held.write.partitionBy("b").parquet(f"{work}/held")
+    m = VectorIndexMaintainer(spark, path)
+    per_batch, added = [], 0
+    for i in range(N_INCR):
+        batch = spark.read.parquet(f"{work}/held").filter(
+            F.col("b") == i
+        ).drop("b")
+        t0 = time.perf_counter()
+        s = m.ingest_batch(batch)
+        per_batch.append(round(time.perf_counter() - t0, 3))
+        added += s.n_added
+    counts = cell_file_counts(spark, path)
+    frag_max, frag_total = max(counts.values()), sum(counts.values())
+    probe_frag, frag_runs = _probe_median(spark, path, qvec)
+    t0 = time.perf_counter()
+    n_compacted = len(compact_index_cells(spark, path, max_files_per_cell=8))
+    compact_sec = round(time.perf_counter() - t0, 3)
+    counts2 = cell_file_counts(spark, path)
+    probe_comp, comp_runs = _probe_median(spark, path, qvec)
+    half = N_INCR // 2
+    result = {
+        "tier": tier,
+        "n_increments": N_INCR,
+        "n_added": added,
+        "build_sec": build_sec,
+        "probe_after_build_sec": probe_build,
+        "ingest_per_batch_sec": per_batch,
+        "ingest_first_half_median": round(
+            statistics.median(per_batch[:half]), 3
+        ),
+        "ingest_second_half_median": round(
+            statistics.median(per_batch[half:]), 3
+        ),
+        "files_max_per_cell_frag": frag_max,
+        "files_total_frag": frag_total,
+        "probe_fragmented_sec": probe_frag,
+        "probe_fragmented_runs": frag_runs,
+        "n_cells_compacted": n_compacted,
+        "compact_sec": compact_sec,
+        "files_max_per_cell_after": max(counts2.values()),
+        "files_total_after": sum(counts2.values()),
+        "probe_compacted_sec": probe_comp,
+        "probe_compacted_runs": comp_runs,
+        "note": "flat ingest = second-half median ~= first-half median "
+        "(accept anti-joins prune to batch cells); compaction returns "
+        "probe latency to ~ the build-time figure.",
+    }
+    merged = json.loads(OUT.read_text()) if OUT.exists() else {}
+    merged[f"{tier}_increments"] = result
+    OUT.write_text(json.dumps(merged, indent=1))
+    print(json.dumps(result))
+    return result
 
 
 def main() -> None:
@@ -49,6 +155,9 @@ def main() -> None:
         from scale_curve import build_corpus_100x  # noqa: PLC0415
 
         build_corpus_100x(spark)
+    if "--increments" in sys.argv[1:]:
+        run_increments(spark, sf_dir, tier)
+        return
     qvec = list(
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == 0)
