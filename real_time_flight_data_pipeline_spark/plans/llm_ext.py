@@ -4790,6 +4790,69 @@ def _inc_index_oracle() -> str:
     """
 
 
+def _incr_assign_two_pass(
+    vectors: DataFrame, codebook: DataFrame, carry: str
+) -> DataFrame:
+    """Over-budget escape for the incremental index's codebook collects
+    (r11 verdict #6): assignment against a codebook DATAFRAME with no
+    K-row driver collect. Only the C = ceil(sqrt(K)) smallest-id
+    centroids are broadcast as super-centroids (C <= ~1000 even at
+    n = 1e9); every vector AND every centroid routes to its nearest
+    super, then both sides shuffle by super id and the fine argmin runs
+    within the slice — the hierarchical form semdedup-2level and the
+    faiss coarse quantizer use, with the same quantized tie-breaks as
+    the BLAS kernel (_sem_d2q; min_by (d, id) == first argmin over an
+    id-sorted codebook). DOCUMENTED DIVERGENCE from the under-budget
+    flat route: a vector whose flat-nearest centroid lies outside its
+    routed super-cell gets its in-super nearest instead — the standard
+    IVF coarse-routing approximation. Above the budget (K*dim*8 >
+    _SEM_CODEBOOK_MAX_BYTES, ~3.3e8 rows at dim 64) a flat n*K route is
+    ~n^(5/3) dots and infeasible regardless of where the codebook
+    lives, so hierarchical IS the production regime there; the oracle
+    pins the flat semantics at verification scale, where the escape
+    never triggers. ``vectors`` carries (vec_id, x [, carry]); routing
+    is always on x, ``carry`` rides through untouched."""
+    k = codebook.count()
+    c = math.isqrt(k)
+    c += 1 if c * c < k else 0
+    supers = F.broadcast(
+        codebook.orderBy("cid")
+        .limit(c)
+        .select(F.col("cid").alias("sid"), F.col("cv").alias("sv"))
+    )
+
+    def _coarse(df, id_col, vec_col, extra):
+        d = _sem_d2q(F.col(vec_col), F.col("sv"))
+        aggs = [
+            F.min_by(
+                "sid", F.struct(d.alias("d"), F.col("sid").alias("t"))
+            ).alias("sid"),
+            F.any_value(vec_col).alias(vec_col),
+            *[F.any_value(e).alias(e) for e in extra],
+        ]
+        return df.join(supers).groupBy(id_col).agg(*aggs)
+
+    cb_r = _coarse(codebook, "cid", "cv", [])
+    vec_r = _coarse(
+        vectors, "vec_id", "x", [] if carry == "x" else [carry]
+    )
+    d_fine = _sem_d2q(F.col("x"), F.col("cv"))
+    # shuffle_hash, not broadcast: the codebook side is an unbounded
+    # corpus-derived aggregate (the statically-misplanned broadcast
+    # class the 100x tier caught twice, r8).
+    return (
+        vec_r.join(cb_r.hint("shuffle_hash"), "sid")
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                "cid", F.struct(d_fine.alias("d"), F.col("cid").alias("t"))
+            ).alias("cid"),
+            F.any_value(carry).alias(carry),
+        )
+        .select("vec_id", "cid", carry)
+    )
+
+
 @_register(
     "embedding_incremental_index",
     _inc_index_oracle(),
@@ -4822,9 +4885,9 @@ def _inc_index_oracle() -> str:
     "exponent 0.52; what remains is the exact one-update k-means "
     "training, which exists in-query for oracle verifiability — "
     "production probes the PERSISTED codebooks via ann_index and pays "
-    "none of it); the K-row codebook collect has the same ~n > 4e8 "
-    "driver bound as semdedup's, with the same documented two-pass "
-    "shuffle-by-super-cell escape shape",
+    "none of it); past _SEM_CODEBOOK_MAX_BYTES (~3.3e8 rows at dim 64) "
+    "both K-row codebook collects switch IN CODE to the collect-free "
+    "hierarchical two-pass form, the same escape semdedup-2level ships",
     reference="[NORTH-STAR] incremental IVF maintenance (faiss add-"
     "after-train); composes embedding_kmeans_2iter training + SemDeDup "
     "in-cell dedup; build-side twin of operators/ann_index.py",
@@ -4839,12 +4902,14 @@ def q_embedding_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame
             F.transform(F.col("x"), lambda v: v * 1.01).alias("x"),
         )
     )
-    # K = max(_KM_K, ceil(sqrt(|hist|))) — data-derived, exact-integer
-    # (math.isqrt mirrors the oracle's CASE ladder): a pinned K would put
-    # n/K vectors per cell and the batch-vs-history candidate term would
-    # grow O(b*n); sqrt-K keeps it O(b*sqrt(n)), the same discipline the
-    # semdedup family learned at its 100x point. The count also
-    # materializes the lazy corpus checkpoint for every later job.
+    # K = max(_KM_K, ceil(n^(2/3))) — data-derived, exact-integer (the
+    # integer ladder below mirrors the oracle's CASE ladder): a pinned K
+    # would put n/K vectors per cell and the batch-vs-history candidate
+    # term would grow O(b*n); n^(2/3)-K is the BLAS-era equilibrium the
+    # semdedup family re-derived when routing moved to Arrow kernels
+    # (r10 — the sqrt-K balance shifts once assignment is ~100x cheaper
+    # per n*K term than the candidate join). The count also materializes
+    # the lazy corpus checkpoint for every later job.
     n_hist = hist.count()
     if n_hist == 0:
         # No history -> no centroids -> the oracle's bcells is empty, so
@@ -4899,22 +4964,39 @@ def q_embedding_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame
 
         return fn
 
-    # Training pass: route history against the K-row init codebook (a
-    # bounded driver collect — K = ceil(sqrt(n)) rows of dim doubles,
-    # ~16 MB even at n = 1e9; far under _SEM_CODEBOOK_MAX_BYTES), then
-    # the exact scaled-long centroid update engine-side. The r10 first
-    # cut executed these n*K dots as keyless-broadcast interpreted
-    # zip_with folds — measured 592 s at the 100x corpus, a whisker
-    # under the watchdog; the BLAS form is the same fix semdedup-2level
-    # shipped in r9.
-    bc1 = spark.sparkContext.broadcast(
-        _codebook(
-            [(r.vec_id, r.x) for r in hist.filter(F.col("vec_id") < k).collect()]
+    # Training pass: route history against the K-row init codebook, then
+    # the exact scaled-long centroid update engine-side. The codebook
+    # collect is K = ceil(n^(2/3)) rows of dim doubles — ~3.4 MB at the
+    # 100x corpus but ~512 MB at n = 1e9 (r11 verdict #6: the old
+    # comment claimed sqrt-K/16 MB and hid a real driver-memory risk) —
+    # so past _SEM_CODEBOOK_MAX_BYTES BOTH collects below switch IN CODE
+    # to the collect-free hierarchical form (_incr_assign_two_pass). The
+    # r10 first cut executed these n*K dots as keyless-broadcast
+    # interpreted zip_with folds — measured 592 s at the 100x corpus, a
+    # whisker under the watchdog; the BLAS form is the same fix
+    # semdedup-2level shipped in r9.
+    dim = len(hist.select("x").head().x)
+    over_budget = k * dim * 8 > _SEM_CODEBOOK_MAX_BYTES
+    if over_budget:
+        a1x = _incr_assign_two_pass(
+            hist,
+            hist.filter(F.col("vec_id") < k).select(
+                F.col("vec_id").alias("cid"), F.col("x").alias("cv")
+            ),
+            "x",
         )
-    )
-    a1x = hist.mapInPandas(
-        _route(bc1, "x"), schema="vec_id long, cid long, x array<double>"
-    )
+    else:
+        bc1 = spark.sparkContext.broadcast(
+            _codebook(
+                [
+                    (r.vec_id, r.x)
+                    for r in hist.filter(F.col("vec_id") < k).collect()
+                ]
+            )
+        )
+        a1x = hist.mapInPandas(
+            _route(bc1, "x"), schema="vec_id long, cid long, x array<double>"
+        )
     comp = a1x.select("cid", F.posexplode("x").alias("pos0", "v")).select(
         "cid", (F.col("pos0") + 1).alias("pos"), "v"
     )
@@ -4938,23 +5020,35 @@ def q_embedding_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("cv")
         )
     )
-    bc2 = spark.sparkContext.broadcast(
-        _codebook([(r.cid, r.cv) for r in cents.collect()])
-    )
-
-    def _assign_carry(df: DataFrame) -> DataFrame:
+    def _normed(df: DataFrame) -> DataFrame:
         # Normalized vector rides through the route untouched; vn itself
         # is exact-fold Spark arithmetic (the round-6 dup compare depends
-        # on its exact values), only the ROUTING is BLAS-quantized.
-        normed = df.withColumn("n", V.norm(F.col("x"))).select(
+        # on its exact values), only the ROUTING is quantized.
+        return df.withColumn("n", V.norm(F.col("x"))).select(
             "vec_id",
             "x",
             F.transform(F.col("x"), lambda v: v / F.col("n")).alias("vn"),
         )
-        return normed.mapInPandas(
-            _route(bc2, "vn"),
-            schema="vec_id long, cid long, vn array<double>",
+
+    if over_budget:
+        # Same K*dim*8 bound as bc1: the trained codebook has one row per
+        # surviving init centroid — route against it hierarchically
+        # instead of collecting it (r11 verdict #6).
+        cents = cents.localCheckpoint(eager=False)  # reused by b and h
+
+        def _assign_carry(df: DataFrame) -> DataFrame:
+            return _incr_assign_two_pass(_normed(df), cents, "vn")
+
+    else:
+        bc2 = spark.sparkContext.broadcast(
+            _codebook([(r.cid, r.cv) for r in cents.collect()])
         )
+
+        def _assign_carry(df: DataFrame) -> DataFrame:
+            return _normed(df).mapInPandas(
+                _route(bc2, "vn"),
+                schema="vec_id long, cid long, vn array<double>",
+            )
 
     b = _assign_carry(batch).localCheckpoint(eager=False)  # reused twice
     h = _assign_carry(hist)
