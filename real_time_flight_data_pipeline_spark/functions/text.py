@@ -212,15 +212,45 @@ def char_gram_hashes(norm_text: Column, k: int = WINNOW_K) -> Column:
 def winnow_mins(gram_hashes: Column, w: int = WINNOW_W) -> Column:
     """Distinct per-window minima of the k-gram hash sequence (the selected
     fingerprints). Documents with fewer than w grams contribute one window
-    over whatever grams exist; empty documents contribute none."""
+    over whatever grams exist; empty documents contribute none.
+
+    Sliding minima by doubling (r12): ``m2[j] = min(hs[j], hs[j+1])``,
+    ``m4[j] = min(m2[j], m2[j+2])`` — ceil(log2(w)) zip_with passes of
+    O(n) each instead of an O(n*w) slice+array_min allocation per window
+    (the 10x profile put the old form at ~7.6 s of the winnow queries'
+    time; this is the same sequence the per-window mins produce, so the
+    oracle SQL is untouched). ``zip_with`` pads the shorter (shifted)
+    side with NULL and ``least`` skips NULLs, which exactly reproduces
+    the truncated tail windows; only the first n_w positions are kept,
+    matching the per-window form for n_h >= w and collapsing to
+    array_min(hs) for 1 <= n_h < w."""
+    if w != 4:  # the doubling ladder below is laid out for w = 4
+        n_h0 = F.size(gram_hashes)
+        n_w0 = F.greatest(n_h0 - w + 1, F.least(n_h0, F.lit(1)))
+        return F.when(
+            n_h0 >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_w0),
+                    lambda j: F.array_min(
+                        F.slice(gram_hashes, j.cast("int"), w)
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<long>"))
     n_h = F.size(gram_hashes)
     n_w = F.greatest(n_h - w + 1, F.least(n_h, F.lit(1)))
+    m2 = F.zip_with(
+        gram_hashes,
+        F.slice(gram_hashes, 2, F.greatest(n_h - 1, F.lit(1))),
+        lambda a, b: F.least(a, b),
+    )
+    m4 = F.zip_with(
+        m2,
+        F.slice(m2, 3, F.greatest(n_h - 2, F.lit(1))),
+        lambda a, b: F.least(a, b),
+    )
     return F.when(
         n_h >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n_w),
-                lambda j: F.array_min(F.slice(gram_hashes, j.cast("int"), w)),
-            )
-        ),
+        F.array_distinct(F.slice(m4, 1, n_w)),
     ).otherwise(F.array().cast("array<long>"))

@@ -688,7 +688,14 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = hashed.select("doc_id", F.array_distinct("hs").alias("ghs")).localCheckpoint(
         eager=False
     )
-    fp = hashed.select("doc_id", F.explode(TX.winnow_mins(F.col("hs"))).alias("fp"))
+    # Barrier: fp fans out THREE ways (rare's groupBy, then both sides of
+    # the candidate self-join) — without it the winnow pass re-runs per
+    # consumer (the 10x profile showed the recompute costing as much as
+    # the pass itself; the same tokenize-duplication ceiling the plan
+    # audit enforces for token pipelines).
+    fp = hashed.select(
+        "doc_id", F.explode(TX.winnow_mins(F.col("hs"))).alias("fp")
+    ).localCheckpoint(eager=False)
     rare = fp.groupBy("fp").count().filter(F.col("count") <= _WINNOW_MAX_DF).select("fp")
     fpr = fp.join(rare, "fp")
     a = fpr.alias("a")

@@ -146,6 +146,47 @@ def run_increments(spark, sf_dir: str, tier: str) -> dict:
     return result
 
 
+def run_batch_probe(spark, sf_dir: str, tier: str) -> dict:
+    """Per-query probe cost vs batch size (r11 verdict #7): the batched
+    API pays the codebook reads / job scheduling / cell scan ONCE per
+    batch, so per-query cost should drop as the batch grows."""
+    from real_time_flight_data_pipeline_spark.operators.ann_index import (
+        probe_ivfpq_index_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    vecs = {int(r.vec_id): list(r.x) for r in emb.limit(16).collect()}
+    build_ivfpq_index(spark, sf_dir, INDEX)
+    result = {"tier": tier, "batch_sizes": {}}
+    for size in (1, 4, 16):
+        sub = dict(list(vecs.items())[:size])
+        runs = []
+        for _ in range(N_PROBES):
+            t0 = time.perf_counter()
+            probe_ivfpq_index_batch(spark, INDEX, sub).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        med = statistics.median(runs)
+        result["batch_sizes"][str(size)] = {
+            "batch_sec": round(med, 3),
+            "per_query_sec": round(med / size, 4),
+            "runs": runs,
+        }
+    result["note"] = (
+        "one union-cell scan + one window per batch; per_query_sec "
+        "should fall with batch size while results stay bit-identical "
+        "to single probes (test_ivfpq_index)."
+    )
+    merged = json.loads(OUT.read_text()) if OUT.exists() else {}
+    merged[f"{tier}_batch_probe"] = result
+    OUT.write_text(json.dumps(merged, indent=1))
+    print(json.dumps(result))
+    return result
+
+
 def main() -> None:
     tier100 = "--100x" in sys.argv[1:]
     sf_dir, tier = (SF_100X, "sf100x") if tier100 else (SF, "sf0.1")
@@ -157,6 +198,9 @@ def main() -> None:
         build_corpus_100x(spark)
     if "--increments" in sys.argv[1:]:
         run_increments(spark, sf_dir, tier)
+        return
+    if "--batch-probe" in sys.argv[1:]:
+        run_batch_probe(spark, sf_dir, tier)
         return
     qvec = list(
         load_table(spark, sf_dir, "embeddings")

@@ -103,6 +103,13 @@ QUERIES = [
     # (pinned K, interpreted dots) measured 592 s at 100x, so this query
     # stays ON the curve to keep the fix measured.
     "embedding_incremental_index",
+    # r12 (r11 verdict #5): the three linear-floor heavies join the
+    # curve — 351/152/141 s at the r10 100x smoke with no curve entry.
+    # ngram_jaccard and winnow got the shared-fp barrier + doubling
+    # sliding-min first; minhash's floor is the 16-permutation min scan.
+    "docs_ngram_jaccard_pairs",
+    "docs_winnow_fingerprints",
+    "docs_minhash_signatures",
 ]
 N_RUNS = 3
 # r7 verdict #3: the steepest 1x/10x exponents get a third point at 100x.
@@ -118,6 +125,10 @@ QUERIES_100X = [
     # r10: 592 s at its first 100x smoke (pinned K + interpreted routing);
     # the sqrt-K + BLAS fix needs its three-point exponent on record.
     "embedding_incremental_index",
+    # r12 (r11 verdict #5): the linear-floor heavies' third point.
+    "docs_ngram_jaccard_pairs",
+    "docs_winnow_fingerprints",
+    "docs_minhash_signatures",
 ]
 N_RUNS_100X = 2  # flat semdedup is O(n^1.5): minutes per run at 100x
 

@@ -175,3 +175,32 @@ def test_incremental_add_no_retrain(spark, tmp_path):
     rows = {r.vec_id: r.adc_fp for r in top.collect()}
     assert 9_000_000 in rows and 0 in rows
     assert rows[9_000_000] == rows[0]
+
+
+def test_batch_probe_bit_identical_to_single(spark, index_path):
+    """r11 verdict #7: the multi-query probe scans the UNION of probed
+    cells once and must return, per query, exactly the single-probe
+    top-k (same ADC scores, same (adc_fp, vec_id) tie order)."""
+    from real_time_flight_data_pipeline_spark.operators.ann_index import (
+        probe_ivfpq_index_batch,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    vecs = {r.vec_id: list(r.x) for r in emb.limit(5).collect()}
+    assert len(vecs) == 5
+    batch = probe_ivfpq_index_batch(spark, index_path, vecs)
+    got: dict[int, list] = {}
+    for r in batch.collect():
+        got.setdefault(r.qid, []).append((r.vec_id, r.cell, r.adc_fp))
+    assert set(got) == set(vecs)
+    for qid, vec in vecs.items():
+        want = [
+            tuple(r) for r in probe_ivfpq_index(spark, index_path, vec).collect()
+        ]
+        assert sorted(got[qid]) == sorted(want)
+        assert len(got[qid]) == len(want)
+    empty = probe_ivfpq_index_batch(spark, index_path, {})
+    assert empty.columns == ["qid", "vec_id", "cell", "adc_fp"]
+    assert empty.collect() == []

@@ -66,6 +66,41 @@ def test_winnow_shared_substring_shares_fingerprint(spark, pairs):
         )
 
 
+@settings(**_SETTINGS)
+@given(
+    arrs=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=9),  # tiny range: min ties
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_winnow_mins_doubling_matches_per_window_form(spark, arrs):
+    """r12: winnow_mins moved from an O(n*w) slice-per-window to a
+    doubling ladder of zip_with passes; the selected fingerprint SET must
+    be identical for every length, including the n_h < w tail collapse
+    and empty arrays (the oracle SQL still states the per-window form)."""
+
+    def ref(hs, w=TX.WINNOW_W):
+        if not hs:
+            return []
+        n_w = max(len(hs) - w + 1, min(len(hs), 1))
+        return sorted({min(hs[j : j + w]) for j in range(n_w)})
+
+    rows = [(i, a) for i, a in enumerate(arrs)]
+    df = spark.createDataFrame(rows, "i long, hs array<long>")
+    got = {
+        r.i: sorted(r.fps)
+        for r in df.select(
+            "i", TX.winnow_mins(F.col("hs")).alias("fps")
+        ).collect()
+    }
+    assert got == {i: ref(a) for i, a in rows}
+
+
 _batch = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=5),  # key (small: forces collisions)
