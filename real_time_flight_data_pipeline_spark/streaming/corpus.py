@@ -127,25 +127,16 @@ def run_file_replay_corpus(
     checkpoint_dir: str,
     schema: T.StructType,
 ) -> None:
-    """Drain a file-replay document stream through the dedup ingest."""
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(source_dir)
-    )
+    """Drain a file-replay document stream through the dedup ingest.
 
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        store.ingest_batch(batch_df)
+    Driver shape shared with the vector-index maintainer via
+    ``streaming.replay``; see that module for why the dedup/commit tiers
+    below the driver stay separate (pointer-flip overwrite on a text
+    fingerprint here vs cell-partitioned append under id+quantization
+    keys there)."""
+    from .replay import run_file_replay  # noqa: PLC0415
 
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_file_replay(spark, source_dir, schema, store.ingest_batch, checkpoint_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -232,24 +232,15 @@ def run_file_replay_vectors(
     in-flight append — the single-writer contract holds by construction.
     The threshold check itself is a driver-side listing of K cell dirs
     (K = coarse codebook size), so the common no-op case costs no Spark
-    job. ``compact_max_files=None`` disables compaction."""
-    stream = (
-        spark.readStream.schema(VECTOR_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(source_dir)
-    )
+    job. ``compact_max_files=None`` disables compaction.
 
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+    Driver shape shared with the corpus store via ``streaming.replay``;
+    see that module for why the tiers below the driver stay separate."""
+    from .replay import run_file_replay  # noqa: PLC0415
+
+    def ingest(batch_df: DataFrame) -> None:
         maintainer.ingest_batch(batch_df)
         if compact_max_files is not None:
             maintainer.maybe_compact(max_files_per_cell=compact_max_files)
 
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_file_replay(spark, source_dir, VECTOR_SCHEMA, ingest, checkpoint_dir)
