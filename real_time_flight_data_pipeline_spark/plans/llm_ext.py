@@ -2281,9 +2281,15 @@ def _pq_oracle() -> str:
     """
 
 
-@_register(
+@_register_retired(
     "embedding_pq_adc_recall",
     _pq_oracle(),
+    "RETIRED r12 (shortlist #3, freeing a rotation slot alongside "
+    "user_value_mad for embedding_index_ingest_dedup): the training-free "
+    "rung was scaffolding toward embedding_pq_adc_recall_trained, which "
+    "holds the ADC semantics in the active registry; the 0.3 recall "
+    "floor is banked below in test_retired.py and this query stays "
+    "oracle-verified each session. — "
     f"Product quantization, measured: {_PQ_M}x{_PQ_SUB}-dim subspaces, "
     f"{_PQ_K}-code training-free codebooks (low-id subvectors — "
     "embedding_pq_adc_recall_trained is the measured trained twin, "
@@ -5067,6 +5073,221 @@ def q_embedding_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame
             "cid",
             F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
         )
+    )
+
+
+# ===========================================================================
+# Streaming index ingest-dedup semantics (r12): the oracle-verifiable twin
+# of streaming/vector_index.VectorIndexMaintainer.ingest_batch. The
+# maintainer classifies every arriving vector as replayed (vec_id already
+# indexed — the T3 idempotence contract), dup_hist (PQ-identical to an
+# indexed vector at the codebook's resolution), dup_batch (loses the
+# in-batch min-vec_id race for its quantization key), or added. Until now
+# that contract was pytest-pinned only; this query states it end-to-end —
+# train both codebooks on HISTORY ONLY, encode the batch with them, and
+# classify — so DuckDB verifies every accept decision bit-for-bit. The
+# production twin prunes the history side to the batch's cells and probes
+# a persisted layout (measured: flat 3.4 s/batch ingest and 1.3 s probes
+# across 24 increments at the 100x corpus, scripts/ivfpq_index_results.
+# json); this spec pays full-scan training in-query so the oracle can
+# check it, exactly as embedding_ivfpq_topk does for the probe side.
+# ===========================================================================
+def _ingest_dedup_oracle() -> str:
+    batch_rows = """
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, x FROM e WHERE vec_id % 10 = 9
+  UNION ALL SELECT CAST(0 AS BIGINT), x FROM e WHERE vec_id = 0
+  UNION ALL SELECT CAST(2000000 AS BIGINT), x FROM e WHERE vec_id = 10
+  UNION ALL SELECT CAST(2000001 AS BIGINT), x FROM e WHERE vec_id = 9
+  UNION ALL SELECT CAST(2000002 AS BIGINT), x FROM e WHERE vec_id = 9
+"""
+    bsubs_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, "
+        f"x[{m * _PQ_SUB + 1}:{(m + 1) * _PQ_SUB}] AS xs FROM batch"
+        for m in range(_PQ_M)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    hist AS MATERIALIZED (SELECT vec_id, x FROM e WHERE vec_id % 10 <> 9),
+    batch AS MATERIALIZED ({batch_rows}),
+    c1 AS (SELECT vec_id AS cid, x AS cv FROM hist
+           WHERE vec_id BETWEEN 0 AND {_KM_K - 1}),
+    a1 AS ({_km_sql_assign("hist", "c1")}),
+    comp AS (
+      SELECT a1.cid, generate_subscripts(h.x, 1) AS pos, unnest(h.x) AS v
+      FROM hist h JOIN a1 USING (vec_id)
+    ),
+    sums AS (
+      SELECT cid, pos, SUM(CAST(round(v * {_KM_SCALE}) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM comp GROUP BY cid, pos
+    ),
+    c2 AS MATERIALIZED (
+      SELECT cid, list(CAST(s AS DOUBLE) / n / {_KM_SCALE} ORDER BY pos) AS cv
+      FROM sums GROUP BY cid
+    ),
+    subs AS MATERIALIZED (
+      {" UNION ALL ".join(
+          f"SELECT vec_id, {m} AS m, "
+          f"x[{m * _PQ_SUB + 1}:{(m + 1) * _PQ_SUB}] AS xs FROM hist"
+          for m in range(_PQ_M)
+      )}
+    ),
+    pc1 AS (SELECT m, vec_id AS c, xs AS cs FROM subs WHERE vec_id < {_PQ_K}),
+    pa1 AS ({_pq_sql_sub_assign("pc1")}),
+    pc2 AS ({_pq_sql_upd("pa1")}),
+    pa2 AS ({_pq_sql_sub_assign("pc2")}),
+    pcents AS MATERIALIZED ({_pq_sql_upd("pa2")}),
+    hcell AS ({_km_sql_assign("hist", "c2")}),
+    hassign AS ({_pq_sql_sub_assign("pcents")}),
+    hcode AS (SELECT vec_id, string_agg(CAST(c AS VARCHAR), ',' ORDER BY m)
+                       AS codes
+              FROM hassign GROUP BY vec_id),
+    hkeys AS (
+      SELECT DISTINCT CAST(hcell.cid AS VARCHAR) || '_' || hcode.codes AS qk
+      FROM hcell JOIN hcode USING (vec_id)
+    ),
+    bsubs AS MATERIALIZED ({bsubs_rows}),
+    bcell AS ({_km_sql_assign("batch", "c2")}),
+    bassign AS (
+      SELECT vec_id, m, c FROM (
+        SELECT s.vec_id, s.m, c.c,
+               row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 (list_dot_product(s.xs, s.xs) - 2*list_dot_product(s.xs, c.cs)
+                  + list_dot_product(c.cs, c.cs)), c.c) AS rn
+        FROM bsubs s JOIN pcents c ON c.m = s.m) WHERE rn = 1
+    ),
+    bcode AS (SELECT vec_id, string_agg(CAST(c AS VARCHAR), ',' ORDER BY m)
+                       AS codes
+              FROM bassign GROUP BY vec_id),
+    benc AS MATERIALIZED (
+      SELECT b.vec_id, bcell.cid AS cell,
+             CAST(bcell.cid AS VARCHAR) || '_' || bcode.codes AS qk
+      FROM batch b JOIN bcell ON bcell.vec_id = b.vec_id
+      JOIN bcode ON bcode.vec_id = b.vec_id
+    ),
+    cls AS MATERIALIZED (
+      SELECT benc.vec_id, benc.cell, benc.qk,
+             benc.vec_id IN (SELECT vec_id FROM hist) AS is_replay,
+             benc.qk IN (SELECT qk FROM hkeys) AS in_hist
+      FROM benc
+    ),
+    reps AS (
+      SELECT qk, min(vec_id) AS rep FROM cls
+      WHERE NOT is_replay AND NOT in_hist GROUP BY qk
+    )
+    SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+           CASE WHEN c.is_replay THEN 'replayed'
+                WHEN c.in_hist THEN 'dup_hist'
+                WHEN c.vec_id = r.rep THEN 'added'
+                ELSE 'dup_batch' END AS status
+    FROM cls c LEFT JOIN reps r ON r.qk = c.qk
+    """
+
+
+@_register(
+    "embedding_index_ingest_dedup",
+    _ingest_dedup_oracle(),
+    "Streaming index ingest-dedup classification: train coarse "
+    f"(K={_KM_K}, exact one-update k-means) and PQ ({_PQ_M}x{_PQ_K}, "
+    "two exact rounds) codebooks on HISTORY ONLY, encode an arriving "
+    "batch (the held-out tenth plus planted arrivals: a replayed id, a "
+    "PQ-identical clone of an indexed vector, and an in-batch clone "
+    "pair), and classify every row exactly as the streaming maintainer "
+    "does — replayed (id already indexed), dup_hist ((cell, codes) "
+    "collides with an indexed vector), dup_batch (loses the in-batch "
+    "min-vec_id race for its key), added. The quantization IS the dedup "
+    "identity (no raw-vector history), and replay idempotence is "
+    "anti-join-by-id (T3). Scale shape: codebooks broadcast (K + M*K "
+    "rows); the id and key guards join with shuffle_hash hints (both "
+    "sides corpus-derived — never statically broadcast); the production "
+    "twin additionally prunes the history side to the batch's cell set "
+    "(streaming/vector_index.py, measured flat at the 100x corpus)",
+    reference="[NORTH-STAR] faiss add-after-train ingest; SURVEY §2.7 M3 "
+    "insert-ignore / §2.9 T3 exactly-once-by-idempotence applied to the "
+    "ANN tier; spec twin of streaming/vector_index.ingest_batch",
+    tags=("similarity", "dedup", "northstar", "iterative"),
+)
+def q_index_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _km_load(spark, sf_dir)
+    hist = e.filter(F.col("vec_id") % 10 != 9).localCheckpoint(eager=False)
+
+    def plant(src_id: int, new_id: int) -> DataFrame:
+        return e.filter(F.col("vec_id") == src_id).select(
+            F.lit(new_id).cast("long").alias("vec_id"), "x"
+        )
+
+    batch = (
+        e.filter(F.col("vec_id") % 10 == 9)
+        .unionByName(plant(0, 0))              # replayed id
+        .unionByName(plant(10, 2_000_000))     # PQ-identical to indexed
+        .unionByName(plant(9, 2_000_001))      # in-batch clone pair of 9
+        .unionByName(plant(9, 2_000_002))
+        .localCheckpoint(eager=False)
+    )
+    coarse = _km_trained_centroids(hist).localCheckpoint(eager=False)
+    hsubs = _pq_subs(hist)
+    pcents = _pq_trained_cents(hsubs).localCheckpoint(eager=False)
+
+    def enc(df: DataFrame, df_subs: DataFrame) -> DataFrame:
+        cells = _km_assign(df, coarse)
+        codes = (
+            df_subs.join(F.broadcast(pcents), "m")
+            .groupBy("vec_id", "m")
+            .agg(
+                F.expr(
+                    f"min_by(c, struct({_pq_sub_d2_sql('xs', 'cs')} as d, "
+                    "c as c))"
+                ).alias("code")
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.concat_ws(
+                    ",",
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(m, code)))"
+                        ", s -> cast(s.code as string))"
+                    ),
+                ).alias("codes")
+            )
+        )
+        return cells.join(codes, "vec_id").select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cell"),
+            F.concat_ws("_", F.col("cid"), F.col("codes")).alias("qk"),
+        )
+    hkeys = enc(hist, hsubs).select("qk").distinct()
+    benc = enc(batch, _pq_subs(batch)).localCheckpoint(eager=False)
+    # shuffle_hash on both guards: the id set and the key set are
+    # corpus-derived aggregates — the statically-misplanned broadcast
+    # class the 100x tier caught twice (r8).
+    cls = (
+        benc.join(
+            hist.select("vec_id")
+            .withColumn("_r", F.lit(True))
+            .hint("shuffle_hash"),
+            "vec_id",
+            "left",
+        )
+        .join(
+            hkeys.withColumn("_h", F.lit(True)).hint("shuffle_hash"),
+            "qk",
+            "left",
+        )
+        .localCheckpoint(eager=False)  # reused: reps + final classify
+    )
+    reps = (
+        cls.filter(F.col("_r").isNull() & F.col("_h").isNull())
+        .groupBy("qk")
+        .agg(F.min("vec_id").alias("rep"))
+    )
+    return cls.join(reps, "qk", "left").select(
+        "vec_id",
+        "cell",
+        F.when(F.col("_r").isNotNull(), "replayed")
+        .when(F.col("_h").isNotNull(), "dup_hist")
+        .when(F.col("vec_id") == F.col("rep"), "added")
+        .otherwise("dup_batch")
+        .alias("status"),
     )
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import MERGE_SPLIT_LIT, _register, _t
+from .catalog import MERGE_SPLIT_LIT, _register, _register_retired, _t
 from .northstar import _sql_md5_long
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -1082,7 +1082,7 @@ def _mad_fn(pdf):
     )
 
 
-@_register(
+@_register_retired(
     "user_value_mad",
     """
     WITH c AS (
@@ -1104,7 +1104,11 @@ def _mad_fn(pdf):
     "on the group key, Arrow batches per group, no driver collect. Exact "
     "cross-engine because all inputs are integer cents (medians land on "
     "exact binary halves). The oracle computes the same two-level median "
-    "relationally",
+    "relationally. RETIRED r12 (shortlist #1, freeing the rotation slot "
+    "for embedding_index_ingest_dedup): the expression-composed twin "
+    "user_value_mad_native holds the semantics in the active registry, "
+    "the UDF-vs-builtin measurement is banked in test_udtf.py, and this "
+    "query stays oracle-verified each session via test_retired.py",
     reference="[NORTH-STAR] grouped custom operator tier (mapInPandas "
     "covers per-row in multimodal_*; this covers per-group)",
     tags=("pandas-udf", "window"),

@@ -33,8 +33,10 @@ _BNLJ_ALLOWED = {
     "docs_weighted_sample",  # 1-row grand-total broadcast (mix-weight chain)
     "docs_training_order",  # same 1-row grand-total broadcast (mix-weight chain)
     "idle_rich_customer_segments",  # 1-row avg-balance scalar broadcast cross join
-    "embedding_pq_adc_recall",  # 1-row query-vector broadcast (exact-scan baseline side)
-    "embedding_pq_adc_recall_trained",  # same 1-row query-vector broadcast
+    # (embedding_pq_adc_recall retired r12 — its allowlist entry moved to
+    # test_retired.py with the rest of its gating.)
+    "embedding_pq_adc_recall_trained",  # 1-row query-vector broadcast
+    # (exact-scan baseline side)
     "docs_bpe_top_merges",  # 1-row top-merge-pair + tokens-after broadcasts per round
     "events_key_skew_stats",  # 1-row top-10-sum broadcast cross join
     "segment_distinct_users_hll",  # 1-row merged-sketch x 1-row grand-total
@@ -47,6 +49,9 @@ _BNLJ_ALLOWED = {
     # the BLAS kernel — its plan now has zero BNLJ and stays gated.)
     "docs_packing_efficiency",  # 1-row grand-total (mix-weight chain) +
     # 1-row bins-total broadcast cross joins
+    "embedding_index_ingest_dedup",  # K-row codebook broadcast cross joins
+    # (the _km_assign shape embedding_kmeans_2iter carries); the
+    # corpus-derived id/key guards are shuffle_hash-hinted equi joins
 }
 
 _ALL = sorted(REGISTRY)

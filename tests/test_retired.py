@@ -28,6 +28,8 @@ _BNLJ_ALLOWED = {
     "embedding_ivf_recall",  # composes embedding_topk_ivf, inherits its plan
     "embedding_ivf_recall_trained",  # composes k-means + IVF, bounded sides
     "docs_lsh_recall",  # 1-row truth-count x 1-row hit-count
+    "embedding_pq_adc_recall",  # 1-row query-vector broadcast (exact-scan
+    # baseline side), same shape as its active trained twin
 }
 
 
@@ -39,9 +41,16 @@ def test_expected_retirees():
         "docs_lsh_recall",
         "embedding_ivf_recall",
         "embedding_ivf_recall_trained",
+        # r12 (shortlist #3): training-free ADC rung, superseded by the
+        # still-active embedding_pq_adc_recall_trained; 0.3 floor banked.
+        "embedding_pq_adc_recall",
         "embedding_semdedup",
         "multimodal_decode_stub",
         "multimodal_resize_framesample_stub",
+        # r12 (shortlist #1): grouped-Arrow-UDF twin of the still-active
+        # user_value_mad_native; the UDF-vs-builtin measurement lives in
+        # test_udtf.py.
+        "user_value_mad",
     ]
 
 
@@ -85,3 +94,9 @@ def test_banked_recall_floors(spark):
     lsh = RETIRED_REGISTRY["docs_lsh_recall"].builder(spark, SF_CORRECT).collect()[0]
     assert lsh["n_true"] > 0, lsh
     assert lsh["recall"] >= 0.9, lsh
+    pq = (
+        RETIRED_REGISTRY["embedding_pq_adc_recall"]
+        .builder(spark, SF_CORRECT)
+        .collect()[0]
+    )
+    assert pq["recall_at_10"] >= 0.3, pq
