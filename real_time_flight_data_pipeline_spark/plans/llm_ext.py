@@ -5280,7 +5280,9 @@ def q_index_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qk")
         .agg(F.min("vec_id").alias("rep"))
     )
-    return cls.join(reps, "qk", "left").select(
+    # shuffle_hash: reps is O(distinct batch keys) — batch-derived, so at
+    # a corpus-scale micro-batch it must never be statically broadcast.
+    return cls.join(reps.hint("shuffle_hash"), "qk", "left").select(
         "vec_id",
         "cell",
         F.when(F.col("_r").isNotNull(), "replayed")
