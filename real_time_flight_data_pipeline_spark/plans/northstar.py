@@ -387,11 +387,16 @@ def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    toks = TX.tokens(F.col("text"))
-    sh = TX.shingles(toks, 3)
-    df = docs.select("doc_id", sh.alias("sh")).select(
-        "doc_id", TX.shingle_base_hashes(F.col("sh")).alias("hs")
-    )
+    # Barrier between tokenize and shingling (r12): shingles() references
+    # its token array 3x PER GRAM via element_at, so an inline
+    # tokens(text) re-runs the split per reference (CollapseProject) —
+    # measured 11.9 s -> 5.3 s for this stage at the 10x corpus.
+    toks = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+    df = toks.select(
+        "doc_id", TX.shingles(F.col("toks"), 3).alias("sh")
+    ).select("doc_id", TX.shingle_base_hashes(F.col("sh")).alias("hs"))
     pairs = F.array(
         *[
             F.struct(
