@@ -192,20 +192,76 @@ WINNOW_K = 5  # char k-gram width
 WINNOW_W = 4  # winnowing window length
 
 
+# Polynomial gram-code hash (r12): normalized text is [a-z0-9 ] only
+# (ascii < 131), so sum(code[i+j] * 131^j) is an INJECTIVE BIGINT
+# encoding of the 5-gram (max ~3.62e10). The mix is two independent
+# multiplicative residues packed into one long:
+#     h = ((g*A1) % P1) * 2^31 + (g*A2) % P2
+# with P1/P2 distinct primes — INJECTIVE over the gram-code range (a
+# collision needs g1-g2 divisible by both primes, i.e. by P1*P2 ~ 1e18,
+# far above the 3.86e10 range), non-monotone (each residue wraps ~36
+# times across the range, so winnowing's window minima are not just
+# "smallest gram alphabetically"), and the value space is ~2^60 — a
+# single (g*A) % 1e9 mix was a real defect: at the 100x corpus its
+# 2^30 space birthday-collided across ~2e8 distinct grams, melting the
+# df-capped blocking into hot buckets (OOM in the candidate join). All
+# arithmetic is exact int64 in BOTH engines (max intermediate
+# g*A1 ~ 7.7e18 < 2^63), so the oracle states the identical function —
+# the same cross-engine determinism md5-prefix hashing gave, at
+# array-arithmetic cost instead of one md5 per char position (measured:
+# the md5 pass was 94 of docs_ngram_jaccard_pairs' 133 s at 100x).
+GRAM_BASE = 131
+GRAM_MIX_A1 = 200_000_033
+GRAM_MIX_P1 = 1_000_000_007
+GRAM_MIX_A2 = 179_424_673
+GRAM_MIX_P2 = 1_000_000_009
+GRAM_MIX_SHIFT = 2_147_483_648  # 2^31 > P1, keeps the pack collision-free
+
+
 def char_gram_hashes(norm_text: Column, k: int = WINNOW_K) -> Column:
-    """One md5-prefix BIGINT hash per char k-gram of already-normalized text.
+    """One BIGINT hash per char k-gram of already-normalized text: the
+    exact polynomial gram code mixed by (code * A) % P.
 
     Caller must pass a *projected* normalized-text column (and keep a
-    checkpoint barrier before this) — the expression is inlined per gram, so
-    feeding normalized_text(text) directly would re-run the regex chain O(n)
-    times per document (the CollapseProject trap)."""
+    checkpoint barrier before this) — the expression is inlined per
+    consumer reference, so feeding normalized_text(text) directly would
+    re-run the regex chain per reference (the CollapseProject trap).
+
+    Shape: the char-code array is combined with its shifts via zip_with
+    (one O(n) pass per shift, k-1 shifts) instead of k element_at lookups
+    per gram inside a transform lambda — Catalyst does not eliminate
+    common subexpressions inside HOF lambdas (the r12 minhash lesson), so
+    the lookup form would re-evaluate the code array per reference.
+    zip_with NULL-pads the shorter shifted side and the arithmetic
+    propagates NULL, so positions without a full gram fall out of the
+    final n_grams slice."""
+    if k != WINNOW_K:  # the shift ladder below is laid out for k = 5
+        raise NotImplementedError("char_gram_hashes is laid out for k = 5")
+    codes = F.transform(
+        F.split(norm_text, ""), lambda c: F.ascii(c).cast("long")
+    )
+    sz = F.size(codes)
+
+    def shift(j: int) -> Column:
+        return F.slice(codes, j + 1, F.greatest(sz - j, F.lit(1)))
+
+    b1, b2, b4 = GRAM_BASE, GRAM_BASE**2, GRAM_BASE**4
+    t01 = F.zip_with(codes, shift(1), lambda a, b: a + b * F.lit(b1))
+    t23 = F.zip_with(shift(2), shift(3), lambda a, b: a + b * F.lit(b1))
+    poly = F.zip_with(
+        F.zip_with(t01, t23, lambda x, y: x + y * F.lit(b2)),
+        shift(4),
+        lambda x, c: (x + c * F.lit(b4)).cast("long"),
+    )
+    mixed = F.transform(
+        poly,
+        lambda g: ((g * F.lit(GRAM_MIX_A1)) % F.lit(GRAM_MIX_P1))
+        * F.lit(GRAM_MIX_SHIFT)
+        + (g * F.lit(GRAM_MIX_A2)) % F.lit(GRAM_MIX_P2),
+    )
     n_grams = F.length(norm_text) - k + 1
     return F.when(
-        n_grams >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: md5_long(norm_text.substr(i.cast("int"), F.lit(k))),
-        ),
+        n_grams >= 1, F.slice(mixed, 1, n_grams)
     ).otherwise(F.array().cast("array<long>"))
 
 

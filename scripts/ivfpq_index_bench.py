@@ -105,6 +105,19 @@ def run_increments(spark, sf_dir: str, tier: str) -> dict:
         added += s.n_added
     counts = cell_file_counts(spark, path)
     frag_max, frag_total = max(counts.values()), sum(counts.values())
+    # strict_ids trade, measured (r12): replay the last batch through the
+    # default (cell-pruned) and strict (unpruned id projection) guards —
+    # the delta prices the cross-batch id-mutation protection.
+    last = spark.read.parquet(f"{work}/held").filter(
+        F.col("b") == N_INCR - 1
+    ).drop("b")
+    t0 = time.perf_counter()
+    m.ingest_batch(last)
+    replay_default_sec = round(time.perf_counter() - t0, 3)
+    m_strict = VectorIndexMaintainer(spark, path, strict_ids=True)
+    t0 = time.perf_counter()
+    m_strict.ingest_batch(last)
+    replay_strict_sec = round(time.perf_counter() - t0, 3)
     probe_frag, frag_runs = _probe_median(spark, path, qvec)
     t0 = time.perf_counter()
     n_compacted = len(compact_index_cells(spark, path, max_files_per_cell=8))
@@ -125,6 +138,8 @@ def run_increments(spark, sf_dir: str, tier: str) -> dict:
         "ingest_second_half_median": round(
             statistics.median(per_batch[half:]), 3
         ),
+        "replay_default_sec": replay_default_sec,
+        "replay_strict_sec": replay_strict_sec,
         "files_max_per_cell_frag": frag_max,
         "files_total_frag": frag_total,
         "probe_fragmented_sec": probe_frag,
