@@ -220,7 +220,9 @@ GRAM_MIX_SHIFT = 2_147_483_648  # 2^31 > P1, keeps the pack collision-free
 
 def char_gram_hashes(norm_text: Column, k: int = WINNOW_K) -> Column:
     """One BIGINT hash per char k-gram of already-normalized text: the
-    exact polynomial gram code mixed by (code * A) % P.
+    exact polynomial gram code mixed into two packed multiplicative
+    residues (see the constant block above — injective over the gram
+    range, ~2^60 value space).
 
     Caller must pass a *projected* normalized-text column (and keep a
     checkpoint barrier before this) — the expression is inlined per

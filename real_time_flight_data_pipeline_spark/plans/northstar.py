@@ -713,26 +713,51 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = normed.select(
         "doc_id", TX.char_gram_hashes(F.col("t")).alias("hs")
     ).localCheckpoint(eager=False)
-    grams = hashed.select("doc_id", F.array_distinct("hs").alias("ghs")).localCheckpoint(
-        eager=False
+    # Candidate generation as ONE groupBy(fp) with in-group pair expansion
+    # (r12): the earlier rare-filter + fpr self-join consumed the exploded
+    # fp frame three ways, which needed either a re-run of the winnow pass
+    # per consumer (the pre-r12 cost) or a stored barrier (whose ~16 B x
+    # n_fps checkpoint pinned most of an 8 g driver heap at the 100x
+    # corpus and failed broadcast builds). Grouping to df-capped id lists
+    # instead consumes fp ONCE inline — no barrier, two fewer shuffles
+    # (the rare join and the fp self-join fold into the one groupBy), and
+    # the df cap bounds each group's expansion at C(50,2) pairs, so no
+    # hot-bucket blowup is reachable (the same inverted-index stopword
+    # capping as before, identical candidate set).
+    fpg = (
+        hashed.select(
+            "doc_id", F.explode(TX.winnow_mins(F.col("hs"))).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= _WINNOW_MAX_DF))
     )
-    # Barrier: fp fans out THREE ways (rare's groupBy, then both sides of
-    # the candidate self-join) — without it the winnow pass re-runs per
-    # consumer (the 10x profile showed the recompute costing as much as
-    # the pass itself; the same tokenize-duplication ceiling the plan
-    # audit enforces for token pipelines).
-    fp = hashed.select(
-        "doc_id", F.explode(TX.winnow_mins(F.col("hs"))).alias("fp")
-    ).localCheckpoint(eager=False)
-    rare = fp.groupBy("fp").count().filter(F.col("count") <= _WINNOW_MAX_DF).select("fp")
-    fpr = fp.join(rare, "fp")
-    a = fpr.alias("a")
-    b = fpr.alias("b")
+    pairs = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "b -> struct(a as a_id, b as b_id))))"
+    )
     cand = (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        fpg.select(F.explode(pairs).alias("p"))
+        .select("p.a_id", "p.b_id")
         .dropDuplicates()
         .localCheckpoint(eager=True)  # materialize once: reused by count + joins
+    )
+    # Distinct-gram sets ONLY for candidate docs (r12): the verify join
+    # touches O(|cand|) documents, a few 1e4 at the 100x corpus, so
+    # computing (and, pre-r12, CHECKPOINTING) array_distinct over all
+    # n documents stored a second corpus-scale frame for nothing — at
+    # 100x the normed+hashed+grams barriers together overran the 8 g
+    # driver heap and made even a 1 MB candidate broadcast build fail.
+    cand_ids = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .unionByName(cand.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    grams = (
+        hashed.join(cand_ids, "doc_id", "semi")
+        .select("doc_id", F.array_distinct("hs").alias("ghs"))
+        .localCheckpoint(eager=False)  # small: candidate docs only
     )
     ga = grams.select(F.col("doc_id").alias("a_id"), F.col("ghs").alias("a_g"))
     gb = grams.select(F.col("doc_id").alias("b_id"), F.col("ghs").alias("b_g"))
