@@ -53,13 +53,35 @@ CANARY_QUERY = "top_users_by_value"
 
 def _warm_head(spark, sf_dir: str) -> None:
     """Untimed pass over the sweep head + rotation-window head (the
-    coldest plans). Shared by the initial warmup and the canary
-    convergence loop."""
+    coldest plans)."""
     for name in dict.fromkeys([*ORIGINAL_ORDER[:5], *list(REGISTRY)[:5]]):
         if name in REGISTRY:
             REGISTRY[name].builder(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
+
+
+def _warm_slice(spark, sf_dir: str, i: int) -> None:
+    """Untimed pass over the i-th 20-query slice of the sweep order,
+    advancing deeper into the registry on each divergent canary probe.
+
+    A head-only re-warm converges the canary's OWN code path while the
+    wider JVM (shuffle/parquet/codegen tiers shared with the other ~145
+    queries) is still cold-tier compiled, so the convergence loop used
+    to plateau at an inflated start sample: even a sweep-warmed machine
+    recorded start/end drift ~0.86, and cold machines fell out of the
+    [0.8, 1.25] band (r11 drift 1.227, r12 sweeps 0.54/0.74). Measured
+    on a fresh JVM (r12): the canary drops 0.369 -> 0.309 -> 0.259 ->
+    0.239 s after successive 20-query diverse slices and plateaus at
+    ~60, which is where end-of-sweep values sit — so slice-warming makes
+    the start sample measure HOST state, not JIT state. Cost when cold:
+    up to 3 slices (~60 untimed queries); on an already-warm JVM the
+    first probes converge and no slice runs."""
+    names = [n for n in ORIGINAL_ORDER if n in REGISTRY]
+    for name in names[5 + 20 * i : 5 + 20 * (i + 1)]:
+        REGISTRY[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
 
 def _time_canary(spark, sf_dir: str) -> float:
@@ -175,22 +197,26 @@ def main() -> None:
     except Exception:
         traceback.print_exc(file=sys.stderr)
 
-    # Warm UNTIL CONVERGED (r8 verdict #6, carried to r9 #7): a single
-    # warmup pass still left start-of-sweep residual slowness — measured
-    # canary drift 0.764/0.798 across two rounds, below the [0.8, 1.25]
-    # noise band. Probe the canary until two consecutive probes agree
-    # within 10% (<= 3 repeats), re-running the head warmup between
-    # divergent probes; the LAST probe is the start sample, so it is by
+    # Warm UNTIL PLATEAUED (r8 verdict #6, carried to r9 #7, criterion
+    # fixed r12): the old loop probed until two CONSECUTIVE probes
+    # agreed within 10%, but repeated canary runs warm only the canary's
+    # own code path — consecutive probes agree immediately at an
+    # inflated level while the wider JVM stays cold-tier compiled, so
+    # cold sweeps kept recording out-of-band drift (0.54/0.71/0.74)
+    # that read as host noise. Now each round interleaves a 20-query
+    # diverse warm slice (_warm_slice) and re-probes, stopping when the
+    # probe stops IMPROVING by >5% (plateau = the JIT asymptote the end
+    # sample sits at); the LAST probe is the start sample, so it is by
     # construction taken on a converged host/JIT state.
     try:
         canary_start = _time_canary(spark, sf_dir)
-        for _ in range(3):
+        for attempt in range(3):
+            _warm_slice(spark, sf_dir, attempt)
             probe = _time_canary(spark, sf_dir)
-            converged = abs(probe - canary_start) <= 0.10 * canary_start
+            plateaued = probe >= 0.95 * canary_start
             canary_start = probe
-            if converged:
+            if plateaued:
                 break
-            _warm_head(spark, sf_dir)
     except Exception:
         canary_start = None
         traceback.print_exc(file=sys.stderr)
