@@ -3,20 +3,27 @@
 For every active catalog query at sf0.1, separates the two components the
 headline bench conflates:
 
-- t_build — driver-side plan construction: py4j expression round-trips,
-  Catalyst analysis/optimization, and the planning that lazy
-  ``localCheckpoint(eager=False)`` barriers pay at build time. This cost
-  is CONSTANT in data size (it depends on plan shape, not row count).
-- t_exec — the actual distributed work: a ``noop``-format write action of
-  the built DataFrame (scan, shuffle, aggregate — everything Spark runs).
+- t_build — everything the builder call pays before the final frame
+  exists: py4j expression round-trips, Catalyst analysis/optimization,
+  and each lazy ``localCheckpoint(eager=False)`` barrier's ``toRdd``
+  pass. NOTE the toRdd pass is not pure planning: it also kicks off any
+  BroadcastExchange relation futures in the barrier's subtree (measured:
+  the curation funnel's decontaminate barrier plans in 0.09 s standalone
+  but its checkpoint call costs 1.29 s — the delta is the benchmark-gram
+  broadcast side actually executing). So t_build = plan construction
+  (constant in data size) + broadcast/barrier prework (scales with the
+  broadcast sides, which are the SMALL inputs by design).
+- t_exec — a ``noop``-format write action of the built DataFrame: the
+  final frame's scan/shuffle/aggregate work.
 
 Why it matters: at sf0.1 several composite queries (curation funnel/audit,
 BPE rounds, codebook training) are >80% t_build, so the sf0.1 headline
-total overstates what a 1000-executor run would cost — planning amortizes
-at 100 TB while exec scales with data (the 100x curve entries in
-scale_curve_results.json measure exactly that regime). This audit makes
-the split a recorded, re-runnable number instead of a per-query anecdote
-(r8 profiling idiom: any query with build >> exec is a planning artifact).
+total overstates what a 1000-executor run would cost — the planning share
+amortizes at 100 TB and the broadcast-side share grows only with the
+small inputs, while t_exec scales with the corpus (the 100x curve entries
+in scale_curve_results.json measure that end-to-end regime). This audit
+makes the split a recorded, re-runnable number instead of a per-query
+anecdote (r8 profiling idiom: build >> exec flags a planning artifact).
 
 Protocol: one untimed warm pass (JVM/codegen/page-cache), then one timed
 build and one timed exec per query, in registry order. Writes ONE JSON
