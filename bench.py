@@ -84,6 +84,45 @@ def _warm_slice(spark, sf_dir: str, i: int) -> None:
         ).save()
 
 
+def _host_sample() -> dict:
+    """Host telemetry snapshot for sweep adjudication: loadavg plus the
+    cumulative CPU tick split (including steal) from /proc. The canary
+    detects JVM/JIT drift but is too SMALL to sense neighbor CPU
+    contention — an r12 sweep recorded canary drift 0.93 (start and end
+    both at the warm plateau) while CPU-bound per-query medians ran 22%
+    slow across the board. Tick deltas between sweep start and end name
+    the cause directly: steal_frac > 0 is a noisy neighbor; busy_frac
+    near 1 with low steal is a co-located process."""
+    out: dict = {}
+    try:
+        la = open("/proc/loadavg").read().split()
+        out["load1"], out["load5"] = float(la[0]), float(la[1])
+        parts = open("/proc/stat").readline().split()
+        keys = (
+            "user", "nice", "system", "idle",
+            "iowait", "irq", "softirq", "steal",
+        )
+        out["cpu_ticks"] = dict(zip(keys, (int(p) for p in parts[1:9])))
+    except (OSError, ValueError, IndexError):
+        pass
+    return out
+
+
+def _host_delta(start: dict, end: dict) -> dict:
+    """Fractions of total CPU ticks spent busy/stolen between samples."""
+    host = {"start": start, "end": end}
+    try:
+        t0, t1 = start["cpu_ticks"], end["cpu_ticks"]
+        d = {k: t1[k] - t0[k] for k in t0}
+        total = sum(d.values())
+        if total > 0:
+            host["busy_frac"] = round(1.0 - (d["idle"] + d["iowait"]) / total, 4)
+            host["steal_frac"] = round(d["steal"] / total, 4)
+    except KeyError:
+        pass
+    return host
+
+
 def _time_canary(spark, sf_dir: str) -> float:
     # One untimed run first: the canary measures HOST drift, so its own
     # plan/codegen state must be warm at both measurement points (the
@@ -221,6 +260,7 @@ def main() -> None:
         canary_start = None
         traceback.print_exc(file=sys.stderr)
 
+    host_start = _host_sample()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     detail: dict[str, dict] = {}
@@ -272,14 +312,16 @@ def main() -> None:
             else None
         ),
     }
+    host = _host_delta(host_start, _host_sample())
     print(f"  canary: {canary}", file=sys.stderr)
+    print(f"  host: {host}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     detail_path = pathlib.Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     try:
         detail_path.write_text(
             json.dumps(
-                {"sf": sf, "total_sec": None if errors else total, "n_errors": len(errors), "canary": canary, "detail": detail}, indent=1
+                {"sf": sf, "total_sec": None if errors else total, "n_errors": len(errors), "canary": canary, "host": host, "detail": detail}, indent=1
             )
         )
     except OSError:
