@@ -123,6 +123,56 @@ def _host_delta(start: dict, end: dict) -> dict:
     return host
 
 
+def _plateau_warmup(probe, warm, max_slices: int = 3,
+                    tol: float = 0.95, need: int = 2) -> float:
+    """Warm until the canary probe PLATEAUS; returns the final probe value
+    (the sweep's start sample, by construction taken on a converged
+    host/JIT state). Pure control flow — unit-tested with synthetic probe
+    sequences in tests/test_bench_host.py.
+
+    Plateau = ``need`` CONSECUTIVE non-improving probes (cur >= tol *
+    prev). r12's criterion declared the plateau on the FIRST non-improving
+    probe, so one noise-slow probe ended warming early and inflated the
+    start sample (r12 verdict #4 / ADVICE low); requiring two consecutive
+    confirmations makes a single noisy probe re-measure instead.
+
+    Probe-then-warm ordering (the other half of that ADVICE): a warm
+    slice runs ONLY after a probe that is still improving — an
+    already-warm JVM satisfies the plateau after ``need`` extra probes
+    and runs no slice at all. Each improving probe buys one diverse
+    20-query slice (_warm_slice), at most ``max_slices`` total; when
+    slices are exhausted the last probe is returned as-is."""
+    prev = probe()
+    non_improving = 0
+    slices = 0
+    while non_improving < need:
+        cur = probe()
+        if cur >= tol * prev:
+            non_improving += 1
+        else:
+            non_improving = 0
+            if slices >= max_slices:
+                prev = cur
+                break
+            warm(slices)
+            slices += 1
+        prev = cur
+    return prev
+
+
+def _detail_entry(runs: list, builds: list, execs: list) -> dict:
+    """Per-query BENCH_DETAIL entry: total-run stats (the cross-round
+    headline basis) plus the build/exec medians (r12 verdict #3) that
+    let a contended sweep be adjudicated from the artifact alone."""
+    return {
+        "runs": [round(r, 4) for r in runs],
+        "median": round(statistics.median(runs), 4),
+        "best": round(min(runs), 4),
+        "build_median": round(statistics.median(builds), 4),
+        "exec_median": round(statistics.median(execs), 4),
+    }
+
+
 def _time_canary(spark, sf_dir: str) -> float:
     # One untimed run first: the canary measures HOST drift, so its own
     # plan/codegen state must be warm at both measurement points (the
@@ -236,26 +286,19 @@ def main() -> None:
     except Exception:
         traceback.print_exc(file=sys.stderr)
 
-    # Warm UNTIL PLATEAUED (r8 verdict #6, carried to r9 #7, criterion
-    # fixed r12): the old loop probed until two CONSECUTIVE probes
-    # agreed within 10%, but repeated canary runs warm only the canary's
-    # own code path — consecutive probes agree immediately at an
-    # inflated level while the wider JVM stays cold-tier compiled, so
-    # cold sweeps kept recording out-of-band drift (0.54/0.71/0.74)
-    # that read as host noise. Now each round interleaves a 20-query
-    # diverse warm slice (_warm_slice) and re-probes, stopping when the
-    # probe stops IMPROVING by >5% (plateau = the JIT asymptote the end
-    # sample sits at); the LAST probe is the start sample, so it is by
-    # construction taken on a converged host/JIT state.
+    # Warm UNTIL PLATEAUED (r8 verdict #6; criterion fixed r12, hardened
+    # r13): repeated canary runs warm only the canary's own code path, so
+    # the plateau is detected by interleaving DIVERSE 20-query warm
+    # slices with re-probes until the probe stops improving — and (r13)
+    # the stop requires TWO consecutive non-improving probes with
+    # probe-then-warm ordering, so one noise-slow probe re-measures
+    # instead of ending warmup early and an already-warm JVM runs no
+    # slice at all. Control flow in _plateau_warmup (unit-tested).
     try:
-        canary_start = _time_canary(spark, sf_dir)
-        for attempt in range(3):
-            _warm_slice(spark, sf_dir, attempt)
-            probe = _time_canary(spark, sf_dir)
-            plateaued = probe >= 0.95 * canary_start
-            canary_start = probe
-            if plateaued:
-                break
+        canary_start = _plateau_warmup(
+            lambda: _time_canary(spark, sf_dir),
+            lambda i: _warm_slice(spark, sf_dir, i),
+        )
     except Exception:
         canary_start = None
         traceback.print_exc(file=sys.stderr)
@@ -269,12 +312,27 @@ def main() -> None:
         if q is None:
             continue
         runs: list[float] = []
+        builds: list[float] = []
+        execs: list[float] = []
         try:
             for _ in range(N_RUNS):
+                # Build/exec split (r12 verdict #3): t_build is plan
+                # construction + py4j + any lazy-checkpoint Catalyst/
+                # broadcast prework (53% of the sf0.1 wall per the r12
+                # plan-overhead audit — constant-in-data or small-input-
+                # bound, amortizing to noise at 100x); t_exec is the noop
+                # materialization. A contended sweep inflates t_exec
+                # across the board while t_build barely moves, so the
+                # exec subtotal lets a driver artifact be adjudicated
+                # against host noise without a re-run.
                 t0 = time.perf_counter()
                 df = q.builder(spark, sf_dir)
+                t1 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
-                runs.append(time.perf_counter() - t0)
+                t2 = time.perf_counter()
+                builds.append(t1 - t0)
+                execs.append(t2 - t1)
+                runs.append(t2 - t0)
         except Exception as e:
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             detail[name] = {
@@ -283,12 +341,8 @@ def main() -> None:
             }
             print(f"  {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
-        timings[name] = round(statistics.median(runs), 4)
-        detail[name] = {
-            "runs": [round(r, 4) for r in runs],
-            "median": timings[name],
-            "best": round(min(runs), 4),
-        }
+        detail[name] = _detail_entry(runs, builds, execs)
+        timings[name] = detail[name]["median"]
         _quiesce()
         print(
             f"  {name}: {timings[name]:.3f}s (runs: {', '.join(f'{r:.3f}' for r in runs)})",
@@ -317,11 +371,23 @@ def main() -> None:
     print(f"  host: {host}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+    # Exec/build subtotals (r12 verdict #3): sums of per-query medians.
+    # Note sum(build)+sum(exec) can differ from total_sec by median
+    # non-additivity (median(a+b) != median(a)+median(b)); the subtotals
+    # are the adjudication signal, total_sec stays the headline.
+    build_total = round(
+        sum(d["build_median"] for d in detail.values() if "build_median" in d),
+        4,
+    )
+    exec_total = round(
+        sum(d["exec_median"] for d in detail.values() if "exec_median" in d),
+        4,
+    )
     detail_path = pathlib.Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     try:
         detail_path.write_text(
             json.dumps(
-                {"sf": sf, "total_sec": None if errors else total, "n_errors": len(errors), "canary": canary, "host": host, "detail": detail}, indent=1
+                {"sf": sf, "total_sec": None if errors else total, "build_total_sec": build_total, "exec_total_sec": exec_total, "n_errors": len(errors), "canary": canary, "host": host, "detail": detail}, indent=1
             )
         )
     except OSError:

@@ -1,0 +1,316 @@
+"""Generic partitioned APPEND store machinery (r12 verdict #1).
+
+The vector index tier (operators/ann_index.py, r10-r12) proved out a
+storage pattern this engine now needs twice: a directory-partitioned
+parquet dataset that grows by APPENDS into its partitions (never by
+rewriting the table), with small-file accretion bounded by threshold
+compaction through a crash-safe staged swap, and readers that guard the
+swap window. r12's verdict asked for the same commit model on the
+streaming corpus store (its pointer-flip rewrite was the engine's last
+O(table)-per-micro-batch cost), so the machinery is factored here ONCE,
+parameterized by the data root and partition column:
+
+    <root>/<part_col>=<v>/part-*.parquet    the live dataset
+    <root>_staged/                          compacted copies, fully
+                                            written before any swap
+    <root>_old/                             per-partition holding dir
+                                            during the two-rename swap
+
+The vector tier keeps its public API (ann_index.compact_index_cells etc.)
+as thin delegates; the corpus store (streaming/corpus.py) instantiates
+the same machinery over fingerprint buckets and LSH band buckets.
+
+Protocol (unchanged from ann_index r11/r12, where it is test-pinned by a
+9-test crash matrix in tests/test_index_compaction.py):
+
+- compaction stages the compacted copy COMPLETELY, verifies every staged
+  partition materialized, then swaps each partition with two atomic
+  renames: (A) live -> <root>_old, (B) staged -> live;
+- every Hadoop ``FileSystem.rename`` return value is CHECKED — Hadoop
+  reports most failures by returning False, and an unnoticed false
+  before a delete of ``<root>_old`` would destroy the only copy;
+- ``recover_partition_compaction`` finishes or rolls back any
+  interrupted swap, idempotently, and is run first by the compactor;
+- readers call ``await_stable_partitions`` before scanning: a partition
+  dir is briefly absent between (A) and (B), and absent-while-
+  ``<root>_old``-exists is the only ambiguous state — wait it out, then
+  fail LOUD on a crashed swap rather than silently dropping data.
+
+Residual race (documented, not closed): ``await_stable_partitions`` is
+check-then-scan, not atomic — a swap that STARTS after the guard passes
+but before the caller's scan lists directories can still hide a
+partition from that scan (r12 ADVICE, medium). Single-writer callers
+(the streaming maintainers, which compact only between their own
+triggers) never hit it; cross-session readers during an active
+compaction are best-effort only, and callers that need certainty re-run
+the guard AFTER their action materializes (``verify_stable_after``).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem for ``path`` (works on local FS and HDFS alike —
+    compaction must not assume posix)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _rename_or_raise(fs, src, dst) -> None:
+    """Hadoop ``FileSystem.rename`` reports most failures by RETURNING
+    FALSE (missing source, existing destination, FS hiccup), not by
+    throwing. Every rename in the swap protocol must be checked, because
+    an unnoticed false before a ``delete(<root>_old)`` would destroy the
+    only remaining copy of a partition (r11 ADVICE, high)."""
+    if not fs.rename(src, dst):
+        raise OSError(f"rename failed: {src} -> {dst}")
+
+
+def await_stable_partitions(
+    spark: SparkSession,
+    root: str,
+    part_col: str,
+    values: Sequence[int],
+    retries: int = 3,
+    wait_sec: float = 0.2,
+) -> None:
+    """Reader-side guard for the compaction swap window: between rename
+    (A) and rename (B) a partition dir is briefly absent from ``root``; a
+    read at that instant would silently return results missing that
+    partition. A missing dir is only ambiguous while ``<root>_old``
+    exists (no swap in flight -> absent dir just means an empty
+    partition), so: if the swap marker is present AND a needed dir is
+    missing, wait for the in-flight swap's two renames to land and
+    re-check; if it stays missing the compactor crashed mid-swap — fail
+    LOUD and tell the caller to run recovery rather than serve
+    silently-wrong results. Readers never mutate the store, so recovery
+    is not run here (the single writer owns it).
+
+    NOT atomic with the caller's subsequent scan: a swap that begins
+    after this returns can still race the scan (r12 ADVICE, medium) —
+    see the module docstring for the single-writer contract and
+    ``verify_stable_after`` for the re-check pattern."""
+    fs, jvm = _fs(spark, root)
+    hp = jvm.org.apache.hadoop.fs.Path
+    missing: list[int] = []
+    for attempt in range(retries + 1):
+        if not fs.exists(hp(f"{root}_old")):
+            return
+        missing = [
+            v for v in values if not fs.exists(hp(f"{root}/{part_col}={v}"))
+        ]
+        if not missing:
+            return
+        if attempt < retries:
+            time.sleep(wait_sec)
+    raise RuntimeError(
+        f"partitions {part_col}={missing} are missing while a compaction "
+        f"swap marker ({root}_old) exists — a compactor crashed mid-swap; "
+        "run recovery from the writer before reading"
+    )
+
+
+def verify_stable_after(spark: SparkSession, root: str) -> None:
+    """Post-action half of guard-scan-verify (r12 ADVICE, medium): after
+    a guarded scan's action has materialized, a still-absent (or again-
+    absent) swap marker proves no swap overlapped the scan; a PRESENT
+    marker means one did, and the scan's result may be missing a
+    partition that was mid-rename — fail loud so the caller retries
+    rather than trusting it."""
+    fs, jvm = _fs(spark, root)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}_old")):
+        raise RuntimeError(
+            f"a compaction swap marker ({root}_old) appeared during a "
+            "guarded read — the result may be missing a mid-swap "
+            "partition; re-run the read (single-writer deployments "
+            "never hit this: their compactor runs between triggers)"
+        )
+
+
+def assert_no_swap_marker(spark: SparkSession, root: str) -> None:
+    """Writer-side precondition (r12 ADVICE, medium): a scan that must
+    see EVERY partition (e.g. the strict-ids full-index id guard) cannot
+    rely on ``await_stable_partitions`` because it does not know which
+    partitions exist — a crashed swap that parked some partition in
+    ``<root>_old`` would silently hide that partition's rows. Fail loud
+    if the marker exists; the single writer runs recovery first."""
+    fs, jvm = _fs(spark, root)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}_old")):
+        raise RuntimeError(
+            f"a compaction swap marker ({root}_old) exists — a full-"
+            "dataset scan would silently miss the parked partition; run "
+            "recovery first"
+        )
+
+
+def partition_file_counts(
+    spark: SparkSession, root: str, part_col: str
+) -> dict[int, int]:
+    """Parquet part-file count per partition of ``root`` — the quantity
+    threshold compaction bounds. Driver-side listing of the partition
+    directories (bounded by the partition-value domain, small by
+    construction for every instantiation: coarse cells, hash buckets)."""
+    fs, jvm = _fs(spark, root)
+    hroot = jvm.org.apache.hadoop.fs.Path(root)
+    counts: dict[int, int] = {}
+    if not fs.exists(hroot):
+        return counts
+    prefix = f"{part_col}="
+    for st in fs.listStatus(hroot):
+        name = st.getPath().getName()
+        if not st.isDirectory() or not name.startswith(prefix):
+            continue
+        n = 0
+        for f in fs.listStatus(st.getPath()):
+            if f.getPath().getName().endswith(".parquet"):
+                n += 1
+        counts[int(name.split("=", 1)[1])] = n
+    return counts
+
+
+def recover_partition_compaction(
+    spark: SparkSession, root: str, part_col: str
+) -> None:
+    """Finish or roll back a compaction swap that crashed mid-flight.
+
+    The swap protocol (``compact_partitions``) per over-threshold
+    partition is two atomic directory renames: (A) live dir ->
+    ``<root>_old``, then (B) staged dir -> live. Recovery is mechanical:
+      - old copy present AND live present -> crashed after (B): the swap
+        completed, drop the old copy.
+      - old present, live missing, staged present -> crashed between (A)
+        and (B): finish rename (B), then drop old.
+      - old present, live missing, staged missing -> cannot happen if
+        staging is written before any rename (it is); roll the old copy
+        back anyway — content is never lost.
+    Idempotent; called automatically at the top of compact_partitions."""
+    fs, jvm = _fs(spark, root)
+    hp = jvm.org.apache.hadoop.fs.Path
+    old_root = hp(f"{root}_old")
+    if not fs.exists(old_root):
+        # No swap in flight; a crash between staging and the first rename
+        # leaves only an orphan staging dir — safe to drop (content is
+        # still fully live) and cheaper than carrying it forever.
+        fs.delete(hp(f"{root}_staged"), True)
+        return
+    prefix = f"{part_col}="
+    for st in fs.listStatus(old_root):
+        name = st.getPath().getName()
+        if not name.startswith(prefix):
+            continue
+        live = hp(f"{root}/{name}")
+        staged = hp(f"{root}_staged/{name}")
+        # Each arm RENAME-CHECKS before any delete of the old copy: a
+        # false return from rename means the dir under <root>_old is
+        # still the only copy, and deleting it would be silent permanent
+        # loss (r11 ADVICE, high).
+        if fs.exists(live):
+            fs.delete(st.getPath(), True)
+        elif fs.exists(staged):
+            _rename_or_raise(fs, staged, live)
+            fs.delete(st.getPath(), True)
+        else:
+            _rename_or_raise(fs, st.getPath(), live)
+    fs.delete(old_root, True)
+    fs.delete(hp(f"{root}_staged"), True)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    root: str,
+    part_col: str,
+    max_files_per_partition: int = 8,
+) -> list[int]:
+    """Rewrite partitions whose part-file count exceeds the bound into one
+    file each. Micro-batch appends accrete small part-files inside
+    partition dirs; a scan then opens O(batches) files and read latency
+    drifts off its build-time figure. This is the OPTIMIZE step of the
+    append-store lifecycle: content-preserving (same rows, so an ==
+    re-run after any crash is idempotent), reading ONLY the
+    over-threshold partitions (static PartitionFilter — the same prune
+    the stores' readers use).
+
+    Crash safety: the compacted copy is fully staged under
+    ``<root>_staged`` BEFORE any live directory is touched; the swap is
+    two atomic renames per partition through a ``<root>_old`` holding
+    dir, and ``recover_partition_compaction`` (run first) finishes or
+    rolls back any interrupted swap. At no point is a partition's content
+    only in memory. Returns the compacted partition values.
+
+    Concurrency contract: the store has ONE writer — compaction must not
+    run concurrently with an in-flight append, and between rename (A)
+    and rename (B) a partition is briefly absent from the live path.
+    Readers in THIS engine defend themselves with
+    ``await_stable_partitions`` (wait out an in-flight swap, fail loud
+    on a crashed one); readers in OTHER sessions that race a swap
+    starting after their guard passed are best-effort only — the
+    check-then-scan window is real (r12 ADVICE, medium) and documented,
+    not closed. Deployments needing cross-session probe-during-
+    compaction guarantees must serialize through the writer."""
+    recover_partition_compaction(spark, root, part_col)
+    counts = partition_file_counts(spark, root, part_col)
+    over = sorted(v for v, n in counts.items() if n > max_files_per_partition)
+    if not over:
+        return []
+    fs, jvm = _fs(spark, root)
+    hp = jvm.org.apache.hadoop.fs.Path
+    # Stage: one file per partition. repartition by the column gives each
+    # partition's rows to one task; partitionBy then emits exactly one
+    # file per partition dir.
+    (
+        spark.read.parquet(root)
+        .filter(F.col(part_col).isin([int(v) for v in over]))
+        .repartition(len(over), part_col)
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(f"{root}_staged")
+    )
+    # Verify every staged partition actually materialized BEFORE touching
+    # any live directory: if the stage write dropped one (or wrote it
+    # elsewhere), proceeding to rename (A) would park the only copy in
+    # <root>_old with nothing to swap in (r11 ADVICE, high).
+    for v in over:
+        if not fs.exists(hp(f"{root}_staged/{part_col}={v}")):
+            fs.delete(hp(f"{root}_staged"), True)
+            raise OSError(
+                f"staged compaction output missing {part_col}={v}; live "
+                "store untouched, staging dropped"
+            )
+    old_root = hp(f"{root}_old")
+    fs.mkdirs(old_root)
+    for v in over:
+        live = hp(f"{root}/{part_col}={v}")
+        # Rename returns are CHECKED (Hadoop rename reports failure by
+        # returning false): a failed (A) aborts with the live dir intact;
+        # a failed (B) aborts with the partition safe in <root>_old and
+        # both swap markers present, which recovery finishes.
+        _rename_or_raise(fs, live, hp(f"{root}_old/{part_col}={v}"))      # (A)
+        _rename_or_raise(fs, hp(f"{root}_staged/{part_col}={v}"), live)   # (B)
+    fs.delete(old_root, True)
+    fs.delete(hp(f"{root}_staged"), True)
+    return over
+
+
+def read_partitioned(
+    spark: SparkSession, root: str, schema=None
+) -> DataFrame:
+    """Read the live dataset; empty-with-schema when nothing has been
+    appended yet (a brand-new store has no directory at all)."""
+    fs, jvm = _fs(spark, root)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(root)):
+        if schema is None:
+            raise ValueError(f"empty store {root} needs an explicit schema")
+        return spark.createDataFrame([], schema)
+    reader = spark.read
+    if schema is not None:
+        # Explicit schema keeps the read stable on an empty-but-created
+        # dir and pins partition-column types (ints, not inferred).
+        reader = reader.schema(schema)
+    return reader.parquet(root)

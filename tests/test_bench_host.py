@@ -53,6 +53,76 @@ def test_host_delta_zero_elapsed_and_missing_keys():
     assert host == {"start": {}, "end": {"cpu_ticks": _ticks(user=10)}}
 
 
+class _ScriptedProbe:
+    """Probe stub: returns the scripted values in order; repeats the last
+    one if the warmup asks for more probes than scripted."""
+
+    def __init__(self, values):
+        self.values = list(values)
+        self.n_probes = 0
+
+    def __call__(self):
+        v = self.values[min(self.n_probes, len(self.values) - 1)]
+        self.n_probes += 1
+        return v
+
+
+def _run(values):
+    probe = _ScriptedProbe(values)
+    warms = []
+    out = _bench._plateau_warmup(probe, warms.append)
+    return out, probe.n_probes, warms
+
+
+def test_plateau_already_warm_runs_no_slice():
+    # Flat probes: plateau confirmed after two non-improving probes,
+    # zero warm slices (probe-then-warm ordering, r12 ADVICE low).
+    out, n_probes, warms = _run([1.0, 1.0, 1.0])
+    assert warms == []
+    assert n_probes == 3
+    assert out == 1.0
+
+
+def test_plateau_improving_then_converged():
+    # 1.0 -> 0.5 improving (warm slice 0) -> 0.48, 0.47 both within 5%
+    # of their predecessor -> plateau; one slice total.
+    out, n_probes, warms = _run([1.0, 0.5, 0.48, 0.47])
+    assert warms == [0]
+    assert out == 0.47
+
+
+def test_single_noisy_probe_does_not_end_warmup():
+    # r12 verdict #4: one noise-SLOW probe (1.05 after 1.0) used to
+    # declare the plateau immediately. Now it only counts as ONE
+    # non-improving probe; the next probe still improving (0.5) resets
+    # the count and warming continues.
+    out, n_probes, warms = _run([1.0, 1.05, 0.5, 0.49, 0.485])
+    assert warms == [0]       # warming DID continue past the noisy probe
+    assert out == 0.485
+
+
+def test_plateau_slice_cap_bounds_warmup():
+    # Monotonically improving forever: exactly max_slices slices run,
+    # then the loop exits with the last probe.
+    vals = [1.0, 0.8, 0.6, 0.4, 0.2, 0.1]
+    out, n_probes, warms = _run(vals)
+    assert warms == [0, 1, 2]  # the 3-slice cap
+    assert out == 0.2          # probe after the 3rd slice, cap hit
+
+
+def test_bench_detail_build_exec_fields():
+    # r12 verdict #3: the per-query detail entry carries the build/exec
+    # split a contended-sweep adjudication needs.
+    builds, execs = [0.1, 0.2, 0.3], [1.0, 1.1, 1.2]
+    runs = [b + e for b, e in zip(builds, execs)]
+    entry = _bench._detail_entry(runs, builds, execs)
+    assert entry["build_median"] == 0.2
+    assert entry["exec_median"] == 1.1
+    assert entry["median"] == 1.3
+    assert entry["best"] == 1.1
+    assert entry["runs"] == [1.1, 1.3, 1.5]
+
+
 def test_host_sample_shape():
     # On Linux (the only runtime this repo targets) the real sampler
     # returns loadavg plus the 8-way tick split.

@@ -225,16 +225,20 @@ def test_failed_rename_aborts_without_data_loss(
     index."""
     path, hot_cell, qvec, _ = frag_index
     before = _content(spark, path)
-    real_fs = ann_index._fs
+    # The swap machinery is generic since r13 (operators/partstore); the
+    # injection seam is its module-level _fs factory.
+    from real_time_flight_data_pipeline_spark.operators import partstore
+
+    real_fs = partstore._fs
 
     def flaky_fs(spark_, p):
         fs, jvm = real_fs(spark_, p)
         return _FailingRenameFS(fs, f"/cells/cell={hot_cell}"), jvm
 
-    monkeypatch.setattr(ann_index, "_fs", flaky_fs)
+    monkeypatch.setattr(partstore, "_fs", flaky_fs)
     with pytest.raises(OSError, match="rename failed"):
         compact_index_cells(spark, path, max_files_per_cell=3)
-    monkeypatch.setattr(ann_index, "_fs", real_fs)
+    monkeypatch.setattr(partstore, "_fs", real_fs)
     # the hot cell survived in cells_old (rename (A) parked it there)
     assert glob.glob(f"{path}/cells_old/cell={hot_cell}/*.parquet")
     recover_compaction(spark, path)

@@ -62,14 +62,17 @@ def test_streaming_corpus_dedup_matches_batch(spark, tmp_path):
 def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
     docs = _input_docs(spark)
     store = CorpusStore(spark, str(tmp_path / "corpus"))
-    store.ingest_batch(docs)
+    s1 = store.ingest_batch(docs)
+    assert s1.n_accepted > 0
     first = sorted(map(tuple, store.read().collect()))
-    store.ingest_batch(docs)  # full replay of the same batch
+    s2 = store.ingest_batch(docs)  # full replay of the same batch
     second = sorted(map(tuple, store.read().collect()))
     assert first == second
-    # History survives as a new committed version (pointer flip), not an
-    # in-place mutation.
-    assert len(store.table.versions()) >= 2
+    # The replay appended NOTHING (idempotent-by-fingerprint): every
+    # representative classified replayed (same ids re-sent), none accepted.
+    assert s2.n_accepted == 0
+    assert s2.n_replayed == s1.n_accepted
+    assert s2.n_rows == s1.n_rows
 
 
 def _near_dup_input(spark):
