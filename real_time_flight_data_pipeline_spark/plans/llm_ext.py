@@ -5294,6 +5294,135 @@ def q_index_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Text-tier ingest-dedup classification (r12 verdict #2): the oracle-paired
+# spec twin of streaming/corpus.CorpusStore.ingest_batch, exactly as
+# embedding_index_ingest_dedup is the twin of the vector maintainer. The
+# dedup identity is the text's md5-prefix fingerprint (the same
+# cross-engine hash every batch dedup query uses); the classification
+# mirrors the maintainer's collapse-first order: a row that loses the
+# in-batch min-doc_id race for its fingerprint is dup_batch BEFORE any
+# history check (the maintainer classifies only representatives), then the
+# representative is replayed (doc_id already accepted — the T3 replay
+# contract, ids content-immutable), dup_hist (fingerprint accepted under
+# another id), else accepted.
+# ===========================================================================
+_CORPUS_N_BUCKETS = 64  # mirrors streaming/corpus._DEFAULT_BUCKETS
+
+
+def _docs_ingest_dedup_oracle() -> str:
+    fp = _sql_md5_long("text")
+    return f"""
+    WITH hist AS MATERIALIZED (
+      SELECT doc_id, {fp} AS fp FROM documents WHERE doc_id % 10 != 9
+    ),
+    batch AS MATERIALIZED (
+      SELECT doc_id, {fp} AS fp FROM documents WHERE doc_id % 10 = 9
+      UNION ALL
+      SELECT doc_id, {fp} FROM documents WHERE doc_id = 0
+      UNION ALL
+      SELECT 9000001, {fp} FROM documents WHERE doc_id = 1
+      UNION ALL
+      SELECT 9000002, {fp} FROM documents WHERE doc_id = 9
+    ),
+    reps AS (SELECT fp, min(doc_id) AS rep FROM batch GROUP BY fp)
+    SELECT b.doc_id,
+           CAST(((b.fp % {_CORPUS_N_BUCKETS}) + {_CORPUS_N_BUCKETS})
+                % {_CORPUS_N_BUCKETS} AS BIGINT) AS bucket,
+           CASE WHEN b.doc_id != r.rep THEN 'dup_batch'
+                WHEN b.doc_id IN (SELECT doc_id FROM hist) THEN 'replayed'
+                WHEN b.fp IN (SELECT fp FROM hist) THEN 'dup_hist'
+                ELSE 'accepted' END AS status
+    FROM batch b JOIN reps r ON r.fp = b.fp
+    """
+
+
+@_register(
+    "docs_ingest_dedup",
+    _docs_ingest_dedup_oracle(),
+    "Streaming corpus ingest-dedup classification: fingerprint an "
+    "arriving document batch (the held-out tenth plus planted arrivals: "
+    "a replayed doc_id, a history text under a new id, and an in-batch "
+    "clone of a batch doc) and classify every row exactly as the "
+    "streaming corpus store does — dup_batch (loses the in-batch "
+    "min-doc_id race for its fingerprint; checked FIRST because the "
+    "maintainer collapses to one representative per fingerprint before "
+    "any history join), replayed (doc_id already accepted — T3 "
+    "idempotence, no ledger), dup_hist (text accepted under another "
+    "id), accepted. Also returns the fingerprint-hash bucket — the "
+    "partition key the production twin's history anti-join prunes to "
+    "(a literal bucket IN (...) static PartitionFilter over the "
+    "append-only docs layout). Scale shape: rep choice is one "
+    "map-combined aggregation; the id and fingerprint guards join with "
+    "shuffle_hash hints (both sides corpus-derived — never statically "
+    "broadcast); per-batch cost in the production twin is O(batch "
+    "buckets) read + O(batch) written, never O(corpus)",
+    reference="spec twin of streaming/corpus.CorpusStore.ingest_batch "
+    "(r12 verdict #1/#2); SURVEY §2.7 M3 insert-ignore / §2.9 T3 "
+    "exactly-once-by-idempotence applied to the document tier; reference "
+    "contract /root/reference/apps/spark_app/flight_stream.py:33-36",
+    tags=("dedup", "northstar", "streaming-twin"),
+)
+def q_docs_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = TX.md5_long(F.col("text"))
+
+    def plant(src_id: int, new_id: int) -> DataFrame:
+        return d.filter(F.col("doc_id") == src_id).select(
+            F.lit(new_id).cast("long").alias("doc_id"), fp.alias("fp")
+        )
+
+    batch = (
+        d.filter(F.col("doc_id") % 10 == 9)
+        .select("doc_id", fp.alias("fp"))
+        .unionByName(plant(0, 0))            # replayed id (0 is history)
+        .unionByName(plant(1, 9_000_001))    # history text, new id
+        .unionByName(plant(9, 9_000_002))    # in-batch clone pair of 9
+        .localCheckpoint(eager=False)        # reused: reps + classify
+    )
+    hist = (
+        d.filter(F.col("doc_id") % 10 != 9)
+        .select("doc_id", fp.alias("fp"))
+        .localCheckpoint(eager=False)        # reused: id guard + fp guard
+    )
+    reps = batch.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    # shuffle_hash on all three guards: reps is batch-derived and the two
+    # history projections are corpus-derived — at a corpus-scale
+    # micro-batch none may be statically broadcast (the misplanned-
+    # broadcast class the 100x tier caught twice, r8). The production
+    # twin additionally prunes the history side to the batch's
+    # fingerprint-bucket partitions (streaming/corpus._pruned_history).
+    return (
+        batch.join(reps.hint("shuffle_hash"), "fp", "left")
+        .join(
+            hist.select("doc_id")
+            .withColumn("_id", F.lit(True))
+            .hint("shuffle_hash"),
+            "doc_id",
+            "left",
+        )
+        .join(
+            hist.select("fp")
+            .distinct()
+            .withColumn("_fp", F.lit(True))
+            .hint("shuffle_hash"),
+            "fp",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.pmod(F.col("fp"), F.lit(_CORPUS_N_BUCKETS))
+            .cast("long")
+            .alias("bucket"),
+            F.when(F.col("doc_id") != F.col("rep"), "dup_batch")
+            .when(F.col("_id").isNotNull(), "replayed")
+            .when(F.col("_fp").isNotNull(), "dup_hist")
+            .otherwise("accepted")
+            .alias("status"),
+        )
+    )
+
+
+# ===========================================================================
 # Packing efficiency under the curriculum order (r10): compose
 # docs_training_order's stride-scheduled global order with
 # docs_sequence_packing's contiguous-bin model and measure what the
