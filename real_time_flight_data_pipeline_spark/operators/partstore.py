@@ -117,6 +117,16 @@ def await_stable_partitions(
     )
 
 
+def has_swap_marker(spark: SparkSession, root: str) -> bool:
+    """Whether a compaction swap marker (``<root>_old``) currently exists —
+    one driver-side exists() check. Callers that guard-scan-verify capture
+    this BEFORE their scan so ``verify_stable_after`` flags only a swap
+    that STARTED during the scan, not a pre-existing crashed swap the
+    per-partition guard already adjudicated."""
+    fs, jvm = _fs(spark, root)
+    return bool(fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}_old")))
+
+
 def verify_stable_after(spark: SparkSession, root: str) -> None:
     """Post-action half of guard-scan-verify (r12 ADVICE, medium): after
     a guarded scan's action has materialized, a still-absent (or again-

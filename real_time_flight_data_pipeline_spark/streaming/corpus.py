@@ -228,12 +228,17 @@ class CorpusStore:
         caller. Eagerly checkpointed: consumers (stats count + commit, and
         the near-dup tier's screening) must see ONE consistent slice."""
         reps = self._in_batch_reps(fp)
+        # Captured BEFORE the history scan materializes: the post-scan
+        # verify must flag only a swap that STARTED during the scan, not a
+        # pre-existing crashed swap of a non-batch bucket that the
+        # per-bucket guard already adjudicated.
+        had_marker = PS.has_swap_marker(self.spark, self.docs_root)
         hist = self._pruned_history(reps)
         hist_ids = hist.select("doc_id").withColumn("_id", F.lit(True))
         hist_fps = (
             hist.select("fingerprint").distinct().withColumn("_fp", F.lit(True))
         )
-        return (
+        cls = (
             reps.join(hist_ids, "doc_id", "left")
             .join(hist_fps, "fingerprint", "left")
             .select(
@@ -245,6 +250,14 @@ class CorpusStore:
             )
             .localCheckpoint(eager=True)
         )
+        # Guard-scan-verify (r12 ADVICE, medium): the history scan has now
+        # materialized (eager checkpoint); a marker appearing since the
+        # capture above means a compaction raced it — fail loud before any
+        # commit built on a possibly-holed history slice. Single-writer
+        # deployments never hit this; one driver-side exists() check.
+        if not had_marker:
+            PS.verify_stable_after(self.spark, self.docs_root)
+        return cls
 
     def _append_docs(self, survivors: DataFrame) -> None:
         (
@@ -512,6 +525,7 @@ class NearDupCorpusStore(CorpusStore):
         # history shingles are recomputed only for the candidate slice
         # (semi join on candidate doc_ids against DOCS — a ghost id from a
         # bands-then-crash window is absent there, so it can never verify).
+        had_band_marker = PS.has_swap_marker(self.spark, self.bands_root)
         hist_bands = self._pruned_bands(bands)
         cand_hist = (
             bands.join(
@@ -522,6 +536,11 @@ class NearDupCorpusStore(CorpusStore):
             .dropDuplicates()
             .localCheckpoint(eager=True)
         )
+        # Guard-scan-verify on the band layout (same contract as the docs
+        # layout in _classified): the candidate join has materialized; a
+        # marker appearing since capture means a compaction raced it.
+        if not had_band_marker:
+            PS.verify_stable_after(self.spark, self.bands_root)
         hist_slice = self.read().join(
             cand_hist.select(F.col("b_id").alias("doc_id")).distinct(),
             "doc_id",

@@ -1,0 +1,156 @@
+"""Measure the append-only corpus store's ingest lifecycle (r12 verdict #1).
+
+Through r12 the streaming corpus store committed each micro-batch by
+rewriting the whole accepted corpus (pointer-flip overwrite) — O(corpus)
+write amplification per trigger, the engine's last scale-killer. The r13
+layout appends survivors into fingerprint-hash bucket partitions with
+threshold compaction (operators/partstore.py, the vector tier's commit
+model). This script is the done-criterion measurement: seed the store with
+90% of the corpus, stream the held 10% through ``CorpusStore.ingest_batch``
+in N_INCR micro-batches, and record
+
+  (a) per-batch ingest wall time — must stay FLAT as the corpus grows,
+      since the accept anti-join reads history pruned to the batch's
+      fingerprint buckets and the append writes O(batch);
+  (b) bucket fragmentation after all increments, compaction cost, and a
+      full-store read before/after compaction (the reader-facing figure
+      small-file accretion degrades).
+
+Run: python scripts/corpus_store_bench.py           (sf0.1, 5k docs)
+     python scripts/corpus_store_bench.py --100x    (the 100x corpus,
+         500k docs — built by scale_curve.build_corpus_100x if absent)
+Writes/merges corpus_store_results.json keyed by tier.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from real_time_flight_data_pipeline_spark.operators import partstore as PS
+from real_time_flight_data_pipeline_spark.session import get_spark
+from real_time_flight_data_pipeline_spark.streaming.corpus import CorpusStore
+
+SF = "/root/testdata/sf0.1"
+SF_100X = "/tmp/flightframe_scale/sf100x"
+N_INCR = 24
+OUT = pathlib.Path(__file__).with_name("corpus_store_results.json")
+WORK = "/tmp/flightframe_corpus_bench"
+
+
+def _read_all_sec(spark, store: CorpusStore, n_runs: int = 3) -> tuple[float, list]:
+    runs = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        store.read().write.format("noop").mode("overwrite").save()
+        runs.append(round(time.perf_counter() - t0, 3))
+    return round(statistics.median(runs), 3), runs
+
+
+def run_increments(spark, sf_dir: str, tier: str) -> dict:
+    shutil.rmtree(WORK, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    store = CorpusStore(spark, f"{WORK}/store")
+
+    # Seed: 90% of the corpus as one bootstrap ingest (the one-time build
+    # analog of the vector tier's build_ivfpq_index).
+    hist = docs.filter(F.col("doc_id") % 10 != 9)
+    t0 = time.perf_counter()
+    seed_stats = store.ingest_batch(hist)
+    seed_sec = round(time.perf_counter() - t0, 3)
+
+    held = docs.filter(F.col("doc_id") % 10 == 9).withColumn(
+        "slice", F.pmod(F.xxhash64("doc_id"), F.lit(N_INCR))
+    ).localCheckpoint(eager=True)
+
+    per_batch, n_acc = [], 0
+    for i in range(N_INCR):
+        b = held.filter(F.col("slice") == i).drop("slice")
+        t0 = time.perf_counter()
+        st = store.ingest_batch(b)
+        per_batch.append(round(time.perf_counter() - t0, 3))
+        n_acc += st.n_accepted
+    half = N_INCR // 2
+    first_half = round(statistics.median(per_batch[:half]), 3)
+    second_half = round(statistics.median(per_batch[half:]), 3)
+
+    # Replay an already-ingested increment: converged contents, 0 added.
+    rb = held.filter(F.col("slice") == 0).drop("slice")
+    t0 = time.perf_counter()
+    rst = store.ingest_batch(rb)
+    replay_sec = round(time.perf_counter() - t0, 3)
+    assert rst.n_accepted == 0, "replay must add nothing"
+
+    counts = PS.partition_file_counts(spark, store.docs_root, "bucket")
+    frag = {
+        "files_max_per_bucket_frag": max(counts.values()),
+        "files_total_frag": sum(counts.values()),
+    }
+    read_frag_sec, read_frag_runs = _read_all_sec(spark, store)
+
+    t0 = time.perf_counter()
+    compacted = store.maybe_compact(max_files_per_bucket=8)
+    compact_sec = round(time.perf_counter() - t0, 3)
+    counts2 = PS.partition_file_counts(spark, store.docs_root, "bucket")
+    read_comp_sec, read_comp_runs = _read_all_sec(spark, store)
+
+    total_rows = store.read().count()
+    return {
+        "tier": tier,
+        "n_docs_corpus": docs.count(),
+        "n_increments": N_INCR,
+        "seed_sec": seed_sec,
+        "seed_accepted": seed_stats.n_accepted,
+        "increments_accepted": n_acc,
+        "ingest_per_batch_sec": per_batch,
+        "ingest_first_half_median": first_half,
+        "ingest_second_half_median": second_half,
+        "replay_batch_sec": replay_sec,
+        "replay_accepted": rst.n_accepted,
+        **frag,
+        "read_all_fragmented_sec": read_frag_sec,
+        "read_all_fragmented_runs": read_frag_runs,
+        "n_buckets_compacted": len(compacted),
+        "compact_sec": compact_sec,
+        "files_max_per_bucket_after": max(counts2.values()),
+        "files_total_after": sum(counts2.values()),
+        "read_all_compacted_sec": read_comp_sec,
+        "read_all_compacted_runs": read_comp_runs,
+        "store_rows_final": total_rows,
+        "note": (
+            "flat ingest = second-half median ~= first-half median (accept "
+            "anti-join prunes to the batch's fingerprint buckets; append "
+            "writes O(batch)); compaction returns the full-store read to "
+            "~its seeded figure. Contrast: the pre-r13 pointer-flip store "
+            "rewrote all store_rows_final rows EVERY batch."
+        ),
+    }
+
+
+def main() -> None:
+    use_100x = "--100x" in sys.argv
+    sf_dir, tier = (SF_100X, "sf100x") if use_100x else (SF, "sf0.1")
+    spark = get_spark()
+    if use_100x and not pathlib.Path(f"{SF_100X}/documents.parquet").exists():
+        from scale_curve import build_corpus_100x
+
+        build_corpus_100x(spark)
+    res = run_increments(spark, sf_dir, tier)
+    merged = json.loads(OUT.read_text()) if OUT.exists() else {}
+    merged[f"{tier}_increments"] = res
+    OUT.write_text(json.dumps(merged, indent=1))
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

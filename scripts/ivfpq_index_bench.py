@@ -105,15 +105,30 @@ def run_increments(spark, sf_dir: str, tier: str) -> dict:
         added += s.n_added
     counts = cell_file_counts(spark, path)
     frag_max, frag_total = max(counts.values()), sum(counts.values())
-    # strict_ids trade, measured (r12): replay the last batch through the
-    # default (cell-pruned) and strict (unpruned id projection) guards —
-    # the delta prices the cross-batch id-mutation protection.
+    # strict_ids trade, measured (r12; auto default r13): replay the last
+    # batch through the auto default, the forced cell-pruned guard, and
+    # the forced strict (unpruned id projection) guard — the pruned/strict
+    # delta prices the cross-batch id-mutation protection, and the auto
+    # fields record which side the budget resolved to at this index size.
+    from real_time_flight_data_pipeline_spark.streaming.vector_index import (
+        _STRICT_ID_SCAN_MAX_BYTES,
+    )
+
     last = spark.read.parquet(f"{work}/held").filter(
         F.col("b") == N_INCR - 1
     ).drop("b")
     t0 = time.perf_counter()
-    m.ingest_batch(last)
+    s_auto = m.ingest_batch(last)
     replay_default_sec = round(time.perf_counter() - t0, 3)
+    strict_auto = {
+        "strict_auto_mode": s_auto.id_guard_mode,
+        "strict_auto_cells_bytes": m._cells_bytes(),
+        "strict_auto_budget_bytes": _STRICT_ID_SCAN_MAX_BYTES,
+    }
+    m_pruned = VectorIndexMaintainer(spark, path, strict_ids=False)
+    t0 = time.perf_counter()
+    m_pruned.ingest_batch(last)
+    replay_pruned_sec = round(time.perf_counter() - t0, 3)
     m_strict = VectorIndexMaintainer(spark, path, strict_ids=True)
     t0 = time.perf_counter()
     m_strict.ingest_batch(last)
@@ -139,7 +154,9 @@ def run_increments(spark, sf_dir: str, tier: str) -> dict:
             statistics.median(per_batch[half:]), 3
         ),
         "replay_default_sec": replay_default_sec,
+        "replay_pruned_sec": replay_pruned_sec,
         "replay_strict_sec": replay_strict_sec,
+        **strict_auto,
         "files_max_per_cell_frag": frag_max,
         "files_total_frag": frag_total,
         "probe_fragmented_sec": probe_frag,
