@@ -308,6 +308,258 @@ def compact_partitions(
     return over
 
 
+# ---------------------------------------------------------------------------
+# Generational (size-tiered / LSM-style) compaction for layouts whose
+# APPENDS SCATTER ACROSS ALL PARTITIONS (r13). Whole-partition threshold
+# compaction is the right tool when a micro-batch touches few partitions
+# (the vector tier: a batch lands in <= |batch| coarse cells). The corpus
+# store's fingerprint/band hash buckets are the opposite: a batch of B
+# docs scatters into min(B, n_buckets) buckets — typically ALL of them —
+# so every bucket crosses the file threshold together and whole-partition
+# compaction rewrites the WHOLE corpus every T triggers: amortized
+# O(corpus/T) written per trigger, measured as a +12% ingest drift over 24
+# increments at the 100x corpus (scripts/corpus_store_results.json).
+#
+# The fix is the LSM tree's: partitions gain a GENERATION sub-level,
+#
+#     <root>/<part_col>=<v>/gen=<g>/part-*.parquet
+#
+# appends land in gen=0; when a (partition, gen) level exceeds the file
+# bound, that LEVEL ALONE is merged into ONE file appended to gen+1 — the
+# accumulated big files above it are never read or rewritten. Per-doc
+# write amplification drops from O(corpus/T)/trigger to O(levels) total,
+# levels = log_T(corpus/batch) (Schleimer-era LSM tiering; the same
+# strategy table formats ship as size-tiered OPTIMIZE).
+#
+# Crash safety mirrors the dir-swap protocol, with one extension: the
+# merged output lands by PER-FILE renames into the live gen+1 dir (names
+# are globally-unique Spark part-file names, so re-runs skip-if-present
+# idempotently). Rows are never visible twice: the source level is parked
+# under <root>_old BEFORE the merged file is renamed in, and <root>_old is
+# outside the read root. Staged completeness is adjudicated by Spark's own
+# _SUCCESS marker: present -> finish the swap, absent -> roll back.
+#
+# Readers guard with ``await_no_swap_marker``: partition dirs themselves
+# never vanish mid-swap (only a gen sub-level does), so the per-partition
+# existence probe of ``await_stable_partitions`` cannot see the hole — the
+# coarse marker check is the correct guard here.
+# ---------------------------------------------------------------------------
+
+
+def await_no_swap_marker(
+    spark: SparkSession,
+    root: str,
+    retries: int = 3,
+    wait_sec: float = 0.2,
+) -> None:
+    """Reader-side guard for generational layouts: wait out an in-flight
+    tiered swap (its windows are sub-second: one small-file merge + a few
+    renames), then fail LOUD if the marker persists — a crashed swap has a
+    gen level parked in ``<root>_old`` and a scan now would silently miss
+    those rows. Same check-then-scan caveat as ``await_stable_partitions``
+    (single-writer contract; ``verify_stable_after`` for certainty)."""
+    fs, jvm = _fs(spark, root)
+    hp = jvm.org.apache.hadoop.fs.Path(f"{root}_old")
+    for attempt in range(retries + 1):
+        if not fs.exists(hp):
+            return
+        if attempt < retries:
+            time.sleep(wait_sec)
+    raise RuntimeError(
+        f"a compaction swap marker ({root}_old) persists — a tiered "
+        "compaction crashed mid-swap and a gen level is parked there; a "
+        "read now would silently miss those rows. Run recovery from the "
+        "writer before reading"
+    )
+
+
+def gen_file_counts(
+    spark: SparkSession, root: str, part_col: str
+) -> dict[tuple[int, int], int]:
+    """Parquet part-file count per (partition value, generation) of a
+    generational layout. Driver-side listing, bounded by the partition
+    domain x live generations (both small by construction)."""
+    fs, jvm = _fs(spark, root)
+    hroot = jvm.org.apache.hadoop.fs.Path(root)
+    counts: dict[tuple[int, int], int] = {}
+    if not fs.exists(hroot):
+        return counts
+    prefix = f"{part_col}="
+    for st in fs.listStatus(hroot):
+        name = st.getPath().getName()
+        if not st.isDirectory() or not name.startswith(prefix):
+            continue
+        v = int(name.split("=", 1)[1])
+        for gd in fs.listStatus(st.getPath()):
+            gname = gd.getPath().getName()
+            if not gd.isDirectory() or not gname.startswith("gen="):
+                continue
+            n = 0
+            for f in fs.listStatus(gd.getPath()):
+                if f.getPath().getName().endswith(".parquet"):
+                    n += 1
+            counts[(v, int(gname.split("=", 1)[1]))] = n
+    return counts
+
+
+def recover_tiered_compaction(
+    spark: SparkSession, root: str, part_col: str
+) -> None:
+    """Finish or roll back a tiered merge that crashed mid-swap.
+
+    Per parked entry ``<root>_old/<part_col>=<v>/gen=<G>``: if the staged
+    merge of that level carries Spark's ``_SUCCESS`` marker the swap had
+    passed the point of no return — finish it (move any staged files not
+    yet renamed into live gen=G+1, skipping ones already there, then drop
+    the parked level: its rows all live in the merged file). Without
+    ``_SUCCESS`` the merge never completed — roll the parked level back
+    into the live tree (per-file moves; append files written to gen=0
+    since the crash are untouched, their Spark part names cannot collide)
+    and drop the staging. Idempotent; run first by the compactor."""
+    fs, jvm = _fs(spark, root)
+    hp = jvm.org.apache.hadoop.fs.Path
+    # an orphan batch-staging tmp (crash mid-stage-job) is always safe to
+    # drop: nothing live has been touched before the tmp is arranged into
+    # the per-partition staged tree.
+    fs.delete(hp(f"{root}_staged_tmp"), True)
+    old_root = hp(f"{root}_old")
+    if not fs.exists(old_root):
+        fs.delete(hp(f"{root}_staged"), True)
+        return
+    prefix = f"{part_col}="
+    for pdir in fs.listStatus(old_root):
+        pname = pdir.getPath().getName()
+        if not pname.startswith(prefix):
+            continue
+        for gdir in fs.listStatus(pdir.getPath()):
+            gname = gdir.getPath().getName()
+            if not gname.startswith("gen="):
+                continue
+            g = int(gname.split("=", 1)[1])
+            staged = f"{root}_staged/{pname}/gen={g + 1}"
+            if fs.exists(hp(f"{staged}/_SUCCESS")):
+                live_next = f"{root}/{pname}/gen={g + 1}"
+                fs.mkdirs(hp(live_next))
+                for f in fs.listStatus(hp(staged)):
+                    fname = f.getPath().getName()
+                    if not fname.endswith(".parquet"):
+                        continue
+                    target = hp(f"{live_next}/{fname}")
+                    if not fs.exists(target):
+                        _rename_or_raise(fs, f.getPath(), target)
+                fs.delete(gdir.getPath(), True)
+                fs.delete(hp(staged), True)
+            else:
+                live = f"{root}/{pname}/gen={g}"
+                fs.mkdirs(hp(live))
+                for f in fs.listStatus(gdir.getPath()):
+                    fname = f.getPath().getName()
+                    target = hp(f"{live}/{fname}")
+                    if not fs.exists(target):
+                        _rename_or_raise(fs, f.getPath(), target)
+                fs.delete(gdir.getPath(), True)
+                fs.delete(hp(staged), True)
+    fs.delete(old_root, True)
+    fs.delete(hp(f"{root}_staged"), True)
+
+
+def tiered_compact_partitions(
+    spark: SparkSession,
+    root: str,
+    part_col: str,
+    max_files_per_level: int = 8,
+) -> list[tuple[int, int]]:
+    """Merge every (partition, gen) level whose part-file count exceeds the
+    bound into ONE file in that partition's gen+1 — reading only the
+    over-threshold level, never the accumulated generations above it.
+    Levels are processed bottom-up and re-checked, so a merge that tips
+    gen+1 over the bound cascades within this call (bounded by
+    log_T(files) levels). Returns the merged (partition, gen) pairs.
+
+    Crash safety per level: the merged file is fully staged (with Spark's
+    ``_SUCCESS`` marker as the completeness witness) BEFORE the live level
+    is parked under ``<root>_old``; the merged file then renames into live
+    gen+1, and the parked level is dropped last. Every rename is checked;
+    ``recover_tiered_compaction`` (run first) finishes or rolls back any
+    interrupted swap by the ``_SUCCESS`` rule. Rows are never readable
+    twice (the parked copy sits outside the read root) and never lost (no
+    delete precedes a verified rename). Same single-writer contract as
+    ``compact_partitions``; readers use ``await_no_swap_marker``."""
+    recover_tiered_compaction(spark, root, part_col)
+    fs, jvm = _fs(spark, root)
+    hp = jvm.org.apache.hadoop.fs.Path
+    merged: list[tuple[int, int]] = []
+    while True:
+        counts = gen_file_counts(spark, root, part_col)
+        over = sorted(
+            (v, g) for (v, g), n in counts.items() if n > max_files_per_level
+        )
+        if not over:
+            return merged
+        # All same-generation merges stage in ONE partition-pruned Spark
+        # job (a per-(partition, gen) job loop costs ~0.2 s of scheduling
+        # each — 64 buckets over threshold together, the scatter layout's
+        # common case, measured 12-23 s/pass before this batching). The
+        # job writes to a tmp root; the staged tree + per-partition
+        # _SUCCESS witnesses are then arranged by driver-side renames, so
+        # the per-partition recovery rule is unchanged: a partition's
+        # marker exists only if its staged copy is complete.
+        for g in sorted({g for (_, g) in over}):
+            vs = sorted(v for (v, gg) in over if gg == g)
+            tmp = f"{root}_staged_tmp"
+            fs.delete(hp(tmp), True)
+            (
+                spark.read.parquet(root)
+                .filter(
+                    F.col(part_col).isin([int(v) for v in vs])
+                    & (F.col("gen") == int(g))
+                )
+                .drop("gen")
+                .repartition(len(vs), part_col)
+                .write.mode("overwrite")
+                .partitionBy(part_col)
+                .parquet(tmp)
+            )
+            for v in vs:
+                src = hp(f"{tmp}/{part_col}={v}")
+                if not fs.exists(src):
+                    fs.delete(hp(tmp), True)
+                    fs.delete(hp(f"{root}_staged"), True)
+                    raise OSError(
+                        f"staged tiered merge missing {part_col}={v}/gen={g};"
+                        " live store untouched, staging dropped"
+                    )
+                staged = f"{root}_staged/{part_col}={v}/gen={g + 1}"
+                fs.mkdirs(hp(f"{root}_staged/{part_col}={v}"))
+                _rename_or_raise(fs, src, hp(staged))
+                # the completeness witness, created only after this
+                # partition's staged copy fully materialized:
+                fs.createNewFile(hp(f"{staged}/_SUCCESS"))
+            fs.delete(hp(tmp), True)
+            for v in vs:
+                live = f"{root}/{part_col}={v}/gen={g}"
+                staged = f"{root}_staged/{part_col}={v}/gen={g + 1}"
+                live_next = f"{root}/{part_col}={v}/gen={g + 1}"
+                # Park the source level (rows go invisible, never double):
+                old = f"{root}_old/{part_col}={v}/gen={g}"
+                fs.mkdirs(hp(f"{root}_old/{part_col}={v}"))
+                _rename_or_raise(fs, hp(live), hp(old))
+                # Move the merged file(s) into live gen+1:
+                fs.mkdirs(hp(live_next))
+                for f in fs.listStatus(hp(staged)):
+                    fname = f.getPath().getName()
+                    if fname.endswith(".parquet"):
+                        _rename_or_raise(
+                            fs, f.getPath(), hp(f"{live_next}/{fname}")
+                        )
+                # Drop the parked source, then the staging:
+                fs.delete(hp(old), True)
+                fs.delete(hp(staged), True)
+                merged.append((v, g))
+        fs.delete(hp(f"{root}_old"), True)
+        fs.delete(hp(f"{root}_staged"), True)
+
+
 def read_partitioned(
     spark: SparkSession, root: str, schema=None
 ) -> DataFrame:

@@ -12,9 +12,9 @@ trigger that the r12 verdict named the engine's last scale-killer. This
 round replaces it with the vector tier's commit model
 (streaming/vector_index.py + operators/partstore.py):
 
-- accepted documents APPEND into fingerprint-hash bucket partitions
-  (``<root>/docs/bucket=B/``, B = fingerprint mod n_buckets) — per-batch
-  write cost is O(batch), never O(corpus);
+- accepted documents APPEND into the gen=0 level of fingerprint-hash
+  bucket partitions (``<root>/docs/bucket=B/gen=G/``, B = fingerprint mod
+  n_buckets) — per-batch write cost is O(batch), never O(corpus);
 - the exact-dedup anti join reads history PRUNED to the batch's bucket
   set (a literal ``bucket IN (...)`` static PartitionFilter) and
   COLUMN-PRUNED to (fingerprint, doc_id) — ~16 bytes/row of parquet, the
@@ -22,12 +22,17 @@ round replaces it with the vector tier's commit model
   partition prune is decisive when |batch| < n_buckets and harmless
   otherwise;
 - the near-dup tier's LSH band index appends into band-hash bucket
-  partitions (``<root>/bands/bbucket=B/``) the same way;
-- small-file accretion is bounded by threshold compaction
-  (partstore.compact_partitions: staged swap, checked renames, fail-loud
-  recovery — the protocol test-pinned on the vector tier), run by the
-  single writer between triggers via ``maybe_compact``;
-- readers guard the swap window with partstore.await_stable_partitions.
+  partitions (``<root>/bands/bbucket=B/gen=G/``) the same way;
+- small-file accretion is bounded by GENERATIONAL compaction
+  (partstore.tiered_compact_partitions: merge one over-threshold level
+  into the next generation, never rewriting the accumulated corpus —
+  whole-bucket rewrites would cost O(corpus/T) per trigger here because
+  a batch's fingerprints scatter across ~all buckets; staged swap,
+  checked renames, fail-loud recovery), run by the single writer between
+  triggers via ``maybe_compact``;
+- readers guard the swap window with partstore.await_no_swap_marker
+  (bucket dirs never vanish mid-swap in this layout, only a gen
+  sub-level does, so the coarse marker check is the correct guard).
 
 Replay idempotence needs no ledger (T3, the reference's exactly-once
 contract — /root/reference/apps/spark_app/flight_stream.py:33-36): the
@@ -79,7 +84,11 @@ CORPUS_SCHEMA = T.StructType(
 )
 
 _DOCS_READ_SCHEMA = T.StructType(
-    [*CORPUS_SCHEMA.fields, T.StructField("bucket", T.IntegerType())]
+    [
+        *CORPUS_SCHEMA.fields,
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("gen", T.IntegerType()),
+    ]
 )
 
 _DEFAULT_BUCKETS = 64
@@ -210,11 +219,11 @@ class CorpusStore:
             .distinct()
             .collect()
         ]
-        # Same reader-side compaction guard as the vector tier: never
-        # dedup against a bucket set with a mid-swap hole in it.
-        PS.await_stable_partitions(
-            self.spark, self.docs_root, "bucket", batch_buckets
-        )
+        # Reader-side compaction guard: in the generational layout a
+        # bucket dir never vanishes mid-swap (only a gen sub-level does),
+        # so the per-bucket existence probe can't see the hole — the
+        # coarse marker guard is the correct one here.
+        PS.await_no_swap_marker(self.spark, self.docs_root)
         return (
             PS.read_partitioned(self.spark, self.docs_root, _DOCS_READ_SCHEMA)
             .filter(F.col("bucket").isin(batch_buckets))
@@ -260,13 +269,17 @@ class CorpusStore:
         return cls
 
     def _append_docs(self, survivors: DataFrame) -> None:
+        # gen=0 is the append level of the generational layout; tiered
+        # compaction merges it upward without ever rewriting the
+        # accumulated generations (partstore.tiered_compact_partitions).
         (
             survivors.select(
                 *[f.name for f in CORPUS_SCHEMA.fields],
                 self._bucket(F.col("fingerprint")).alias("bucket"),
+                F.lit(0).alias("gen"),
             )
             .write.mode("append")
-            .partitionBy("bucket")
+            .partitionBy("bucket", "gen")
             .parquet(self.docs_root)
         )
 
@@ -294,12 +307,21 @@ class CorpusStore:
             n_accepted=n_accepted,
         )
 
-    def maybe_compact(self, max_files_per_bucket: int = 8) -> list[int]:
-        """Threshold-triggered small-file compaction: rewrite buckets whose
-        part-file count exceeds the bound (partstore staged swap — content
-        preserving, crash-safe, recovery fail-loud). Single-writer: call
-        between triggers, never concurrently with an in-flight append."""
-        return PS.compact_partitions(
+    def maybe_compact(
+        self, max_files_per_bucket: int = 8
+    ) -> list[tuple[int, int]]:
+        """Threshold-triggered GENERATIONAL compaction (r13): merge every
+        (bucket, gen) level whose part-file count exceeds the bound into
+        one file in that bucket's next generation, reading only the
+        over-threshold level. Whole-bucket rewrites would be O(corpus/T)
+        per trigger here because every batch's fingerprints scatter
+        across ~all buckets (measured as a +12% ingest drift over 24
+        increments at the 100x corpus); tiering bounds per-doc write
+        amplification at O(log_T(corpus/batch)) total. Crash-safe staged
+        swap with fail-loud recovery (partstore.tiered_compact_partitions).
+        Single-writer: call between triggers, never concurrently with an
+        in-flight append. Returns the merged (bucket, gen) pairs."""
+        return PS.tiered_compact_partitions(
             self.spark, self.docs_root, "bucket", max_files_per_bucket
         )
 
@@ -349,7 +371,11 @@ BANDS_SCHEMA = T.StructType(
 )
 
 _BANDS_READ_SCHEMA = T.StructType(
-    [*BANDS_SCHEMA.fields, T.StructField("bbucket", T.IntegerType())]
+    [
+        *BANDS_SCHEMA.fields,
+        T.StructField("bbucket", T.IntegerType()),
+        T.StructField("gen", T.IntegerType()),
+    ]
 )
 
 
@@ -480,9 +506,7 @@ class NearDupCorpusStore(CorpusStore):
             .distinct()
             .collect()
         ]
-        PS.await_stable_partitions(
-            self.spark, self.bands_root, "bbucket", buckets
-        )
+        PS.await_no_swap_marker(self.spark, self.bands_root)
         return (
             PS.read_partitioned(self.spark, self.bands_root, _BANDS_READ_SCHEMA)
             .filter(F.col("bbucket").isin(buckets))
@@ -574,9 +598,10 @@ class NearDupCorpusStore(CorpusStore):
                 new_bands.select(
                     *[f.name for f in BANDS_SCHEMA.fields],
                     self._bband(F.col("band_key")).alias("bbucket"),
+                    F.lit(0).alias("gen"),
                 )
                 .write.mode("append")
-                .partitionBy("bbucket")
+                .partitionBy("bbucket", "gen")
                 .parquet(self.bands_root)
             )
             self._append_docs(survivors)
@@ -591,14 +616,16 @@ class NearDupCorpusStore(CorpusStore):
             n_near_dup=n_exact_ok - n_accepted,
         )
 
-    def maybe_compact(self, max_files_per_bucket: int = 8) -> list[int]:
-        """Compact BOTH layouts' over-threshold buckets (docs buckets and
-        band buckets are disjoint partition roots; returned list is docs
-        buckets then band buckets)."""
-        done = PS.compact_partitions(
+    def maybe_compact(
+        self, max_files_per_bucket: int = 8
+    ) -> list[tuple[int, int]]:
+        """Generationally compact BOTH layouts' over-threshold levels
+        (docs buckets and band buckets are disjoint partition roots;
+        returned list is docs (bucket, gen) pairs then band ones)."""
+        done = PS.tiered_compact_partitions(
             self.spark, self.docs_root, "bucket", max_files_per_bucket
         )
-        done += PS.compact_partitions(
+        done += PS.tiered_compact_partitions(
             self.spark, self.bands_root, "bbucket", max_files_per_bucket
         )
         return done

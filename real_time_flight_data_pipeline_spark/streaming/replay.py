@@ -8,25 +8,24 @@ through a per-batch ingest callable with the same empty-batch
 short-circuit (T7) and checkpointed trigger contract (T1/T2). That
 driver shape is factored here ONCE.
 
-What stays deliberately separate is everything below the driver, because
-the two tiers dedup different identities into different layouts:
+What stays deliberately separate is everything below the driver. Both
+tiers now share the partitioned-APPEND commit model (machinery in
+``operators/partstore.py``) but dedup different identities into
+different layouts, and the difference picks their compaction strategy:
 
 - the corpus store keys on a TEXT fingerprint (plus an LSH band tier for
-  near-dups) and commits by versioned-parquet pointer flip — the whole
-  table is rewritten as history UNION survivors because its readers scan
-  the corpus wholesale;
+  near-dups); a batch's fingerprints hash-scatter across ~ALL buckets,
+  so small files accrete everywhere at once and compaction is
+  GENERATIONAL (merge one over-threshold gen level into the next, never
+  rewriting the accumulated corpus — r13);
 - the index maintainer keys on vec_id and the (cell, codes) quantization
-  and APPENDS into cell partitions — its readers are cell-pruned probes,
-  appends never touch existing files, and small-file accretion is
-  handled by threshold compaction instead of version flips.
+  and appends into the batch's few COARSE CELLS; whole-cell threshold
+  compaction suffices there because only touched cells accrete.
 
-A forced common "dedup-and-commit" abstraction would have to paper over
-opposite commit models (overwrite-flip vs partitioned append) and
-key shapes (one text hash vs id + quantization under cell pruning); the
-shared contract both already honor is the idempotent-replay one (T3):
-the accept step anti-joins the natural key against live state, so
-replayed micro-batches — including half-committed crash replays —
-converge to identical contents.
+The shared contract both honor is the idempotent-replay one (T3): the
+accept step anti-joins the natural key against live state, so replayed
+micro-batches — including half-committed crash replays — converge to
+identical contents.
 """
 
 from __future__ import annotations

@@ -55,12 +55,17 @@ def _read_all_sec(spark, store: CorpusStore, n_runs: int = 3) -> tuple[float, li
     return round(statistics.median(runs), 3), runs
 
 
-def run_increments(spark, sf_dir: str, tier: str) -> dict:
+def run_increments(spark, sf_dir: str, tier: str, neardup: bool = False) -> dict:
+    from real_time_flight_data_pipeline_spark.streaming.corpus import (
+        NearDupCorpusStore,
+    )
+
     shutil.rmtree(WORK, ignore_errors=True)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang", "source"
     )
-    store = CorpusStore(spark, f"{WORK}/store")
+    cls = NearDupCorpusStore if neardup else CorpusStore
+    store = cls(spark, f"{WORK}/store")
 
     # Seed: 90% of the corpus as one bootstrap ingest (the one-time build
     # analog of the vector tier's build_ivfpq_index).
@@ -73,12 +78,20 @@ def run_increments(spark, sf_dir: str, tier: str) -> dict:
         "slice", F.pmod(F.xxhash64("doc_id"), F.lit(N_INCR))
     ).localCheckpoint(eager=True)
 
-    per_batch, n_acc = [], 0
+    # Mirror the production driver (run_file_replay_corpus): generational
+    # compaction runs between triggers, so the curve below is the deployed
+    # shape — ingest timed apart from the (bounded, tiered) compaction.
+    per_batch, per_compact, n_acc = [], [], 0
     for i in range(N_INCR):
         b = held.filter(F.col("slice") == i).drop("slice")
         t0 = time.perf_counter()
         st = store.ingest_batch(b)
         per_batch.append(round(time.perf_counter() - t0, 3))
+        t0 = time.perf_counter()
+        merged = store.maybe_compact(max_files_per_bucket=8)
+        per_compact.append(
+            round(time.perf_counter() - t0, 3) if merged else 0.0
+        )
         n_acc += st.n_accepted
     half = N_INCR // 2
     first_half = round(statistics.median(per_batch[:half]), 3)
@@ -91,17 +104,18 @@ def run_increments(spark, sf_dir: str, tier: str) -> dict:
     replay_sec = round(time.perf_counter() - t0, 3)
     assert rst.n_accepted == 0, "replay must add nothing"
 
-    counts = PS.partition_file_counts(spark, store.docs_root, "bucket")
+    counts = PS.gen_file_counts(spark, store.docs_root, "bucket")
     frag = {
-        "files_max_per_bucket_frag": max(counts.values()),
+        "files_max_per_level_frag": max(counts.values()),
         "files_total_frag": sum(counts.values()),
+        "max_gen": max(g for (_, g) in counts),
     }
     read_frag_sec, read_frag_runs = _read_all_sec(spark, store)
 
     t0 = time.perf_counter()
     compacted = store.maybe_compact(max_files_per_bucket=8)
     compact_sec = round(time.perf_counter() - t0, 3)
-    counts2 = PS.partition_file_counts(spark, store.docs_root, "bucket")
+    counts2 = PS.gen_file_counts(spark, store.docs_root, "bucket")
     read_comp_sec, read_comp_runs = _read_all_sec(spark, store)
 
     total_rows = store.read().count()
@@ -113,6 +127,7 @@ def run_increments(spark, sf_dir: str, tier: str) -> dict:
         "seed_accepted": seed_stats.n_accepted,
         "increments_accepted": n_acc,
         "ingest_per_batch_sec": per_batch,
+        "compact_per_batch_sec": per_compact,
         "ingest_first_half_median": first_half,
         "ingest_second_half_median": second_half,
         "replay_batch_sec": replay_sec,
@@ -120,9 +135,9 @@ def run_increments(spark, sf_dir: str, tier: str) -> dict:
         **frag,
         "read_all_fragmented_sec": read_frag_sec,
         "read_all_fragmented_runs": read_frag_runs,
-        "n_buckets_compacted": len(compacted),
+        "n_levels_compacted": len(compacted),
         "compact_sec": compact_sec,
-        "files_max_per_bucket_after": max(counts2.values()),
+        "files_max_per_level_after": max(counts2.values()),
         "files_total_after": sum(counts2.values()),
         "read_all_compacted_sec": read_comp_sec,
         "read_all_compacted_runs": read_comp_runs,
@@ -139,15 +154,17 @@ def run_increments(spark, sf_dir: str, tier: str) -> dict:
 
 def main() -> None:
     use_100x = "--100x" in sys.argv
+    neardup = "--neardup" in sys.argv
     sf_dir, tier = (SF_100X, "sf100x") if use_100x else (SF, "sf0.1")
     spark = get_spark()
     if use_100x and not pathlib.Path(f"{SF_100X}/documents.parquet").exists():
         from scale_curve import build_corpus_100x
 
         build_corpus_100x(spark)
-    res = run_increments(spark, sf_dir, tier)
+    res = run_increments(spark, sf_dir, tier, neardup=neardup)
     merged = json.loads(OUT.read_text()) if OUT.exists() else {}
-    merged[f"{tier}_increments"] = res
+    key = f"{tier}_neardup_increments" if neardup else f"{tier}_increments"
+    merged[key] = res
     OUT.write_text(json.dumps(merged, indent=1))
     print(json.dumps(res))
 

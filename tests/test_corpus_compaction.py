@@ -5,8 +5,12 @@ the per-micro-batch full-table pointer-flip rewrite. These tests pin:
 
 - per-batch appends land O(batch) files; the corpus is never rewritten
   (untouched buckets keep their exact file sets across ingests),
-- compaction preserves content and bounds per-bucket file counts,
-- readers fail loud (not silently bucket-less) on a crashed swap,
+- GENERATIONAL compaction (r13) preserves content and bounds per-level
+  file counts reading only the merged level — gen>=1 files stay
+  byte-identical in place, cascades converge, and every crash state of
+  the tiered swap (staged-complete, staged-incomplete, orphan staging)
+  recovers by the _SUCCESS rule without loss or duplication,
+- readers fail loud (not silently holed) on a crashed swap,
 - ingest classification stats match a planted batch exactly
   (replayed / dup_hist / dup_batch / accepted — the docs_ingest_dedup
   catalog query is the oracle-paired spec of the same contract),
@@ -23,6 +27,7 @@ is pinned once on the shared machinery in test_index_compaction.py.
 from __future__ import annotations
 
 import glob
+import pathlib
 import shutil
 
 import pytest
@@ -65,12 +70,12 @@ def test_appends_never_rewrite_history(spark, tmp_path):
     store = CorpusStore(spark, str(tmp_path / "c"), n_buckets=8)
     b1, b2, b3 = _split(spark, 3)
     store.ingest_batch(b1)
-    files_after_1 = set(glob.glob(f"{store.docs_root}/bucket=*/*.parquet"))
+    files_after_1 = set(glob.glob(f"{store.docs_root}/bucket=*/gen=*/*.parquet"))
     store.ingest_batch(b2)
-    files_after_2 = set(glob.glob(f"{store.docs_root}/bucket=*/*.parquet"))
+    files_after_2 = set(glob.glob(f"{store.docs_root}/bucket=*/gen=*/*.parquet"))
     assert files_after_1 <= files_after_2  # old files untouched
     store.ingest_batch(b3)
-    files_after_3 = set(glob.glob(f"{store.docs_root}/bucket=*/*.parquet"))
+    files_after_3 = set(glob.glob(f"{store.docs_root}/bucket=*/gen=*/*.parquet"))
     assert files_after_2 <= files_after_3
     # and the store still equals the batch-mode dedup of the whole input
     n_fp = _docs(spark).select(F.md5("text")).distinct().count()
@@ -78,37 +83,153 @@ def test_appends_never_rewrite_history(spark, tmp_path):
 
 
 def test_compaction_preserves_content_and_bounds_files(spark, tmp_path):
+    """Generational compaction (r13): every over-threshold (bucket, gen)
+    level merges into ONE file in the next generation, reading only that
+    level; untouched levels keep their exact file sets."""
     store = CorpusStore(spark, str(tmp_path / "c"), n_buckets=4)
     for b in _split(spark, 6):
         store.ingest_batch(b)
-    counts = PS.partition_file_counts(spark, store.docs_root, "bucket")
-    assert max(counts.values()) > 2  # genuinely fragmented
+    counts = PS.gen_file_counts(spark, store.docs_root, "bucket")
+    assert max(counts.values()) > 2  # genuinely fragmented (all in gen=0)
+    assert all(g == 0 for (_, g) in counts)
     before = _content(store)
+    big_files = {
+        (v, g): set(
+            glob.glob(f"{store.docs_root}/bucket={v}/gen={g}/*.parquet")
+        )
+        for (v, g), n in counts.items()
+        if n <= 2
+    }
     over = store.maybe_compact(max_files_per_bucket=2)
-    assert over  # something compacted
-    after_counts = PS.partition_file_counts(spark, store.docs_root, "bucket")
-    for v in over:
-        assert after_counts[v] == 1
-    for v, n in counts.items():
-        if v not in over:
-            assert after_counts[v] == n  # untouched buckets keep file sets
+    assert over  # something merged
+    after_counts = PS.gen_file_counts(spark, store.docs_root, "bucket")
+    for v, g in over:
+        assert (v, g) not in after_counts  # merged level is gone...
+        assert after_counts.get((v, g + 1), 0) >= 1  # ...into gen+1
+    assert max(after_counts.values()) <= 2
+    for (v, g), files in big_files.items():
+        if (v, g) not in over:  # untouched levels keep exact file sets
+            assert (
+                set(
+                    glob.glob(
+                        f"{store.docs_root}/bucket={v}/gen={g}/*.parquet"
+                    )
+                )
+                == files
+            )
     assert _content(store) == before
     assert not glob.glob(f"{store.docs_root}_old")
     assert not glob.glob(f"{store.docs_root}_staged")
     assert store.maybe_compact(max_files_per_bucket=2) == []  # idempotent
 
 
+def test_tiered_merge_reads_only_the_merged_level(spark, tmp_path):
+    """The write-amplification bound itself: merging gen=0 leaves every
+    gen>=1 file byte-identical in place — the accumulated corpus is never
+    read or rewritten (contrast: whole-bucket compaction re-writes every
+    over-threshold bucket's full history)."""
+    store = CorpusStore(spark, str(tmp_path / "c"), n_buckets=2)
+    batches = _split(spark, 6)
+    for b in batches[:3]:
+        store.ingest_batch(b)
+    store.maybe_compact(max_files_per_bucket=2)  # builds gen=1
+    gen1_files = {
+        f: (pathlib.Path(f).stat().st_size, pathlib.Path(f).stat().st_mtime)
+        for f in glob.glob(f"{store.docs_root}/bucket=*/gen=1/*.parquet")
+    }
+    assert gen1_files
+    for b in batches[3:]:
+        store.ingest_batch(b)
+    merged = store.maybe_compact(max_files_per_bucket=2)
+    assert merged and all(g == 0 for (_, g) in merged)  # gen=1 untouched
+    for f, (size, mtime) in gen1_files.items():
+        st = pathlib.Path(f).stat()
+        assert (st.st_size, st.st_mtime) == (size, mtime)
+    n_fp = _docs(spark).select(F.md5("text")).distinct().count()
+    assert store.read().count() == n_fp
+
+
+def test_tiered_cascade_merges_upward(spark, tmp_path):
+    """A merge that tips the next generation over the bound cascades to
+    gen+2 within the same call, so file counts are bounded at EVERY level
+    (the log_T levels argument needs this, not just gen=0)."""
+    store = CorpusStore(spark, str(tmp_path / "c"), n_buckets=1)
+    for b in _split(spark, 8):
+        store.ingest_batch(b)
+        store.maybe_compact(max_files_per_bucket=1)
+    counts = PS.gen_file_counts(spark, store.docs_root, "bucket")
+    assert max(counts.values()) <= 1
+    assert max(g for (_, g) in counts) >= 2  # genuinely cascaded
+    n_fp = _docs(spark).select(F.md5("text")).distinct().count()
+    assert store.read().count() == n_fp
+
+
+def test_tiered_crash_matrix(spark, tmp_path):
+    """Every crash state of the tiered swap recovers without loss or
+    duplication, adjudicated by the staged _SUCCESS marker:
+      (a) parked level + staged complete -> finish (merged file lands in
+          gen+1, parked level dropped);
+      (b) parked level + staged incomplete -> roll back (parked files
+          return to their level, staging dropped);
+      (c) orphan staging, no marker -> dropped, store untouched."""
+    import os
+
+    store = CorpusStore(spark, str(tmp_path / "c"), n_buckets=1)
+    for b in _split(spark, 4):
+        store.ingest_batch(b)
+    before = _content(store)
+    root, pc = store.docs_root, "bucket"
+    (v, g), _ = sorted(PS.gen_file_counts(spark, root, pc).items())[0]
+
+    # (a) finish: stage a real merge, park the level, "crash" before the
+    # rename-in; recovery must complete the swap.
+    staged = f"{root}_staged/{pc}={v}/gen={g + 1}"
+    spark.read.parquet(f"{root}/{pc}={v}/gen={g}").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    os.makedirs(f"{root}_old/{pc}={v}", exist_ok=True)
+    os.rename(f"{root}/{pc}={v}/gen={g}", f"{root}_old/{pc}={v}/gen={g}")
+    with pytest.raises(RuntimeError, match="persists"):
+        store.ingest_batch(_docs(spark))  # readers fail loud meanwhile
+    PS.recover_tiered_compaction(spark, root, pc)
+    assert _content(store) == before
+    assert glob.glob(f"{root}/{pc}={v}/gen={g + 1}/*.parquet")
+    assert not glob.glob(f"{root}_old") and not glob.glob(f"{root}_staged")
+
+    # (b) roll back: park a level with an INCOMPLETE staging (no _SUCCESS).
+    counts = PS.gen_file_counts(spark, root, pc)
+    (v2, g2), _ = sorted(counts.items())[0]
+    os.makedirs(f"{root}_staged/{pc}={v2}/gen={g2 + 1}", exist_ok=True)
+    os.makedirs(f"{root}_old/{pc}={v2}", exist_ok=True)
+    os.rename(f"{root}/{pc}={v2}/gen={g2}", f"{root}_old/{pc}={v2}/gen={g2}")
+    PS.recover_tiered_compaction(spark, root, pc)
+    assert _content(store) == before
+    assert PS.gen_file_counts(spark, root, pc) == counts
+    assert not glob.glob(f"{root}_old") and not glob.glob(f"{root}_staged")
+
+    # (c) orphan staging only.
+    os.makedirs(f"{root}_staged/{pc}={v2}/gen={g2 + 1}", exist_ok=True)
+    PS.recover_tiered_compaction(spark, root, pc)
+    assert _content(store) == before
+    assert not glob.glob(f"{root}_staged")
+
+    # healthy again: a replay adds nothing and compaction converges
+    assert store.ingest_batch(_docs(spark)).n_accepted == 0
+    store.maybe_compact(max_files_per_bucket=1)
+    assert _content(store) == before
+
+
 def test_reader_fails_loud_on_crashed_swap(spark, tmp_path):
     store = CorpusStore(spark, str(tmp_path / "c"), n_buckets=4)
     store.ingest_batch(_docs(spark))
-    bucket_dir = sorted(glob.glob(f"{store.docs_root}/bucket=*"))[0]
-    name = bucket_dir.rsplit("/", 1)[1]
-    # crash state: bucket parked in _old, live missing (between renames)
-    shutil.copytree(bucket_dir, f"{store.docs_root}_old/{name}")
-    shutil.rmtree(bucket_dir)
-    with pytest.raises(RuntimeError, match="mid-swap"):
+    gen_dir = sorted(glob.glob(f"{store.docs_root}/bucket=*/gen=0"))[0]
+    rel = "/".join(gen_dir.rsplit("/", 2)[1:])  # bucket=N/gen=0
+    # crash state: a gen level parked in _old, live level missing
+    shutil.copytree(gen_dir, f"{store.docs_root}_old/{rel}")
+    shutil.rmtree(gen_dir)
+    with pytest.raises(RuntimeError, match="persists"):
         store.ingest_batch(_docs(spark))
-    PS.recover_partition_compaction(spark, store.docs_root, "bucket")
+    PS.recover_tiered_compaction(spark, store.docs_root, "bucket")
     s = store.ingest_batch(_docs(spark))  # healthy again, replay no-op
     assert s.n_accepted == 0
 
@@ -245,7 +366,7 @@ def test_streaming_loop_compacts_between_triggers(spark, tmp_path):
         spark, src, store, str(tmp_path / "ckpt"), d.schema,
         compact_max_files=2,
     )
-    counts = PS.partition_file_counts(spark, store.docs_root, "bucket")
+    counts = PS.gen_file_counts(spark, store.docs_root, "bucket")
     assert max(counts.values()) <= 3  # threshold + one post-append file
     n_fp = d.select(F.md5("text")).distinct().count()
     assert store.read().count() == n_fp
