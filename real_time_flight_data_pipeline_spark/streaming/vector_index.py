@@ -60,13 +60,18 @@ VECTOR_SCHEMA = T.StructType(
 
 # Auto-mode id-scan budget (r12 verdict #5): strict replay-guarding scans
 # the vec_id column over ALL cell partitions; measured at the 100x corpus
-# (600k vectors, cells layout ~35 MB) it costs +2% of a batch (3.93 vs
-# 3.85 s — scripts/ivfpq_index_results.json, replay_strict_sec). The scan
-# is column-pruned (~8 bytes/row of parquet), so cost grows linearly with
-# index size: this budget keeps strict on through ~30x the measured-cheap
-# point (~sub-second extra) and auto-switches to the cell-pruned guard
-# beyond it, where the documented content-immutability contract takes
-# over. Monkeypatchable in tests; deployments can force either mode.
+# (600k vectors, cells layout 1.4 MB of dict/RLE parquet) the forced-
+# strict replay costs 2.68 s vs 2.61 s forced-pruned — +2.5%, noise-level
+# (scripts/ivfpq_index_results.json: replay_strict_sec /
+# replay_pruned_sec / strict_auto_*). The scan is column-pruned, so cost
+# grows linearly with index size: 1 GiB of cells parquet is ~400M vectors
+# at the measured ~2.3 B/vec, whose vec_id column scan is roughly one
+# micro-batch's own cost — the crossover where paying it every batch
+# stops being free. Below the budget strict is on by default (the
+# cross-batch id-mutation hole closed wherever closing it is affordable);
+# above it auto falls back to the cell-pruned guard and the documented
+# content-immutability contract. Monkeypatchable in tests; deployments
+# can force either mode.
 _STRICT_ID_SCAN_MAX_BYTES = 1 << 30  # 1 GiB of cells parquet
 
 
