@@ -1447,8 +1447,15 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ===========================================================================
 # Batch top-k similarity join (multi-query top-k, EDBT'20/ICDE'21 flavor)
+# RETIRED r13 (shortlist #5, rotation-ceiling slot for docs_ingest_dedup):
+# the join-based brute-force baseline whose rung-0 contrast
+# embedding_topk_cosine already provides; stays oracle-verified every
+# session via tests/test_retired.py. Retired from the r10-green cohort
+# deliberately — a never-verified addition enters the driver window
+# immediately, so the oldest cohort must supply its slot to keep every
+# active query's staleness within the 3-round ceiling.
 # ===========================================================================
-@_register(
+@_register_retired(
     "embedding_topk_join",
     """
     WITH corpus AS (

@@ -19,7 +19,6 @@ from .conftest import SF_SMOKE
 # 1-row corpus-count aggregate, K-row k-means centroid set).
 _BNLJ_ALLOWED = {
     "embedding_topk_ivf",
-    "embedding_topk_join",
     "scalar_subquery_watermark",
     "docs_tfidf_top_terms",
     "embedding_kmeans_2iter",

@@ -30,6 +30,8 @@ _BNLJ_ALLOWED = {
     "docs_lsh_recall",  # 1-row truth-count x 1-row hit-count
     "embedding_pq_adc_recall",  # 1-row query-vector broadcast (exact-scan
     # baseline side), same shape as its active trained twin
+    "embedding_topk_join",  # 8-row query-batch broadcast (the multi-query
+    # brute-force baseline), same shape it carried while active
 }
 
 
@@ -45,6 +47,12 @@ def test_expected_retirees():
         # still-active embedding_pq_adc_recall_trained; 0.3 floor banked.
         "embedding_pq_adc_recall",
         "embedding_semdedup",
+        # r13 (shortlist #5): join-based brute-force top-k baseline whose
+        # rung-0 contrast embedding_topk_cosine already provides; retired
+        # from the r10-green cohort to free the window slot
+        # docs_ingest_dedup occupies (a never-verified addition enters the
+        # driver window immediately, so the oldest cohort supplies it).
+        "embedding_topk_join",
         "multimodal_decode_stub",
         "multimodal_resize_framesample_stub",
         # r12 (shortlist #1): grouped-Arrow-UDF twin of the still-active
