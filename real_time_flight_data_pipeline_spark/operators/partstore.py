@@ -349,15 +349,17 @@ def compact_partitions(
 def await_no_swap_marker(
     spark: SparkSession,
     root: str,
-    retries: int = 3,
-    wait_sec: float = 0.2,
+    retries: int = 20,
+    wait_sec: float = 0.5,
 ) -> None:
     """Reader-side guard for generational layouts: wait out an in-flight
-    tiered swap (its windows are sub-second: one small-file merge + a few
-    renames), then fail LOUD if the marker persists — a crashed swap has a
-    gen level parked in ``<root>_old`` and a scan now would silently miss
-    those rows. Same check-then-scan caveat as ``await_stable_partitions``
-    (single-writer contract; ``verify_stable_after`` for certainty)."""
+    tiered pass (the marker spans the whole per-level swap batch —
+    measured ~3 s at 64 over-threshold buckets on the 100x corpus, so the
+    default budget waits up to ~10 s), then fail LOUD if the marker
+    persists — a crashed swap has a gen level parked in ``<root>_old``
+    and a scan now would silently miss those rows. Same check-then-scan
+    caveat as ``await_stable_partitions`` (single-writer contract;
+    ``verify_stable_after`` for certainty)."""
     fs, jvm = _fs(spark, root)
     hp = jvm.org.apache.hadoop.fs.Path(f"{root}_old")
     for attempt in range(retries + 1):
@@ -556,8 +558,13 @@ def tiered_compact_partitions(
                 fs.delete(hp(old), True)
                 fs.delete(hp(staged), True)
                 merged.append((v, g))
-        fs.delete(hp(f"{root}_old"), True)
-        fs.delete(hp(f"{root}_staged"), True)
+            # Clear the marker skeleton after EACH level completes: a
+            # staging failure at the next level must abort with no marker
+            # left behind (all of this level's parked dirs are already
+            # dropped), else readers would fail loud on a store that is in
+            # fact fully intact.
+            fs.delete(hp(f"{root}_old"), True)
+            fs.delete(hp(f"{root}_staged"), True)
 
 
 def read_partitioned(

@@ -5306,7 +5306,9 @@ def q_index_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract, ids content-immutable), dup_hist (fingerprint accepted under
 # another id), else accepted.
 # ===========================================================================
-_CORPUS_N_BUCKETS = 64  # mirrors streaming/corpus._DEFAULT_BUCKETS
+from ..streaming.corpus import _DEFAULT_BUCKETS as _CORPUS_N_BUCKETS  # noqa: E402
+# imported, not copied: the twin's bucket column must stay the production
+# partition key even if the store default is retuned
 
 
 def _docs_ingest_dedup_oracle() -> str:
@@ -5363,7 +5365,7 @@ def _docs_ingest_dedup_oracle() -> str:
     tags=("dedup", "northstar", "streaming-twin"),
 )
 def q_docs_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
     fp = TX.md5_long(F.col("text"))
 
     def plant(src_id: int, new_id: int) -> DataFrame:

@@ -237,11 +237,6 @@ class CorpusStore:
         caller. Eagerly checkpointed: consumers (stats count + commit, and
         the near-dup tier's screening) must see ONE consistent slice."""
         reps = self._in_batch_reps(fp)
-        # Captured BEFORE the history scan materializes: the post-scan
-        # verify must flag only a swap that STARTED during the scan, not a
-        # pre-existing crashed swap of a non-batch bucket that the
-        # per-bucket guard already adjudicated.
-        had_marker = PS.has_swap_marker(self.spark, self.docs_root)
         hist = self._pruned_history(reps)
         hist_ids = hist.select("doc_id").withColumn("_id", F.lit(True))
         hist_fps = (
@@ -260,12 +255,13 @@ class CorpusStore:
             .localCheckpoint(eager=True)
         )
         # Guard-scan-verify (r12 ADVICE, medium): the history scan has now
-        # materialized (eager checkpoint); a marker appearing since the
-        # capture above means a compaction raced it — fail loud before any
-        # commit built on a possibly-holed history slice. Single-writer
-        # deployments never hit this; one driver-side exists() check.
-        if not had_marker:
-            PS.verify_stable_after(self.spark, self.docs_root)
+        # materialized (eager checkpoint); any marker present NOW means a
+        # compaction raced the scan (ingest-start recovery cleared
+        # pre-existing crashed ones, and await_no_swap_marker waited out
+        # in-flight ones) — fail loud before any commit built on a
+        # possibly-holed history slice. Single-writer deployments never
+        # hit this; one driver-side exists() check.
+        PS.verify_stable_after(self.spark, self.docs_root)
         return cls
 
     def _append_docs(self, survivors: DataFrame) -> None:
@@ -283,12 +279,22 @@ class CorpusStore:
             .parquet(self.docs_root)
         )
 
+    def _recover_if_crashed(self) -> None:
+        """Writer-side self-heal at ingest start: the store has ONE writer,
+        so a swap marker now can only be this writer's own compactor crash
+        — recover it before any guard or scan. Without this, a crashed
+        compaction wedges the streaming loop permanently (every replayed
+        batch fails on the marker before maybe_compact's recovery runs)."""
+        if PS.has_swap_marker(self.spark, self.docs_root):
+            PS.recover_tiered_compaction(self.spark, self.docs_root, "bucket")
+
     def ingest_batch(self, batch: DataFrame) -> CorpusIngestStats:
         """Dedup ``batch`` within itself and against history, then APPEND
         survivors into their fingerprint buckets — O(batch) written, the
         accepted corpus never rewritten. Replays and retries converge to
         the same contents (anti-join-by-fingerprint against live state;
         T3 idempotence, no ledger)."""
+        self._recover_if_crashed()
         fp = self._fingerprinted(batch)
         n_rows = fp.count()
         cls = self._classified(fp)
@@ -513,7 +519,15 @@ class NearDupCorpusStore(CorpusStore):
             .select([f.name for f in BANDS_SCHEMA.fields])
         )
 
+    def _recover_if_crashed(self) -> None:
+        super()._recover_if_crashed()
+        if PS.has_swap_marker(self.spark, self.bands_root):
+            PS.recover_tiered_compaction(
+                self.spark, self.bands_root, "bbucket"
+            )
+
     def ingest_batch(self, batch: DataFrame) -> CorpusIngestStats:
+        self._recover_if_crashed()
         fp = self._fingerprinted(batch)
         n_rows = fp.count()
         cls = self._classified(fp)
@@ -549,7 +563,6 @@ class NearDupCorpusStore(CorpusStore):
         # history shingles are recomputed only for the candidate slice
         # (semi join on candidate doc_ids against DOCS — a ghost id from a
         # bands-then-crash window is absent there, so it can never verify).
-        had_band_marker = PS.has_swap_marker(self.spark, self.bands_root)
         hist_bands = self._pruned_bands(bands)
         cand_hist = (
             bands.join(
@@ -561,10 +574,9 @@ class NearDupCorpusStore(CorpusStore):
             .localCheckpoint(eager=True)
         )
         # Guard-scan-verify on the band layout (same contract as the docs
-        # layout in _classified): the candidate join has materialized; a
-        # marker appearing since capture means a compaction raced it.
-        if not had_band_marker:
-            PS.verify_stable_after(self.spark, self.bands_root)
+        # layout in _classified): the candidate join has materialized; any
+        # marker present now means a compaction raced it.
+        PS.verify_stable_after(self.spark, self.bands_root)
         hist_slice = self.read().join(
             cand_hist.select(F.col("b_id").alias("doc_id")).distinct(),
             "doc_id",

@@ -184,6 +184,16 @@ class VectorIndexMaintainer:
         n_rows = batch.count()
         if n_rows == 0:
             return IngestStats(0, 0, 0, 0)
+        # The maintainer IS the store's single writer, so a swap marker at
+        # ingest time can only be its own compactor's crash — heal it HERE,
+        # before any guard or scan. Without this, a crashed compaction
+        # wedges the streaming loop permanently: every replayed batch fails
+        # on the marker before maybe_compact (whose recovery would fix it)
+        # is ever reached, and restarts just repeat the failure.
+        if self._has_swap_marker():
+            from ..operators.ann_index import recover_compaction  # noqa: PLC0415
+
+            recover_compaction(self.spark, self.path)
         strict = self._resolve_strict()
         # A micro-batch may re-send the same vec_id more than once (at-least
         # -once sources); two same-id rows whose embeddings differ could
@@ -213,11 +223,6 @@ class VectorIndexMaintainer:
                 "rows; malformed embeddings in the micro-batch"
             )
         existing, _ = self._pruned_existing(enc)
-        # Captured BEFORE the accept scans run: verify_stable_after below
-        # must detect a swap that STARTED during the scan, not re-flag a
-        # pre-existing crashed swap of a non-batch cell that the per-cell
-        # guard already proved harmless to the pruned path.
-        had_marker = self._has_swap_marker()
         # Replay guard: ids already present add nothing (idempotent-by-key,
         # the T3 contract — no ledger, so a half-appended crash replays
         # cleanly too). Strict mode checks ids against the WHOLE index
@@ -228,13 +233,21 @@ class VectorIndexMaintainer:
             # compaction swap that parked a NON-batch cell in cells_old
             # would pass the per-cell guard above (it only checks the
             # batch's cells) yet silently hide that cell's ids from this
-            # scan — the exact violation strict mode exists to catch. Fail
-            # loud on the marker instead (r12 ADVICE, medium).
+            # scan — the exact violation strict mode exists to catch. The
+            # recovery at ingest start already healed any own-crash marker,
+            # so this fires only on a cross-session writer violating the
+            # single-writer contract (r12 ADVICE, medium).
             PS.assert_no_swap_marker(self.spark, f"{self.path}/cells")
             id_guard = self._cells().select("vec_id")
         else:
             id_guard = existing.select("vec_id")
-        fresh = enc.join(id_guard, "vec_id", "anti")
+        # Checkpointed: both consumers (the dedup chain behind `added` and
+        # the n_fresh count) would otherwise EACH re-run the id-guard
+        # anti-join — in strict mode that is the full-index id scan paid
+        # twice per batch, halving the real budget crossover.
+        fresh = enc.join(id_guard, "vec_id", "anti").localCheckpoint(
+            eager=True
+        )
         # Quantized dedup: the (cell, codes) key IS the index's resolution.
         qkey = F.concat_ws(
             "_", F.col("cell"), F.concat_ws(",", F.col("codes"))
@@ -257,14 +270,13 @@ class VectorIndexMaintainer:
         n_fresh = fresh.count()
         # Guard-scan-verify (r12 ADVICE, medium): the accept joins'
         # index-side scans have now materialized (eager checkpoints +
-        # counts above); a swap marker APPEARING since the pre-scan guard
-        # means a compaction raced those scans and a cell may have been
-        # mid-rename — fail loud BEFORE appending rather than commit a
-        # batch deduped against a possibly-holed slice. Single-writer
-        # deployments never hit this (their compactor runs between
-        # triggers); one driver-side exists() check.
-        if not had_marker:
-            PS.verify_stable_after(self.spark, f"{self.path}/cells")
+        # counts above); any marker present NOW means a compaction raced
+        # those scans (the ingest-start recovery cleared pre-existing
+        # ones) and a cell may have been mid-rename — fail loud BEFORE
+        # appending rather than commit a batch deduped against a
+        # possibly-holed slice. Single-writer deployments never hit this
+        # (their compactor runs between triggers); one exists() check.
+        PS.verify_stable_after(self.spark, f"{self.path}/cells")
         if n_added:
             added.write.mode("append").partitionBy("cell").parquet(
                 f"{self.path}/cells"

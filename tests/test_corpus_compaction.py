@@ -190,7 +190,8 @@ def test_tiered_crash_matrix(spark, tmp_path):
     os.makedirs(f"{root}_old/{pc}={v}", exist_ok=True)
     os.rename(f"{root}/{pc}={v}/gen={g}", f"{root}_old/{pc}={v}/gen={g}")
     with pytest.raises(RuntimeError, match="persists"):
-        store.ingest_batch(_docs(spark))  # readers fail loud meanwhile
+        # readers fail loud meanwhile (the writer's ingest would heal)
+        PS.await_no_swap_marker(spark, root, retries=1, wait_sec=0.01)
     PS.recover_tiered_compaction(spark, root, pc)
     assert _content(store) == before
     assert glob.glob(f"{root}/{pc}={v}/gen={g + 1}/*.parquet")
@@ -219,19 +220,27 @@ def test_tiered_crash_matrix(spark, tmp_path):
     assert _content(store) == before
 
 
-def test_reader_fails_loud_on_crashed_swap(spark, tmp_path):
+def test_reader_fails_loud_writer_heals_on_crashed_swap(spark, tmp_path):
+    """A crashed tiered swap: READERS fail loud (a scan now would silently
+    miss the parked level's rows), while the WRITER's ingest self-heals —
+    the store has one writer, so a marker at ingest time can only be its
+    own compactor's crash, and without the heal the streaming loop would
+    wedge on every replayed batch before maybe_compact's recovery runs."""
     store = CorpusStore(spark, str(tmp_path / "c"), n_buckets=4)
     store.ingest_batch(_docs(spark))
+    before = _content(store)
     gen_dir = sorted(glob.glob(f"{store.docs_root}/bucket=*/gen=0"))[0]
     rel = "/".join(gen_dir.rsplit("/", 2)[1:])  # bucket=N/gen=0
     # crash state: a gen level parked in _old, live level missing
     shutil.copytree(gen_dir, f"{store.docs_root}_old/{rel}")
     shutil.rmtree(gen_dir)
     with pytest.raises(RuntimeError, match="persists"):
-        store.ingest_batch(_docs(spark))
-    PS.recover_tiered_compaction(spark, store.docs_root, "bucket")
-    s = store.ingest_batch(_docs(spark))  # healthy again, replay no-op
+        PS.await_no_swap_marker(spark, store.docs_root, retries=1,
+                                wait_sec=0.01)
+    s = store.ingest_batch(_docs(spark))  # writer: heals, replay no-op
     assert s.n_accepted == 0
+    assert _content(store) == before      # parked rows recovered
+    assert not glob.glob(f"{store.docs_root}_old")
 
 
 def test_ingest_classification_stats(spark, tmp_path):

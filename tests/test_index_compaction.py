@@ -418,16 +418,25 @@ def test_auto_switches_to_pruned_over_budget(spark, frag_index, monkeypatch):
     assert stats.n_added == 1
 
 
-def test_strict_scan_fails_loud_on_crashed_swap_marker(spark, frag_index):
+def test_crashed_swap_heals_at_ingest_and_strict_scan_sees_all_ids(
+    spark, frag_index
+):
     """A crashed compaction swap that parked a NON-batch cell in cells_old
     passes the per-cell guard (which only checks the batch's cells) but
-    would silently hide that cell's ids from the strict full-index scan —
-    so the strict path fails loud on the marker instead of re-appending a
-    replayed id as a duplicate (r12 ADVICE, medium)."""
+    would silently hide that cell's ids from the strict full-index scan
+    (r12 ADVICE, medium). The maintainer is the store's single writer, so
+    ingest HEALS the crash first (without this the streaming loop wedges:
+    every replayed batch would fail before maybe_compact's recovery runs),
+    and the strict scan then sees the recovered cell's ids — a replayed id
+    from the previously-parked cell is classified replayed, never
+    re-appended. Readers (probes) still fail loud on the same state —
+    pinned by test_reader_fails_loud_on_crashed_swap."""
+    import glob as _glob
     import os
 
     path, hot_cell, _, spare_ids = frag_index
     emb = load_table(spark, SF_CORRECT, "embeddings")
+    before = _content(spark, path)
     batch = emb.filter(F.col("vec_id") == spare_ids[0]).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -442,13 +451,21 @@ def test_strict_scan_fails_loud_on_crashed_swap_marker(spark, frag_index):
         f"{path}/cells/cell={victim}", f"{path}/cells_old/cell={victim}"
     )
     strict = VectorIndexMaintainer(spark, path, strict_ids=True)
-    with pytest.raises(RuntimeError, match="swap marker"):
-        strict.ingest_batch(batch)
-    # pruned mode on the same state proceeds (its per-cell guard verified
-    # the batch's own cells; the parked cell is irrelevant to its joins)
-    pruned = VectorIndexMaintainer(spark, path, strict_ids=False)
-    stats = pruned.ingest_batch(batch)
-    assert stats.n_added == 1 and stats.id_guard_mode == "pruned"
+    stats = strict.ingest_batch(batch)
+    assert stats.n_added == 1 and stats.id_guard_mode == "strict"
+    assert not _glob.glob(f"{path}/cells_old")  # healed, not bypassed
+    # recovered content intact + exactly the one new row
+    after = _content(spark, path)
+    assert len(after) == len(before) + 1
+    assert set(before) <= set(after)
+    # a replay of an id that lived in the PARKED cell adds nothing: the
+    # strict scan sees the recovered cell (the r12 ADVICE violation case)
+    victim_id = next(v for v, c, _ in before if c == victim)
+    replay = emb.filter(F.col("vec_id") == victim_id).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    s2 = strict.ingest_batch(replay)
+    assert s2.n_replayed == 1 and s2.n_added == 0
 
 
 def test_strict_ids_rejects_bad_value(spark, tmp_path):
