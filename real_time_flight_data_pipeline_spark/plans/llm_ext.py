@@ -27,11 +27,14 @@ from .catalog import _register, _register_retired, _spread, _t
 from .northstar import (
     _NEAR_CORPUS_SQL,
     _PACK_TOKENS,
+    _SQL_BASE_HASHES,
     _SQL_LANG_COUNTS,
+    _SQL_SHINGLES,
     _SQL_TOKS,
     _near_corpus,
     _near_dup_oracle,
     _sql_md5_long,
+    _sql_minhash,
     q_near_dup_pairs,
 )
 
@@ -5421,6 +5424,244 @@ def q_docs_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("accepted")
             .alias("status"),
         )
+    )
+
+
+# ===========================================================================
+# Near-dup tier ingest classification (QUEUED FOR r14 REGISTRATION — see
+# COVERAGE.md "Next catalog addition"): the oracle-paired spec twin of
+# streaming/corpus.NearDupCorpusStore.ingest_batch, extending
+# docs_ingest_dedup's exact-tier classification with the near_dup status.
+# Deliberately NOT @_register-ed this round: a second never-verified query
+# would have pushed a due query past the driver rotation's 3-round
+# staleness ceiling (tests/test_driver_window.py). Until registration it
+# is oracle-verified every session by tests/test_preregistered.py; r14
+# flips the decorator on. Classification precedence mirrors the store
+# exactly: the exact tier first (dup_batch / replayed / dup_hist — same
+# joins as docs_ingest_dedup), then among exact survivors a doc is
+# near_dup if it loses an in-batch verified pair (lowest doc_id wins) or
+# verifies against ANY history doc (MinHash-LSH banding, 3-token
+# shingles, 8 minhashes, 4 bands x 2 rows, exact distinct-shingle
+# Jaccard >= 0.5 — the batch detector's own parameters, so the
+# accepted-corpus invariant is checkable by running docs_near_dup_pairs
+# over the store).
+# ===========================================================================
+def _sql_band_rows(mh_cte: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(CAST(mh{2 * b} AS VARCHAR) || '_' || "
+        f"CAST(mh{2 * b + 1} AS VARCHAR)) AS band_key FROM {mh_cte}"
+        for b in range(4)
+    )
+
+
+def _docs_near_dup_ingest_oracle() -> str:
+    fp = _sql_md5_long("text")
+    mh_cols = ", ".join(f"{_sql_minhash(s)} AS mh{s}" for s in range(8))
+    jac = "CAST(inter AS DOUBLE) / (na + nb - inter)"
+    return f"""
+    WITH hist AS MATERIALIZED (
+      SELECT doc_id, text, {fp} AS fp FROM documents WHERE doc_id % 10 != 9
+    ),
+    batch AS MATERIALIZED (
+      SELECT doc_id, text, {fp} AS fp FROM documents WHERE doc_id % 10 = 9
+      UNION ALL SELECT doc_id, text, {fp} FROM documents WHERE doc_id = 0
+      UNION ALL SELECT 9000001, text, {fp} FROM documents WHERE doc_id = 1
+      UNION ALL SELECT 9000002, text, {fp} FROM documents WHERE doc_id = 9
+      UNION ALL SELECT 9000004, text || ' zq',
+                       {_sql_md5_long("text || ' zq'")}
+        FROM documents WHERE doc_id = 2
+      UNION ALL SELECT 9000005, text || ' zq',
+                       {_sql_md5_long("text || ' zq'")}
+        FROM documents WHERE doc_id = 9
+    ),
+    reps AS (SELECT fp, min(doc_id) AS rep FROM batch GROUP BY fp),
+    excls AS MATERIALIZED (
+      SELECT b.doc_id, b.text,
+             CASE WHEN b.doc_id != r.rep THEN 'dup_batch'
+                  WHEN b.doc_id IN (SELECT doc_id FROM hist) THEN 'replayed'
+                  WHEN b.fp IN (SELECT fp FROM hist) THEN 'dup_hist'
+             END AS ex_status
+      FROM batch b JOIN reps r ON r.fp = b.fp
+    ),
+    exact_ok AS (SELECT doc_id, text FROM excls WHERE ex_status IS NULL),
+    btok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM exact_ok),
+    bshin AS MATERIALIZED (
+      SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM btok),
+    bhsh AS (SELECT doc_id, {_SQL_BASE_HASHES} AS hs FROM bshin),
+    bmh AS (SELECT doc_id, {mh_cols} FROM bhsh),
+    bbands AS MATERIALIZED ({_sql_band_rows("bmh")}),
+    htok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM hist),
+    hshin AS MATERIALIZED (
+      SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM htok),
+    hhsh AS (SELECT doc_id, {_SQL_BASE_HASHES} AS hs FROM hshin),
+    hmh AS (SELECT doc_id, {mh_cols} FROM hhsh),
+    hbands AS MATERIALIZED ({_sql_band_rows("hmh")}),
+    cand_in AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bbands a JOIN bbands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    drop_in AS (
+      SELECT DISTINCT b_id AS doc_id FROM (
+        SELECT c.b_id,
+               len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+               len(sa.sh) AS na, len(sb.sh) AS nb
+        FROM cand_in c
+        JOIN bshin sa ON sa.doc_id = c.a_id
+        JOIN bshin sb ON sb.doc_id = c.b_id
+      ) WHERE {jac} >= 0.5
+    ),
+    cand_h AS (
+      SELECT DISTINCT a.doc_id AS a_id, h.doc_id AS b_id
+      FROM bbands a JOIN hbands h
+        ON a.band_idx = h.band_idx AND a.band_key = h.band_key
+    ),
+    drop_h AS (
+      SELECT DISTINCT a_id AS doc_id FROM (
+        SELECT c.a_id,
+               len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+               len(sa.sh) AS na, len(sb.sh) AS nb
+        FROM cand_h c
+        JOIN bshin sa ON sa.doc_id = c.a_id
+        JOIN hshin sb ON sb.doc_id = c.b_id
+      ) WHERE {jac} >= 0.5
+    ),
+    dropped AS (SELECT doc_id FROM drop_in UNION SELECT doc_id FROM drop_h)
+    SELECT e.doc_id,
+           COALESCE(e.ex_status,
+                    CASE WHEN e.doc_id IN (SELECT doc_id FROM dropped)
+                         THEN 'near_dup' ELSE 'accepted' END) AS status
+    FROM excls e
+    """
+
+
+def q_docs_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The Spark side reuses the STORE'S OWN tier functions (_shingle_sets,
+    # _band_rows, _verify_pairs) so spec fidelity is by construction, not
+    # by transcription.
+    from ..streaming.corpus import (  # noqa: PLC0415
+        _band_rows,
+        _shingle_sets,
+        _verify_pairs,
+    )
+
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    fp = TX.md5_long(F.col("text"))
+
+    def plant(src_id: int, new_id: int, suffix: str | None = None) -> DataFrame:
+        text = (
+            F.concat(F.col("text"), F.lit(suffix))
+            if suffix
+            else F.col("text")
+        )
+        return d.filter(F.col("doc_id") == src_id).select(
+            F.lit(new_id).cast("long").alias("doc_id"), text.alias("text")
+        )
+
+    batch = (
+        d.filter(F.col("doc_id") % 10 == 9)
+        .unionByName(plant(0, 0))                 # replayed id
+        .unionByName(plant(1, 9_000_001))         # history text, new id
+        .unionByName(plant(9, 9_000_002))         # in-batch exact clone
+        .unionByName(plant(2, 9_000_004, " zq"))  # near-dup of history
+        .unionByName(plant(9, 9_000_005, " zq"))  # in-batch near-dup
+        .withColumn("fp", fp)
+        .localCheckpoint(eager=False)
+    )
+    hist = (
+        d.filter(F.col("doc_id") % 10 != 9)
+        .withColumn("fp", fp)
+        .localCheckpoint(eager=False)
+    )
+    reps = batch.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    # Exact tier: identical joins (and shuffle_hash reasoning) as
+    # docs_ingest_dedup; ex_status is NULL for exact survivors.
+    excls = (
+        batch.join(reps.hint("shuffle_hash"), "fp", "left")
+        .join(
+            hist.select("doc_id")
+            .withColumn("_id", F.lit(True))
+            .hint("shuffle_hash"),
+            "doc_id",
+            "left",
+        )
+        .join(
+            hist.select("fp")
+            .distinct()
+            .withColumn("_fp", F.lit(True))
+            .hint("shuffle_hash"),
+            "fp",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "text",
+            F.when(F.col("doc_id") != F.col("rep"), "dup_batch")
+            .when(F.col("_id").isNotNull(), "replayed")
+            .when(F.col("_fp").isNotNull(), "dup_hist")
+            .alias("ex_status"),
+        )
+        .localCheckpoint(eager=False)  # reused: near tier + final classify
+    )
+    exact_ok = excls.filter(F.col("ex_status").isNull()).select(
+        "doc_id", "text"
+    )
+    shin = _shingle_sets(exact_ok)
+    bands = _band_rows(shin).localCheckpoint(eager=False)
+    hshin = _shingle_sets(hist.select("doc_id", "text"))
+    hbands = _band_rows(hshin).localCheckpoint(eager=False)
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand_in = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .dropDuplicates()
+    )
+    sa = shin.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    sb = shin.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    drop_in = (
+        _verify_pairs(cand_in, sa, sb)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    cand_h = (
+        bands.join(
+            hbands.withColumnRenamed("doc_id", "h_id"),
+            ["band_idx", "band_key"],
+        )
+        .select(F.col("doc_id").alias("a_id"), F.col("h_id").alias("b_id"))
+        .dropDuplicates()
+    )
+    hb = hshin.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    drop_h = (
+        _verify_pairs(cand_h, sa, hb)
+        .select(F.col("a_id").alias("doc_id"))
+        .distinct()
+    )
+    dropped = (
+        drop_in.unionByName(drop_h)
+        .distinct()
+        .withColumn("_nd", F.lit(True))
+    )
+    # shuffle_hash: dropped is corpus-derived (candidate near-dups) — at a
+    # corpus-scale micro-batch it must never be statically broadcast.
+    return excls.join(dropped.hint("shuffle_hash"), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(
+            F.col("ex_status"),
+            F.when(F.col("_nd").isNotNull(), "near_dup").otherwise(
+                "accepted"
+            ),
+        ).alias("status"),
     )
 
 
