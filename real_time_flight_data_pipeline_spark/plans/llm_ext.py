@@ -5428,23 +5428,19 @@ def q_docs_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# Near-dup tier ingest classification (QUEUED FOR r14 REGISTRATION — see
-# COVERAGE.md "Next catalog addition"): the oracle-paired spec twin of
+# Near-dup tier ingest classification (banked in r13, REGISTERED in r14
+# when the reserved window slot opened — see COVERAGE.md "Next catalog
+# addition"): the oracle-paired spec twin of
 # streaming/corpus.NearDupCorpusStore.ingest_batch, extending
 # docs_ingest_dedup's exact-tier classification with the near_dup status.
-# Deliberately NOT @_register-ed this round: a second never-verified query
-# would have pushed a due query past the driver rotation's 3-round
-# staleness ceiling (tests/test_driver_window.py). Until registration it
-# is oracle-verified every session by tests/test_preregistered.py; r14
-# flips the decorator on. Classification precedence mirrors the store
-# exactly: the exact tier first (dup_batch / replayed / dup_hist — same
-# joins as docs_ingest_dedup), then among exact survivors a doc is
-# near_dup if it loses an in-batch verified pair (lowest doc_id wins) or
-# verifies against ANY history doc (MinHash-LSH banding, 3-token
-# shingles, 8 minhashes, 4 bands x 2 rows, exact distinct-shingle
-# Jaccard >= 0.5 — the batch detector's own parameters, so the
-# accepted-corpus invariant is checkable by running docs_near_dup_pairs
-# over the store).
+# Classification precedence mirrors the store exactly: the exact tier
+# first (dup_batch / replayed / dup_hist — same joins as
+# docs_ingest_dedup), then among exact survivors a doc is near_dup if it
+# loses an in-batch verified pair (lowest doc_id wins) or verifies
+# against ANY history doc (MinHash-LSH banding, 3-token shingles, 8
+# minhashes, 4 bands x 2 rows, exact distinct-shingle Jaccard >= 0.5 —
+# the batch detector's own parameters, so the accepted-corpus invariant
+# is checkable by running docs_near_dup_pairs over the store).
 # ===========================================================================
 def _sql_band_rows(mh_cte: str) -> str:
     return " UNION ALL ".join(
@@ -5537,6 +5533,31 @@ def _docs_near_dup_ingest_oracle() -> str:
     """
 
 
+@_register(
+    "docs_near_dup_ingest",
+    _docs_near_dup_ingest_oracle(),
+    "Streaming near-dup corpus ingest classification: the oracle-paired "
+    "spec twin of NearDupCorpusStore.ingest_batch, extending "
+    "docs_ingest_dedup's exact tier with the near_dup status. The exact "
+    "tier classifies first (dup_batch / replayed / dup_hist — identical "
+    "joins); among exact survivors a doc is near_dup if it loses an "
+    "in-batch verified pair (lowest doc_id wins) or verifies against ANY "
+    "history doc via MinHash-LSH banding (3-token shingles, 8 minhashes, "
+    "4 bands x 2 rows) confirmed by exact distinct-shingle Jaccard >= "
+    "0.5 — the batch detector's own parameters, so the accepted-corpus "
+    "invariant is checkable by running docs_near_dup_pairs over the "
+    "store. The planted batch exercises all five statuses. Scale shape: "
+    "candidates come from band-bucket equi-joins (never all-pairs); the "
+    "history side is band-pruned in the production twin "
+    "(corpus._pruned_bands); all corpus-derived join sides are "
+    "shuffle_hash-hinted, never statically broadcast",
+    reference="spec twin of streaming/corpus.NearDupCorpusStore."
+    "ingest_batch (r13 verdict #1); SURVEY §2.9 T3 "
+    "exactly-once-by-idempotence + [NORTH-STAR] near-dedup applied to "
+    "streaming ingest; reference contract "
+    "/root/reference/apps/spark_app/flight_stream.py:33-36",
+    tags=("dedup", "northstar", "streaming-twin"),
+)
 def q_docs_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The Spark side reuses the STORE'S OWN tier functions (_shingle_sets,
     # _band_rows, _verify_pairs) so spec fidelity is by construction, not

@@ -1,34 +1,29 @@
-"""Pre-registered catalog queries: implemented + oracle-verified now,
-queued for a later round's registration (COVERAGE.md "Next catalog
-addition").
+"""Catalog queries that were banked before registration (COVERAGE.md
+"Next catalog addition") and the semantics pinned at banking time.
 
-The driver rotation budget allows at most ONE never-verified addition per
-round when the oldest green cohort fills the rest of the window
-(tests/test_driver_window.py); work beyond that budget is banked here —
-the query and its DuckDB oracle ship and are verified every session, and
-registration is a one-line decorator flip when a window slot opens.
+`docs_near_dup_ingest` was implemented + oracle-verified in r13 and
+registered in r14 when its reserved driver-window slot opened; its oracle
+match is now covered by the registry-wide gate (tests/test_oracle.py).
+What stays here is the planted-status contract — the part of the accept
+contract the row-count/hash oracle alone can't make legible.
 """
 
 from __future__ import annotations
 
-from real_time_flight_data_pipeline_spark.plans.catalog import (
-    REGISTRY,
-    RETIRED_REGISTRY,
-)
+from real_time_flight_data_pipeline_spark.plans.catalog import REGISTRY
 from real_time_flight_data_pipeline_spark.plans.llm_ext import (
-    _docs_near_dup_ingest_oracle,
     q_docs_near_dup_ingest,
 )
 
-from .conftest import SF_CORRECT, SF_SMOKE
-from .oracle_harness import compare
+from .conftest import SF_SMOKE
 
 
-def test_near_dup_ingest_oracle_match(spark):
-    ok, msg = compare(
-        spark, SF_CORRECT, q_docs_near_dup_ingest, _docs_near_dup_ingest_oracle()
-    )
-    assert ok, msg
+def test_near_dup_ingest_registered():
+    """r14 flipped @_register on (VERDICT r13 item 1): the query is in the
+    active registry with its DuckDB oracle attached."""
+    assert "docs_near_dup_ingest" in REGISTRY
+    assert REGISTRY["docs_near_dup_ingest"].oracle is not None
+    assert len(REGISTRY) == 150  # rotation ceiling fully used again
 
 
 def test_near_dup_ingest_planted_statuses(spark):
@@ -45,12 +40,3 @@ def test_near_dup_ingest_planted_statuses(spark):
     assert rows[9_000_004] == "near_dup"    # appended-token twin of history
     assert rows[9_000_005] == "near_dup"    # in-batch appended-token twin
     assert "accepted" in rows.values()
-
-
-def test_deliberately_not_registered_yet(spark):
-    """The queue decision itself is pinned: registering this query THIS
-    round would push a due query past the rotation's staleness ceiling.
-    When a slot opens (r14), flip @_register on and delete this test."""
-    assert "docs_near_dup_ingest" not in REGISTRY
-    assert "docs_near_dup_ingest" not in RETIRED_REGISTRY
-    assert len(REGISTRY) == 149  # exactly one free slot, reserved for it
