@@ -200,15 +200,44 @@ def await_stable_cells(
     writer) if a crashed swap left ``cells_old`` behind. Check-then-scan,
     NOT atomic with the caller's subsequent read — see
     partstore.await_stable_partitions for the residual race and the
-    single-writer contract."""
+    single-writer contract.
+
+    Generational layouts (r13 verdict #7): a tiered swap parks a gen
+    SUB-level while the cell dir itself stays present, so the per-cell
+    existence probe cannot see the hole — when the parked entries carry
+    gen= sub-dirs the coarse marker guard is the correct one and is used
+    instead."""
+    root = f"{path}/cells"
     try:
+        if _ps.has_swap_marker(spark, root) and _marker_is_tiered(spark, root):
+            _ps.await_no_swap_marker(spark, root)
+            return
         _ps.await_stable_partitions(
-            spark, f"{path}/cells", "cell", cells, retries, wait_sec
+            spark, root, "cell", cells, retries, wait_sec
         )
     except RuntimeError as e:
         raise RuntimeError(
-            f"{e} — for this index, run recover_compaction() before probing"
+            f"{e} — for this index, run recovery from the writer before "
+            "probing"
         ) from None
+
+
+def _marker_is_tiered(spark: SparkSession, root: str) -> bool:
+    """Whether the swap marker's parked entries carry gen= sub-dirs (the
+    generational protocol) — a racing marker removal reads as False and
+    falls through to the per-cell guard, which then passes."""
+    fs, jvm = _ps._fs(spark, root)
+    hp = jvm.org.apache.hadoop.fs.Path(f"{root}_old")
+    try:
+        for pdir in fs.listStatus(hp):
+            if not pdir.isDirectory():
+                continue
+            for gd in fs.listStatus(pdir.getPath()):
+                if gd.getPath().getName().startswith("gen="):
+                    return True
+    except Exception:  # noqa: BLE001 — marker vanished mid-listing
+        return False
+    return False
 
 
 def cell_file_counts(spark: SparkSession, path: str) -> dict[int, int]:
@@ -226,7 +255,11 @@ def recover_compaction(spark: SparkSession, path: str) -> None:
 
 
 def compact_index_cells(
-    spark: SparkSession, path: str, max_files_per_cell: int = 8
+    spark: SparkSession,
+    path: str,
+    max_files_per_cell: int = 8,
+    drop=None,
+    drop_key: str | None = None,
 ) -> list[int]:
     """Rewrite cells whose part-file count exceeds the bound into one file
     each (r10 verdict #2). Micro-batch appends accrete small part-files
@@ -244,10 +277,32 @@ def compact_index_cells(
     on a crashed one; a swap that STARTS after a reader's guard passed
     can still race that reader's scan, so cross-session probes during an
     active compaction are best-effort only. Deployments needing that
-    guarantee must serialize probes through the writer."""
+    guarantee must serialize probes through the writer.
+
+    ``drop``/``drop_key``: tombstone fold — see partstore.
+    compact_partitions (r13 verdict #3)."""
     return _ps.compact_partitions(
-        spark, f"{path}/cells", "cell", max_files_per_cell
+        spark,
+        f"{path}/cells",
+        "cell",
+        max_files_per_cell,
+        drop=drop,
+        drop_key=drop_key,
     )
+
+
+def _live_candidates(spark: SparkSession, path: str, cand: DataFrame) -> DataFrame:
+    """Serve-side tombstone guard (r13 verdict #3): a probe must never
+    return a deleted vector, including in the window between the delete's
+    tombstone append and the compaction that physically folds the row.
+    The anti-join is added only when a tombstone file exists (one
+    driver-side check), so delete-free indexes keep their exact
+    pre-tombstone probe plans."""
+    root = f"{path}/cells"
+    if not _ps.has_tombstones(spark, root):
+        return cand
+    tombs = _ps.read_tombstones(spark, root, "vec_id long, cell int")
+    return cand.join(tombs.select("vec_id"), "vec_id", "left_anti")
 
 
 def _query_lit(vals: Sequence[float]) -> F.Column:
@@ -323,8 +378,12 @@ def probe_ivfpq_index(
         .join(F.broadcast(qs), "m")
         .select("m", "c", F.round(qd * _PQ_SCALE).cast("long").alias("qd_fp"))
     )
-    cand = spark.read.parquet(f"{path}/cells").filter(
-        F.col("cell").isin([int(c) for c in probed])
+    cand = _live_candidates(
+        spark,
+        path,
+        spark.read.parquet(f"{path}/cells").filter(
+            F.col("cell").isin([int(c) for c in probed])
+        ),
     )
     scored = (
         cand.select("vec_id", "cell", F.posexplode("codes").alias("m", "code"))
@@ -432,8 +491,12 @@ def probe_ivfpq_index_batch(
     member = spark.createDataFrame(
         probed_pairs, "qid long, cell int"
     ).withColumnRenamed("cell", "_mcell")
-    cand = spark.read.parquet(f"{path}/cells").filter(
-        F.col("cell").isin([int(c) for c in union_cells])
+    cand = _live_candidates(
+        spark,
+        path,
+        spark.read.parquet(f"{path}/cells").filter(
+            F.col("cell").isin([int(c) for c in union_cells])
+        ),
     )
     scored = (
         cand.join(

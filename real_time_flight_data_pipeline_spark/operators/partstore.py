@@ -160,6 +160,21 @@ def assert_no_swap_marker(spark: SparkSession, root: str) -> None:
         )
 
 
+def _int_part_value(name: str) -> int | None:
+    """Integer value of a ``col=value`` partition-directory name, or None
+    when the value is not an integer (``__HIVE_DEFAULT_PARTITION__`` from
+    a null key, a stray dir created by tooling). Every partition column in
+    this engine's instantiations is a non-null int by construction, so a
+    non-integer dir is foreign — the LISTING functions skip it (it simply
+    never compacts) instead of crashing the whole pass with a bare
+    ValueError (r13 ADVICE, low); RECOVERY paths fail loud instead, since
+    skipping a parked dir would strand data."""
+    try:
+        return int(name.split("=", 1)[1])
+    except ValueError:
+        return None
+
+
 def partition_file_counts(
     spark: SparkSession, root: str, part_col: str
 ) -> dict[int, int]:
@@ -177,11 +192,14 @@ def partition_file_counts(
         name = st.getPath().getName()
         if not st.isDirectory() or not name.startswith(prefix):
             continue
+        v = _int_part_value(name)
+        if v is None:
+            continue
         n = 0
         for f in fs.listStatus(st.getPath()):
             if f.getPath().getName().endswith(".parquet"):
                 n += 1
-        counts[int(name.split("=", 1)[1])] = n
+        counts[v] = n
     return counts
 
 
@@ -237,6 +255,8 @@ def compact_partitions(
     root: str,
     part_col: str,
     max_files_per_partition: int = 8,
+    drop: DataFrame | None = None,
+    drop_key: str | None = None,
 ) -> list[int]:
     """Rewrite partitions whose part-file count exceeds the bound into one
     file each. Micro-batch appends accrete small part-files inside
@@ -263,7 +283,16 @@ def compact_partitions(
     starting after their guard passed are best-effort only — the
     check-then-scan window is real (r12 ADVICE, medium) and documented,
     not closed. Deployments needing cross-session probe-during-
-    compaction guarantees must serialize through the writer."""
+    compaction guarantees must serialize through the writer.
+
+    ``drop``/``drop_key`` (r13 verdict #3): tombstone FOLD — rows of the
+    rewritten partitions whose ``drop_key`` appears in ``drop`` are
+    omitted from the staged copy (an anti-join inside the same stage
+    job, no extra pass). Content preservation then means "same rows
+    minus the folded set", which is still deterministic given the
+    tombstone set, so crash re-runs remain idempotent. The caller owns
+    tombstone GC (a folded id's tombstone is discardable only once no
+    physical row remains anywhere)."""
     recover_partition_compaction(spark, root, part_col)
     counts = partition_file_counts(spark, root, part_col)
     over = sorted(v for v, n in counts.items() if n > max_files_per_partition)
@@ -274,10 +303,13 @@ def compact_partitions(
     # Stage: one file per partition. repartition by the column gives each
     # partition's rows to one task; partitionBy then emits exactly one
     # file per partition dir.
+    staged_df = spark.read.parquet(root).filter(
+        F.col(part_col).isin([int(v) for v in over])
+    )
+    if drop is not None:
+        staged_df = staged_df.join(drop, drop_key, "left_anti")
     (
-        spark.read.parquet(root)
-        .filter(F.col(part_col).isin([int(v) for v in over]))
-        .repartition(len(over), part_col)
+        staged_df.repartition(len(over), part_col)
         .write.mode("overwrite")
         .partitionBy(part_col)
         .parquet(f"{root}_staged")
@@ -288,6 +320,11 @@ def compact_partitions(
     # <root>_old with nothing to swap in (r11 ADVICE, high).
     for v in over:
         if not fs.exists(hp(f"{root}_staged/{part_col}={v}")):
+            if drop is not None:
+                # A fold can legitimately empty a partition (every row
+                # tombstoned) — swap in an empty dir rather than abort.
+                fs.mkdirs(hp(f"{root}_staged/{part_col}={v}"))
+                continue
             fs.delete(hp(f"{root}_staged"), True)
             raise OSError(
                 f"staged compaction output missing {part_col}={v}; live "
@@ -391,16 +428,21 @@ def gen_file_counts(
         name = st.getPath().getName()
         if not st.isDirectory() or not name.startswith(prefix):
             continue
-        v = int(name.split("=", 1)[1])
+        v = _int_part_value(name)
+        if v is None:
+            continue
         for gd in fs.listStatus(st.getPath()):
             gname = gd.getPath().getName()
             if not gd.isDirectory() or not gname.startswith("gen="):
+                continue
+            g = _int_part_value(gname)
+            if g is None:
                 continue
             n = 0
             for f in fs.listStatus(gd.getPath()):
                 if f.getPath().getName().endswith(".parquet"):
                     n += 1
-            counts[(v, int(gname.split("=", 1)[1]))] = n
+            counts[(v, g)] = n
     return counts
 
 
@@ -437,7 +479,16 @@ def recover_tiered_compaction(
             gname = gdir.getPath().getName()
             if not gname.startswith("gen="):
                 continue
-            g = int(gname.split("=", 1)[1])
+            g = _int_part_value(gname)
+            if g is None:
+                # Fail LOUD, not skip: this dir is PARKED data — ignoring
+                # it would strand its rows outside the read root forever
+                # (r13 ADVICE, low).
+                raise ValueError(
+                    f"unparseable generation dir {pname}/{gname} parked "
+                    f"under {root}_old — not written by this compactor; "
+                    "resolve it manually before recovery can proceed"
+                )
             staged = f"{root}_staged/{pname}/gen={g + 1}"
             if fs.exists(hp(f"{staged}/_SUCCESS")):
                 live_next = f"{root}/{pname}/gen={g + 1}"
@@ -470,6 +521,8 @@ def tiered_compact_partitions(
     root: str,
     part_col: str,
     max_files_per_level: int = 8,
+    drop: DataFrame | None = None,
+    drop_key: str | None = None,
 ) -> list[tuple[int, int]]:
     """Merge every (partition, gen) level whose part-file count exceeds the
     bound into ONE file in that partition's gen+1 — reading only the
@@ -486,7 +539,18 @@ def tiered_compact_partitions(
     interrupted swap by the ``_SUCCESS`` rule. Rows are never readable
     twice (the parked copy sits outside the read root) and never lost (no
     delete precedes a verified rename). Same single-writer contract as
-    ``compact_partitions``; readers use ``await_no_swap_marker``."""
+    ``compact_partitions``; readers use ``await_no_swap_marker``.
+
+    ``drop``/``drop_key``: tombstone FOLD on the merged level only — see
+    ``compact_partitions``. Levels above the merged one keep their dead
+    rows until their own merge; readers hide them via the tombstone
+    anti-join either way."""
+    if max_files_per_level < 1:
+        # The cascade re-checks after each merge; at 0 the merged single
+        # file is itself "over threshold" and the loop never terminates.
+        raise ValueError(
+            f"max_files_per_level must be >= 1, got {max_files_per_level}"
+        )
     recover_tiered_compaction(spark, root, part_col)
     fs, jvm = _fs(spark, root)
     hp = jvm.org.apache.hadoop.fs.Path
@@ -510,13 +574,14 @@ def tiered_compact_partitions(
             vs = sorted(v for (v, gg) in over if gg == g)
             tmp = f"{root}_staged_tmp"
             fs.delete(hp(tmp), True)
+            level_df = spark.read.parquet(root).filter(
+                F.col(part_col).isin([int(v) for v in vs])
+                & (F.col("gen") == int(g))
+            )
+            if drop is not None:
+                level_df = level_df.join(drop, drop_key, "left_anti")
             (
-                spark.read.parquet(root)
-                .filter(
-                    F.col(part_col).isin([int(v) for v in vs])
-                    & (F.col("gen") == int(g))
-                )
-                .drop("gen")
+                level_df.drop("gen")
                 .repartition(len(vs), part_col)
                 .write.mode("overwrite")
                 .partitionBy(part_col)
@@ -525,12 +590,18 @@ def tiered_compact_partitions(
             for v in vs:
                 src = hp(f"{tmp}/{part_col}={v}")
                 if not fs.exists(src):
-                    fs.delete(hp(tmp), True)
-                    fs.delete(hp(f"{root}_staged"), True)
-                    raise OSError(
-                        f"staged tiered merge missing {part_col}={v}/gen={g};"
-                        " live store untouched, staging dropped"
-                    )
+                    if drop is not None:
+                        # the fold legitimately emptied this level — swap
+                        # in an empty merged dir rather than abort
+                        fs.mkdirs(src)
+                    else:
+                        fs.delete(hp(tmp), True)
+                        fs.delete(hp(f"{root}_staged"), True)
+                        raise OSError(
+                            f"staged tiered merge missing "
+                            f"{part_col}={v}/gen={g}; live store "
+                            "untouched, staging dropped"
+                        )
                 staged = f"{root}_staged/{part_col}={v}/gen={g + 1}"
                 fs.mkdirs(hp(f"{root}_staged/{part_col}={v}"))
                 _rename_or_raise(fs, src, hp(staged))
@@ -565,6 +636,146 @@ def tiered_compact_partitions(
             # fact fully intact.
             fs.delete(hp(f"{root}_old"), True)
             fs.delete(hp(f"{root}_staged"), True)
+
+
+# ---------------------------------------------------------------------------
+# Tombstone store (r13 verdict #3): targeted deletion from the append-only
+# layouts — takedowns, contaminated-shard recalls — WITHOUT rewriting data
+# on the delete path. A delete APPENDS (id, partition-value) rows into a
+# small side layout ``<root>_tombs``; readers anti-join the live tombstone
+# set; the physical rows are FOLDED OUT at the next compaction that
+# rewrites their level (the ``drop``/``drop_key`` arguments below), after
+# which the tombstone itself is garbage-collected by the owning store
+# (a tombstone is discardable only once no physical row with its id
+# remains — the store checks presence pruned to the tombstone's recorded
+# partition). Cancelling a tombstone (resurrection: a deleted id is
+# legitimately re-ingested) REWRITES the tombstone set — it is bounded by
+# the number of live deletes, not by the data, so the rewrite is cheap —
+# through a two-rename swap with its own recovery.
+#
+# The tombstone layout deliberately lives OUTSIDE the data root (sibling
+# ``_tombs`` suffix, like ``_old``/``_staged``) so data-path partition
+# discovery never sees it.
+# ---------------------------------------------------------------------------
+
+
+def tombs_dir(root: str) -> str:
+    return f"{root}_tombs"
+
+
+def has_tombstones(spark: SparkSession, root: str) -> bool:
+    """Whether any tombstone file exists for ``root`` — one driver-side
+    check. Readers use this to skip the anti-join entirely on stores that
+    have never seen a delete (the common case), keeping their plans
+    byte-identical to the pre-tombstone ones."""
+    fs, jvm = _fs(spark, root)
+    d = jvm.org.apache.hadoop.fs.Path(tombs_dir(root))
+    if not fs.exists(d):
+        return False
+    return any(
+        f.getPath().getName().endswith(".parquet") for f in fs.listStatus(d)
+    )
+
+
+def read_tombstones(spark: SparkSession, root: str, schema) -> DataFrame:
+    """Live tombstone rows (empty-with-schema when none)."""
+    return read_partitioned(spark, tombs_dir(root), schema)
+
+
+def recover_tombstone_rewrite(spark: SparkSession, root: str) -> None:
+    """Finish or roll back a tombstone-set rewrite that crashed between
+    its two renames. Protocol (``rewrite_tombstones``): the new set is
+    fully staged at ``<tombs>_new``; rename (A) tombs -> ``<tombs>_gone``,
+    rename (B) ``<tombs>_new`` -> tombs, delete ``<tombs>_gone``.
+    States: _gone present + tombs present -> crashed after (B): drop
+    _gone. _gone present + tombs missing + _new present -> finish (B).
+    _gone present + _new missing -> roll _gone back. Idempotent; the
+    owning store runs this at ingest start alongside the swap-marker
+    recovery."""
+    fs, jvm = _fs(spark, root)
+    hp = jvm.org.apache.hadoop.fs.Path
+    td = tombs_dir(root)
+    gone = hp(f"{td}_gone")
+    if not fs.exists(gone):
+        fs.delete(hp(f"{td}_new"), True)  # orphan staging: tombs intact
+        return
+    if fs.exists(hp(td)):
+        fs.delete(gone, True)
+    elif fs.exists(hp(f"{td}_new")):
+        _rename_or_raise(fs, hp(f"{td}_new"), hp(td))
+        fs.delete(gone, True)
+    else:
+        _rename_or_raise(fs, gone, hp(td))
+
+
+def rewrite_tombstones(spark: SparkSession, root: str, new_df: DataFrame) -> None:
+    """Replace the tombstone set with ``new_df`` (cancellation / GC).
+    The set is bounded by live deletes, so the rewrite is a small job;
+    crash-safe via the two-rename swap ``recover_tombstone_rewrite``
+    adjudicates. An empty new set removes the tombstone dir outright, so
+    ``has_tombstones`` goes false and readers drop their anti-join again
+    (a crash mid-delete leaves stale-but-cancelled tombstones that the
+    replay re-cancels — same convergence argument as the swap)."""
+    fs, jvm = _fs(spark, root)
+    hp = jvm.org.apache.hadoop.fs.Path
+    td = tombs_dir(root)
+    recover_tombstone_rewrite(spark, root)
+    if new_df.isEmpty():
+        fs.delete(hp(td), True)
+        return
+    new_df.write.mode("overwrite").parquet(f"{td}_new")
+    if fs.exists(hp(td)):
+        _rename_or_raise(fs, hp(td), hp(f"{td}_gone"))      # (A)
+    _rename_or_raise(fs, hp(f"{td}_new"), hp(td))           # (B)
+    fs.delete(hp(f"{td}_gone"), True)
+
+
+def migrate_flat_to_tiered(
+    spark: SparkSession, root: str, part_col: str
+) -> int:
+    """One-shot in-place migration of a FLAT partitioned layout
+    (``<root>/<part_col>=<v>/part-*.parquet``, the pre-generational
+    corpus-store layout) into the tiered one (loose files move to
+    ``.../gen=0/``). Without this, a store written before the tiered
+    layout landed would reopen cleanly (``_META.json`` carried only
+    ``n_buckets``) and the first append would write ``gen=0/`` NEXT TO
+    the legacy loose files — a mixed-depth tree Spark's partition
+    discovery rejects, with the compactor blind to the loose files
+    (r13 ADVICE, medium).
+
+    Driver-side per-file renames — no data is read or rewritten, cost is
+    O(files). Idempotent: a crash mid-migration leaves some files moved
+    and some loose; the next open re-runs the migration and moves the
+    remainder (already-moved files are simply absent from the loose
+    level). Only the store's writer calls this (at open, before any
+    read); an external reader racing the migration window fails loud on
+    Spark's conflicting-structure check rather than seeing partial data.
+    Returns the number of files moved (0 for an already-tiered or empty
+    store)."""
+    fs, jvm = _fs(spark, root)
+    hp = jvm.org.apache.hadoop.fs.Path
+    hroot = hp(root)
+    if not fs.exists(hroot):
+        return 0
+    prefix = f"{part_col}="
+    moved = 0
+    for st in fs.listStatus(hroot):
+        name = st.getPath().getName()
+        if not st.isDirectory() or not name.startswith(prefix):
+            continue
+        loose = [
+            f.getPath()
+            for f in fs.listStatus(st.getPath())
+            if f.isFile() and f.getPath().getName().endswith(".parquet")
+        ]
+        if not loose:
+            continue
+        gen0 = hp(f"{root}/{name}/gen=0")
+        fs.mkdirs(gen0)
+        for src in loose:
+            _rename_or_raise(fs, src, hp(f"{root}/{name}/gen=0/{src.getName()}"))
+            moved += 1
+    return moved
 
 
 def read_partitioned(

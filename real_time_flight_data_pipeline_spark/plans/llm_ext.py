@@ -5321,13 +5321,15 @@ def _docs_ingest_dedup_oracle() -> str:
       SELECT doc_id, {fp} AS fp FROM documents WHERE doc_id % 10 != 9
     ),
     batch AS MATERIALIZED (
-      SELECT doc_id, {fp} AS fp FROM documents WHERE doc_id % 10 = 9
-      UNION ALL
-      SELECT doc_id, {fp} FROM documents WHERE doc_id = 0
-      UNION ALL
-      SELECT 9000001, {fp} FROM documents WHERE doc_id = 1
-      UNION ALL
-      SELECT 9000002, {fp} FROM documents WHERE doc_id = 9
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id, {fp} AS fp FROM documents WHERE doc_id % 10 = 9
+        UNION ALL
+        SELECT doc_id, {fp} FROM documents WHERE doc_id = 0
+        UNION ALL
+        SELECT 9000001, {fp} FROM documents WHERE doc_id = 1
+        UNION ALL
+        SELECT 9000002, {fp} FROM documents WHERE doc_id = 9
+      )
     ),
     reps AS (SELECT fp, min(doc_id) AS rep FROM batch GROUP BY fp)
     SELECT b.doc_id,
@@ -5382,6 +5384,12 @@ def q_docs_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(plant(0, 0))            # replayed id (0 is history)
         .unionByName(plant(1, 9_000_001))    # history text, new id
         .unionByName(plant(9, 9_000_002))    # in-batch clone pair of 9
+        # Same-(doc_id, text) re-sends WITHIN one batch collapse to one
+        # logical row before classification (r13 ADVICE, low): without
+        # this the twin would emit two identical rep rows where the store
+        # counts the extra copy in n_dup_batch — the oracle dedupes the
+        # same way, so the per-row universes agree by construction.
+        .dropDuplicates(["doc_id", "fp"])
         .localCheckpoint(eager=False)        # reused: reps + classify
     )
     hist = (
@@ -5460,16 +5468,18 @@ def _docs_near_dup_ingest_oracle() -> str:
       SELECT doc_id, text, {fp} AS fp FROM documents WHERE doc_id % 10 != 9
     ),
     batch AS MATERIALIZED (
-      SELECT doc_id, text, {fp} AS fp FROM documents WHERE doc_id % 10 = 9
-      UNION ALL SELECT doc_id, text, {fp} FROM documents WHERE doc_id = 0
-      UNION ALL SELECT 9000001, text, {fp} FROM documents WHERE doc_id = 1
-      UNION ALL SELECT 9000002, text, {fp} FROM documents WHERE doc_id = 9
-      UNION ALL SELECT 9000004, text || ' zq',
-                       {_sql_md5_long("text || ' zq'")}
-        FROM documents WHERE doc_id = 2
-      UNION ALL SELECT 9000005, text || ' zq',
-                       {_sql_md5_long("text || ' zq'")}
-        FROM documents WHERE doc_id = 9
+      SELECT DISTINCT doc_id, text, fp FROM (
+        SELECT doc_id, text, {fp} AS fp FROM documents WHERE doc_id % 10 = 9
+        UNION ALL SELECT doc_id, text, {fp} FROM documents WHERE doc_id = 0
+        UNION ALL SELECT 9000001, text, {fp} FROM documents WHERE doc_id = 1
+        UNION ALL SELECT 9000002, text, {fp} FROM documents WHERE doc_id = 9
+        UNION ALL SELECT 9000004, text || ' zq',
+                         {_sql_md5_long("text || ' zq'")}
+          FROM documents WHERE doc_id = 2
+        UNION ALL SELECT 9000005, text || ' zq',
+                         {_sql_md5_long("text || ' zq'")}
+          FROM documents WHERE doc_id = 9
+      )
     ),
     reps AS (SELECT fp, min(doc_id) AS rep FROM batch GROUP BY fp),
     excls AS MATERIALIZED (
@@ -5589,6 +5599,11 @@ def q_docs_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(plant(2, 9_000_004, " zq"))  # near-dup of history
         .unionByName(plant(9, 9_000_005, " zq"))  # in-batch near-dup
         .withColumn("fp", fp)
+        # Same-(doc_id, text) re-sends collapse to one logical row before
+        # classification — same contract (and reason) as
+        # docs_ingest_dedup; rows sharing (doc_id, fp) are fully
+        # identical, so which copy survives is immaterial.
+        .dropDuplicates(["doc_id", "fp"])
         .localCheckpoint(eager=False)
     )
     hist = (

@@ -91,7 +91,27 @@ _DOCS_READ_SCHEMA = T.StructType(
     ]
 )
 
+# Tombstone rows (r13 verdict #3): doc_id plus the fingerprint bucket the
+# dead physical row lives in, so GC's presence check prunes to the
+# tombstones' buckets instead of scanning the corpus.
+TOMBS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+    ]
+)
+
 _DEFAULT_BUCKETS = 64
+
+# Layout version stamped into _META.json (r13 ADVICE, medium): "tiered" is
+# the generational bucket layout (bucket=B/gen=G/). A pre-r13 store wrote
+# loose files directly under bucket=B/ and its meta carried only
+# n_buckets; reopening one silently produced a mixed-depth tree Spark's
+# partition discovery rejects. Open now detects the missing stamp,
+# one-shot-migrates loose files into gen=0 (driver-side renames,
+# idempotent across crashes), and stamps the meta; a FUTURE unknown stamp
+# fails loud instead of guessing.
+_LAYOUT = "tiered"
 
 
 @dataclass
@@ -105,7 +125,8 @@ class CorpusIngestStats:
     n_replayed: int    # representative's doc_id already accepted (re-send)
     n_dup_hist: int    # fingerprint already accepted under another doc_id
     n_accepted: int
-    n_near_dup: int = 0  # near-dup tier only: verified near-dup drops
+    n_near_dup: int = 0      # near-dup tier only: verified near-dup drops
+    n_resurrected: int = 0   # accepted by cancelling a tombstone (r13 #3)
 
 
 class CorpusStore:
@@ -138,37 +159,216 @@ class CorpusStore:
         n_buckets: int = _DEFAULT_BUCKETS,
         accept=None,
         prefilter=None,
+        swap_wait_sec: float = 10.0,
     ):
         self.spark = spark
         self.root = root
         self.accept = accept
         self.prefilter = prefilter
         self.docs_root = f"{root}/docs"
-        self.n_buckets = self._meta_buckets(n_buckets)
+        # Reader-side swap-window budget (r13 ADVICE, low): the default
+        # ~10 s covers the measured ~3 s per-level swap at 64 buckets on
+        # local FS; the marker spans O(buckets) driver-side renames, so
+        # deployments with larger bucket domains or object-store rename
+        # latency raise this at construction instead of patching the
+        # module constant.
+        self.swap_wait_sec = swap_wait_sec
+        self.n_buckets = self._open_meta(n_buckets)
 
-    def _meta_buckets(self, n_buckets: int) -> int:
+    def _layout_roots(self) -> list[tuple[str, str]]:
+        """(data root, partition column) pairs this store owns — what the
+        legacy-layout migration must cover at open."""
+        return [(self.docs_root, "bucket")]
+
+    def _await_no_swap(self, root: str) -> None:
+        PS.await_no_swap_marker(
+            self.spark,
+            root,
+            retries=max(1, int(self.swap_wait_sec / 0.5)),
+        )
+
+    def _open_meta(self, n_buckets: int) -> int:
         os.makedirs(self.root, exist_ok=True)
         meta_path = os.path.join(self.root, "_META.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
-                stored = int(json.load(f)["n_buckets"])
+                meta = json.load(f)
+            stored = int(meta["n_buckets"])
             if stored != n_buckets and n_buckets != _DEFAULT_BUCKETS:
                 raise ValueError(
                     f"store at {self.root} was created with n_buckets="
                     f"{stored}; reopen with that value (got {n_buckets})"
                 )
+            layout = meta.get("layout")
+            if layout is None:
+                # Pre-tiered store: migrate every owned root, THEN stamp —
+                # a crash between the two re-runs the (idempotent)
+                # migration at next open.
+                for data_root, col in self._layout_roots():
+                    PS.migrate_flat_to_tiered(self.spark, data_root, col)
+                with open(meta_path, "w") as f:
+                    json.dump({"n_buckets": stored, "layout": _LAYOUT}, f)
+            elif layout != _LAYOUT:
+                raise ValueError(
+                    f"store at {self.root} uses layout {layout!r}; this "
+                    f"build reads/writes {_LAYOUT!r} — refusing to mix"
+                )
             return stored
         with open(meta_path, "w") as f:
-            json.dump({"n_buckets": n_buckets}, f)
+            json.dump({"n_buckets": n_buckets, "layout": _LAYOUT}, f)
         return n_buckets
 
     def _bucket(self, fp_col: F.Column) -> F.Column:
         return F.pmod(fp_col, F.lit(self.n_buckets)).cast("int")
 
     def read(self) -> DataFrame:
-        return PS.read_partitioned(
+        # Public readers get the swap-window guard too (r13 ADVICE, low):
+        # without it a cross-session read during/after a crashed tiered
+        # swap would silently miss the parked gen level's rows — the
+        # fail-loud contract must not depend on the caller remembering
+        # the guard. One driver-side exists() check when no swap is live.
+        self._await_no_swap(self.docs_root)
+        df = PS.read_partitioned(
             self.spark, self.docs_root, _DOCS_READ_SCHEMA
         ).select([f.name for f in CORPUS_SCHEMA.fields])
+        tombs = self._tombs_df()
+        if tombs is not None:
+            # Live view = physical rows minus tombstoned ids. The join is
+            # added only when a delete has ever happened (driver-side
+            # exists check), so delete-free stores keep their exact
+            # pre-tombstone plans.
+            df = df.join(tombs.select("doc_id"), "doc_id", "left_anti")
+        return df
+
+    # -- tombstone deletion (r13 verdict #3) --------------------------------
+
+    def _tombs_df(self) -> DataFrame | None:
+        """Live tombstone set (doc_id, bucket), or None when the store has
+        never seen a delete — callers skip their anti-joins entirely then."""
+        if not PS.has_tombstones(self.spark, self.docs_root):
+            return None
+        return PS.read_tombstones(self.spark, self.docs_root, TOMBS_SCHEMA)
+
+    def delete_docs(self, doc_ids) -> int:
+        """Tombstone-delete accepted documents by id (takedowns,
+        contaminated-shard recalls). The delete path only APPENDS: live
+        targets are recorded as (doc_id, bucket) tombstone rows; readers
+        anti-join them from this moment, and the physical rows fold out at
+        the next generational compaction of their level (``maybe_compact``
+        passes the tombstone set as the merge's anti-join), after which GC
+        drops the tombstone. A deleted doc may be legitimately re-ingested
+        later — ``ingest_batch`` classifies it ``accepted`` again (its
+        content is no longer in the corpus) and resurrects it by
+        CANCELLING the tombstone instead of appending a second physical
+        copy when the dead row still exists.
+
+        Accepts a list of ids or a one-column DataFrame. Ids that are not
+        currently visible (never accepted, or already deleted) are
+        ignored. Returns the number of tombstones written. Cost: one
+        column-pruned (doc_id, bucket) scan of the docs layout — the same
+        measured-cheap class as the vector tier's strict id guard; deletes
+        are rare-path by design."""
+        self._recover_if_crashed()
+        if isinstance(doc_ids, DataFrame):
+            ids_df = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id"))
+        else:
+            ids_df = self.spark.createDataFrame(
+                [(int(i),) for i in doc_ids], "doc_id long"
+            )
+        self._await_no_swap(self.docs_root)
+        phys = PS.read_partitioned(
+            self.spark, self.docs_root, _DOCS_READ_SCHEMA
+        ).select("doc_id", "bucket")
+        tombs = self._tombs_df()
+        if tombs is not None:
+            phys = phys.join(tombs.select("doc_id"), "doc_id", "left_anti")
+        targets = (
+            phys.join(ids_df, "doc_id", "semi")
+            .select("doc_id", "bucket")
+            .distinct()
+        )
+        n = targets.count()
+        if n:
+            targets.write.mode("append").parquet(
+                PS.tombs_dir(self.docs_root)
+            )
+        return n
+
+    def _split_resurrections(
+        self, survivors: DataFrame, hist: DataFrame
+    ) -> tuple[DataFrame, list[int]]:
+        """Split accepted survivors into (rows to physically append,
+        tombstoned ids to cancel). A survivor whose id is tombstoned is a
+        RESURRECTION: content-immutable ids mean the arriving row equals
+        the dead physical one, so if that row still exists (visible in the
+        batch-bucket history slice as ``_dead``) the accept is just the
+        tombstone's cancellation — appending would create a duplicate
+        physical row that the cancelled tombstone could no longer hide. If
+        compaction already folded the dead row away, the survivor appends
+        like any fresh accept. Both collects are bounded by the live
+        tombstone count (deletes are rare-path)."""
+        tombs = self._tombs_df()
+        if tombs is None:
+            return survivors, []
+        res_ids = [
+            int(r.doc_id)
+            for r in survivors.join(
+                tombs.select("doc_id"), "doc_id", "semi"
+            )
+            .select("doc_id")
+            .distinct()
+            .collect()
+        ]
+        if not res_ids:
+            return survivors, []
+        present = {
+            int(r.doc_id)
+            for r in hist.filter(
+                F.col("_dead") & F.col("doc_id").isin(res_ids)
+            )
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        to_append = survivors.filter(
+            ~F.col("doc_id").isin([int(i) for i in present])
+        ) if present else survivors
+        return to_append, res_ids
+
+    def _cancel_tombstones(self, res_ids: list[int]) -> None:
+        """Drop resurrected ids from the tombstone set (runs AFTER any
+        append: a crash in between leaves the row hidden and the replay
+        converges — see _split_resurrections)."""
+        if not res_ids:
+            return
+        tombs = self._tombs_df()
+        if tombs is None:
+            return
+        PS.rewrite_tombstones(
+            self.spark,
+            self.docs_root,
+            tombs.filter(~F.col("doc_id").isin(res_ids)),
+        )
+
+    def _gc_tombstones(self) -> None:
+        """Garbage-collect tombstones whose dead physical row no longer
+        exists anywhere (folded out by compaction). Presence is checked
+        PRUNED to the tombstones' recorded buckets; cost is O(tombstone
+        buckets), run only after a compaction actually merged levels."""
+        tombs = self._tombs_df()
+        if tombs is None:
+            return
+        buckets = [
+            int(r.bucket) for r in tombs.select("bucket").distinct().collect()
+        ]
+        phys = (
+            PS.read_partitioned(self.spark, self.docs_root, _DOCS_READ_SCHEMA)
+            .filter(F.col("bucket").isin(buckets))
+            .select("doc_id")
+        )
+        still = tombs.join(phys, "doc_id", "semi").localCheckpoint(eager=True)
+        if still.count() < tombs.count():
+            PS.rewrite_tombstones(self.spark, self.docs_root, still)
 
     def _gated(self, batch: DataFrame) -> DataFrame:
         if self.prefilter is not None:
@@ -210,7 +410,14 @@ class CorpusStore:
         bounded by min(|batch|, n_buckets)) and COLUMN-PRUNED to
         (fingerprint, doc_id). A replayed doc_id shares its text's
         fingerprint (content-immutable ids), hence its bucket — so the
-        pruned slice covers the id check too."""
+        pruned slice covers the id check too.
+
+        Rows carry a ``_dead`` flag (tombstoned — r13 verdict #3):
+        classification must see only LIVE history (deleted content is no
+        longer in the corpus, so its re-send or a near-copy is accepted
+        again), while the resurrection split needs the dead rows'
+        physical presence. Delete-free stores get a constant false flag
+        and no join."""
         batch_buckets = [
             int(r.b)
             for r in reps.select(
@@ -223,24 +430,39 @@ class CorpusStore:
         # bucket dir never vanishes mid-swap (only a gen sub-level does),
         # so the per-bucket existence probe can't see the hole — the
         # coarse marker guard is the correct one here.
-        PS.await_no_swap_marker(self.spark, self.docs_root)
-        return (
+        self._await_no_swap(self.docs_root)
+        phys = (
             PS.read_partitioned(self.spark, self.docs_root, _DOCS_READ_SCHEMA)
             .filter(F.col("bucket").isin(batch_buckets))
             .select("fingerprint", "doc_id")
         )
+        tombs = self._tombs_df()
+        if tombs is None:
+            return phys.withColumn("_dead", F.lit(False))
+        return phys.join(
+            tombs.select("doc_id").withColumn("_t", F.lit(True)),
+            "doc_id",
+            "left",
+        ).select(
+            "fingerprint", "doc_id", F.col("_t").isNotNull().alias("_dead")
+        )
 
-    def _classified(self, fp: DataFrame) -> DataFrame:
+    def _classified(self, fp: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Batch representatives classified against history: ``status`` in
         (replayed, dup_hist, accepted) — dup_batch rows were already
         collapsed by the representative choice and are counted by the
         caller. Eagerly checkpointed: consumers (stats count + commit, and
-        the near-dup tier's screening) must see ONE consistent slice."""
+        the near-dup tier's screening) must see ONE consistent slice.
+        Also returns the flagged history slice (for the resurrection
+        split — see _split_resurrections)."""
         reps = self._in_batch_reps(fp)
         hist = self._pruned_history(reps)
-        hist_ids = hist.select("doc_id").withColumn("_id", F.lit(True))
+        # Classification sees LIVE rows only: a tombstoned doc's id and
+        # fingerprint no longer block acceptance (r13 verdict #3).
+        live = hist.filter(~F.col("_dead"))
+        hist_ids = live.select("doc_id").withColumn("_id", F.lit(True))
         hist_fps = (
-            hist.select("fingerprint").distinct().withColumn("_fp", F.lit(True))
+            live.select("fingerprint").distinct().withColumn("_fp", F.lit(True))
         )
         cls = (
             reps.join(hist_ids, "doc_id", "left")
@@ -262,7 +484,7 @@ class CorpusStore:
         # possibly-holed history slice. Single-writer deployments never
         # hit this; one driver-side exists() check.
         PS.verify_stable_after(self.spark, self.docs_root)
-        return cls
+        return cls, hist
 
     def _append_docs(self, survivors: DataFrame) -> None:
         # gen=0 is the append level of the generational layout; tiered
@@ -284,9 +506,12 @@ class CorpusStore:
         so a swap marker now can only be this writer's own compactor crash
         — recover it before any guard or scan. Without this, a crashed
         compaction wedges the streaming loop permanently (every replayed
-        batch fails on the marker before maybe_compact's recovery runs)."""
+        batch fails on the marker before maybe_compact's recovery runs).
+        Also finishes any crashed tombstone-set rewrite (cancellation/GC),
+        same single-writer argument."""
         if PS.has_swap_marker(self.spark, self.docs_root):
             PS.recover_tiered_compaction(self.spark, self.docs_root, "bucket")
+        PS.recover_tombstone_rewrite(self.spark, self.docs_root)
 
     def ingest_batch(self, batch: DataFrame) -> CorpusIngestStats:
         """Dedup ``batch`` within itself and against history, then APPEND
@@ -297,13 +522,24 @@ class CorpusStore:
         self._recover_if_crashed()
         fp = self._fingerprinted(batch)
         n_rows = fp.count()
-        cls = self._classified(fp)
+        cls, hist = self._classified(fp)
         by = {r.status: r.n for r in cls.groupBy("status").agg(
             F.count("*").alias("n")).collect()}
         survivors = cls.filter(F.col("status") == "accepted")
         n_accepted = by.get("accepted", 0)
+        res_ids: list[int] = []
         if n_accepted:
-            self._append_docs(survivors)
+            # Resurrections (re-ingest of a deleted id) whose dead physical
+            # row still exists are committed by CANCELLING the tombstone;
+            # everything else appends. Append-before-cancel: a crash in
+            # between leaves the row hidden, and the replay converges.
+            to_append, res_ids = self._split_resurrections(survivors, hist)
+            if not res_ids:
+                self._append_docs(survivors)
+            else:
+                if not to_append.isEmpty():
+                    self._append_docs(to_append)
+                self._cancel_tombstones(res_ids)
         n_reps = sum(by.values())
         return CorpusIngestStats(
             n_rows=n_rows,
@@ -311,6 +547,7 @@ class CorpusStore:
             n_replayed=by.get("replayed", 0),
             n_dup_hist=by.get("dup_hist", 0),
             n_accepted=n_accepted,
+            n_resurrected=len(res_ids),
         )
 
     def maybe_compact(
@@ -326,10 +563,26 @@ class CorpusStore:
         amplification at O(log_T(corpus/batch)) total. Crash-safe staged
         swap with fail-loud recovery (partstore.tiered_compact_partitions).
         Single-writer: call between triggers, never concurrently with an
-        in-flight append. Returns the merged (bucket, gen) pairs."""
-        return PS.tiered_compact_partitions(
-            self.spark, self.docs_root, "bucket", max_files_per_bucket
+        in-flight append. Returns the merged (bucket, gen) pairs.
+
+        Tombstone FOLD (r13 verdict #3): when deletes exist, the merged
+        level anti-joins the tombstone set — dead rows physically leave
+        the store at the compaction they would have been rewritten by
+        anyway — and fully-folded tombstones are then garbage-collected
+        (presence check pruned to the tombstones' buckets)."""
+        tombs = self._tombs_df()
+        drop = tombs.select("doc_id") if tombs is not None else None
+        done = PS.tiered_compact_partitions(
+            self.spark,
+            self.docs_root,
+            "bucket",
+            max_files_per_bucket,
+            drop=drop,
+            drop_key="doc_id",
         )
+        if drop is not None and done:
+            self._gc_tombstones()
+        return done
 
 
 def run_file_replay_corpus(
@@ -483,11 +736,23 @@ class NearDupCorpusStore(CorpusStore):
         n_buckets: int = _DEFAULT_BUCKETS,
         accept=None,
         prefilter=None,
+        swap_wait_sec: float = 10.0,
     ):
-        super().__init__(
-            spark, root, n_buckets=n_buckets, accept=accept, prefilter=prefilter
-        )
+        # bands_root is set BEFORE super().__init__ because the base open
+        # path runs the legacy-layout migration over _layout_roots(),
+        # which includes the band layout for this subclass.
         self.bands_root = f"{root}/bands"
+        super().__init__(
+            spark,
+            root,
+            n_buckets=n_buckets,
+            accept=accept,
+            prefilter=prefilter,
+            swap_wait_sec=swap_wait_sec,
+        )
+
+    def _layout_roots(self) -> list[tuple[str, str]]:
+        return [*super()._layout_roots(), (self.bands_root, "bbucket")]
 
     def _bband(self, band_key_col: F.Column) -> F.Column:
         return F.pmod(
@@ -496,14 +761,25 @@ class NearDupCorpusStore(CorpusStore):
         ).cast("int")
 
     def read_bands(self) -> DataFrame:
-        return PS.read_partitioned(
+        # Same public-reader swap guard as read() (r13 ADVICE, low).
+        self._await_no_swap(self.bands_root)
+        df = PS.read_partitioned(
             self.spark, self.bands_root, _BANDS_READ_SCHEMA
         ).select([f.name for f in BANDS_SCHEMA.fields])
+        tombs = self._tombs_df()
+        if tombs is not None:
+            # A deleted doc's bands are dead with it: they must not screen
+            # future near-dups of content that is no longer in the corpus.
+            df = df.join(tombs.select("doc_id"), "doc_id", "left_anti")
+        return df
 
     def _pruned_bands(self, batch_bands: DataFrame) -> DataFrame:
-        """History band rows PRUNED to the batch's band-bucket set —
-        identical band keys hash to identical buckets, so every possible
-        history collision lives inside the pruned slice."""
+        """PHYSICAL history band rows PRUNED to the batch's band-bucket
+        set — identical band keys hash to identical buckets, so every
+        possible history collision lives inside the pruned slice.
+        Tombstoned docs' rows are INCLUDED (the append guard needs them to
+        avoid duplicating a resurrected doc's band rows); the screening
+        path filters to live rows itself."""
         buckets = [
             int(r.b)
             for r in batch_bands.select(
@@ -512,7 +788,7 @@ class NearDupCorpusStore(CorpusStore):
             .distinct()
             .collect()
         ]
-        PS.await_no_swap_marker(self.spark, self.bands_root)
+        self._await_no_swap(self.bands_root)
         return (
             PS.read_partitioned(self.spark, self.bands_root, _BANDS_READ_SCHEMA)
             .filter(F.col("bbucket").isin(buckets))
@@ -530,7 +806,7 @@ class NearDupCorpusStore(CorpusStore):
         self._recover_if_crashed()
         fp = self._fingerprinted(batch)
         n_rows = fp.count()
-        cls = self._classified(fp)
+        cls, hist = self._classified(fp)
         by = {r.status: r.n for r in cls.groupBy("status").agg(
             F.count("*").alias("n")).collect()}
         exact_ok = cls.filter(F.col("status") == "accepted").drop("status")
@@ -564,9 +840,15 @@ class NearDupCorpusStore(CorpusStore):
         # (semi join on candidate doc_ids against DOCS — a ghost id from a
         # bands-then-crash window is absent there, so it can never verify).
         hist_bands = self._pruned_bands(bands)
+        tombs = self._tombs_df()
+        live_bands = (
+            hist_bands.join(tombs.select("doc_id"), "doc_id", "left_anti")
+            if tombs is not None
+            else hist_bands
+        )
         cand_hist = (
             bands.join(
-                hist_bands.withColumnRenamed("doc_id", "h_id"),
+                live_bands.withColumnRenamed("doc_id", "h_id"),
                 ["band_idx", "band_key"],
             )
             .select(F.col("doc_id").alias("a_id"), F.col("h_id").alias("b_id"))
@@ -594,10 +876,12 @@ class NearDupCorpusStore(CorpusStore):
             eager=True
         )
         n_accepted = survivors.count()
+        res_ids: list[int] = []
         if n_accepted:
             # Bands FIRST (crash-convergence: see module docstring), with a
-            # (doc_id, band_idx) anti-join against the pruned band slice so
-            # a bands-then-crash replay never duplicates band rows.
+            # (doc_id, band_idx) anti-join against the PHYSICAL pruned band
+            # slice so neither a bands-then-crash replay nor a resurrection
+            # whose dead band rows still exist duplicates band rows.
             new_bands = (
                 bands.join(survivors.select("doc_id"), "doc_id", "semi")
                 .join(
@@ -616,7 +900,16 @@ class NearDupCorpusStore(CorpusStore):
                 .partitionBy("bbucket", "gen")
                 .parquet(self.bands_root)
             )
-            self._append_docs(survivors)
+            # Docs: resurrections with a surviving dead row commit by
+            # tombstone cancellation instead of a duplicate append (same
+            # split + ordering argument as the exact tier).
+            to_append, res_ids = self._split_resurrections(survivors, hist)
+            if not res_ids:
+                self._append_docs(survivors)
+            else:
+                if not to_append.isEmpty():
+                    self._append_docs(to_append)
+                self._cancel_tombstones(res_ids)
         n_exact_ok = by.get("accepted", 0)
         n_reps = sum(by.values())
         return CorpusIngestStats(
@@ -626,6 +919,7 @@ class NearDupCorpusStore(CorpusStore):
             n_dup_hist=by.get("dup_hist", 0),
             n_accepted=n_accepted,
             n_near_dup=n_exact_ok - n_accepted,
+            n_resurrected=len(res_ids),
         )
 
     def maybe_compact(
@@ -633,11 +927,55 @@ class NearDupCorpusStore(CorpusStore):
     ) -> list[tuple[int, int]]:
         """Generationally compact BOTH layouts' over-threshold levels
         (docs buckets and band buckets are disjoint partition roots;
-        returned list is docs (bucket, gen) pairs then band ones)."""
+        returned list is docs (bucket, gen) pairs then band ones). With
+        deletes present, both merges FOLD tombstoned doc_ids out, then
+        fully-folded tombstones are garbage-collected (see
+        _gc_tombstones — the near-dup GC requires absence from BOTH
+        layouts)."""
+        tombs = self._tombs_df()
+        drop = tombs.select("doc_id") if tombs is not None else None
         done = PS.tiered_compact_partitions(
-            self.spark, self.docs_root, "bucket", max_files_per_bucket
+            self.spark,
+            self.docs_root,
+            "bucket",
+            max_files_per_bucket,
+            drop=drop,
+            drop_key="doc_id",
         )
         done += PS.tiered_compact_partitions(
-            self.spark, self.bands_root, "bbucket", max_files_per_bucket
+            self.spark,
+            self.bands_root,
+            "bbucket",
+            max_files_per_bucket,
+            drop=drop,
+            drop_key="doc_id",
         )
+        if drop is not None and done:
+            self._gc_tombstones()
         return done
+
+    def _gc_tombstones(self) -> None:
+        """A tombstone is discardable only when the doc is physically gone
+        from BOTH layouts: a doc's band rows scatter across band buckets
+        (the tombstone's recorded bucket prunes only the docs side), so
+        the band presence check is a column-pruned doc_id scan of the band
+        layout — a GC-only cost, paid when a fold actually happened."""
+        tombs = self._tombs_df()
+        if tombs is None:
+            return
+        buckets = [
+            int(r.bucket) for r in tombs.select("bucket").distinct().collect()
+        ]
+        doc_ids = (
+            PS.read_partitioned(self.spark, self.docs_root, _DOCS_READ_SCHEMA)
+            .filter(F.col("bucket").isin(buckets))
+            .select("doc_id")
+        )
+        band_ids = PS.read_partitioned(
+            self.spark, self.bands_root, _BANDS_READ_SCHEMA
+        ).select("doc_id")
+        still = tombs.join(
+            doc_ids.unionByName(band_ids), "doc_id", "semi"
+        ).localCheckpoint(eager=True)
+        if still.count() < tombs.count():
+            PS.rewrite_tombstones(self.spark, self.docs_root, still)

@@ -58,6 +58,16 @@ VECTOR_SCHEMA = T.StructType(
     ]
 )
 
+# Tombstone rows (r13 verdict #3): vec_id plus the coarse cell the dead
+# physical row lives in, so GC's presence check prunes to the tombstones'
+# cells instead of scanning the index.
+VEC_TOMBS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+    ]
+)
+
 # Auto-mode id-scan budget (r12 verdict #5): strict replay-guarding scans
 # the vec_id column over ALL cell partitions; measured at the 100x corpus
 # (600k vectors, cells layout 1.4 MB of dict/RLE parquet) the forced-
@@ -74,6 +84,21 @@ VECTOR_SCHEMA = T.StructType(
 # can force either mode.
 _STRICT_ID_SCAN_MAX_BYTES = 1 << 30  # 1 GiB of cells parquet
 
+# Auto-mode compaction budget (r13 verdict #7, COVERAGE's own 1000x
+# caveat): whole-cell threshold compaction rewrites O(cell bytes) per
+# pass — measured 0.94 s for the whole 100x index (1.4 MB of dict/RLE
+# parquet), i.e. free at every tested scale, but O(corpus/K) per trigger
+# in the limit. When any over-threshold cell's bytes cross this budget,
+# the maintainer one-shot migrates the cells layout to the generational
+# one (cell=N/gen=G, the corpus store's LSM tiering — driver-side
+# renames, no data rewrite) and compacts level-at-a-time from then on:
+# per-vector write amplification drops from O(cell/T)/trigger to
+# O(log_T(cell/batch)) total. 256 MiB/cell keeps the whole-cell pass in
+# the measured seconds range on local disks and object stores alike; at
+# the IVF convention K ~ sqrt(n) a cell only crosses it at billions of
+# vectors. Monkeypatchable in tests; deployments can force either mode.
+_CELL_TIER_MAX_BYTES = 1 << 28  # 256 MiB per cell
+
 
 @dataclass
 class IngestStats:
@@ -83,6 +108,7 @@ class IngestStats:
     n_added: int
     n_id_dup: int = 0     # extra same-id rows collapsed before encoding
     id_guard_mode: str = ""  # "strict" | "pruned" — guard this batch ran
+    n_resurrected: int = 0   # added by cancelling a tombstone (r13 #3)
 
 
 class VectorIndexMaintainer:
@@ -118,20 +144,122 @@ class VectorIndexMaintainer:
         spark: SparkSession,
         index_path: str,
         strict_ids: bool | str = "auto",
+        compaction: str = "auto",
     ) -> None:
         if strict_ids not in (True, False, "auto"):
             raise ValueError(
                 f"strict_ids must be True, False or 'auto'; got {strict_ids!r}"
             )
+        if compaction not in ("auto", "whole", "tiered"):
+            raise ValueError(
+                f"compaction must be 'auto', 'whole' or 'tiered'; got "
+                f"{compaction!r}"
+            )
         self.spark = spark
         self.path = index_path
         self.strict_ids = strict_ids
+        # "whole" = per-cell threshold rewrite (the r10 default), "tiered"
+        # = generational levels inside each cell (the corpus store's LSM
+        # model), "auto" = whole until a cell's bytes cross
+        # _CELL_TIER_MAX_BYTES, then a one-shot layout migration and
+        # tiered thereafter (r13 verdict #7). The chosen mode is logged
+        # per compaction pass.
+        self.compaction = compaction
+
+    def _layout_is_tiered(self) -> bool:
+        """Whether the cells layout carries gen= sub-levels. Driver-side
+        listing bounded by K cell dirs (first gen= hit returns)."""
+        fs, jvm = PS._fs(self.spark, self.path)
+        hp = jvm.org.apache.hadoop.fs.Path(f"{self.path}/cells")
+        if not fs.exists(hp):
+            return False
+        for cd in fs.listStatus(hp):
+            if not cd.isDirectory() or not cd.getPath().getName().startswith(
+                "cell="
+            ):
+                continue
+            for gd in fs.listStatus(cd.getPath()):
+                if gd.isDirectory() and gd.getPath().getName().startswith(
+                    "gen="
+                ):
+                    return True
+        return False
 
     def _cells(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/cells")
 
     def _has_swap_marker(self) -> bool:
         return PS.has_swap_marker(self.spark, f"{self.path}/cells")
+
+    # -- tombstone deletion (r13 verdict #3) --------------------------------
+
+    def _tombs_df(self) -> DataFrame | None:
+        """Live tombstone set (vec_id, cell), or None when the index has
+        never seen a delete — callers then skip the anti-join entirely,
+        keeping delete-free plans byte-identical to the pre-tombstone
+        ones."""
+        root = f"{self.path}/cells"
+        if not PS.has_tombstones(self.spark, root):
+            return None
+        return PS.read_tombstones(self.spark, root, VEC_TOMBS_SCHEMA)
+
+    def delete_vectors(self, vec_ids) -> int:
+        """Tombstone-delete indexed vectors by id. APPEND-only on the
+        delete path: live targets are recorded as (vec_id, cell) rows
+        under ``cells_tombs``; probes anti-join them from this moment
+        (operators.ann_index honors the set when it exists), the physical
+        rows fold out at the next cell compaction, and GC then drops the
+        tombstone. A deleted id may be legitimately re-ingested later:
+        ``ingest_batch`` accepts it again and resurrects by CANCELLING the
+        tombstone (the dead row is its equal under content-immutable ids)
+        instead of appending a duplicate. Ids not currently visible are
+        ignored; returns the tombstones written. Cost: one column-pruned
+        (vec_id, cell) scan — the strict id guard's measured-cheap class;
+        deletes are rare-path."""
+        if self._has_swap_marker():
+            from ..operators.ann_index import recover_compaction  # noqa: PLC0415
+
+            recover_compaction(self.spark, self.path)
+        PS.recover_tombstone_rewrite(self.spark, f"{self.path}/cells")
+        if isinstance(vec_ids, DataFrame):
+            ids_df = vec_ids.select(F.col(vec_ids.columns[0]).alias("vec_id"))
+        else:
+            ids_df = self.spark.createDataFrame(
+                [(int(i),) for i in vec_ids], "vec_id long"
+            )
+        phys = self._cells().select("vec_id", "cell")
+        tombs = self._tombs_df()
+        if tombs is not None:
+            phys = phys.join(tombs.select("vec_id"), "vec_id", "left_anti")
+        targets = (
+            phys.join(ids_df, "vec_id", "semi")
+            .select("vec_id", F.col("cell").cast("int").alias("cell"))
+            .distinct()
+        )
+        n = targets.count()
+        if n:
+            targets.write.mode("append").parquet(
+                PS.tombs_dir(f"{self.path}/cells")
+            )
+        return n
+
+    def _gc_tombstones(self) -> None:
+        """Drop tombstones whose dead physical row was folded out —
+        presence checked PRUNED to the tombstones' recorded cells."""
+        tombs = self._tombs_df()
+        if tombs is None:
+            return
+        cells = [
+            int(r.cell) for r in tombs.select("cell").distinct().collect()
+        ]
+        phys = (
+            self._cells()
+            .filter(F.col("cell").isin(cells))
+            .select("vec_id")
+        )
+        still = tombs.join(phys, "vec_id", "semi").localCheckpoint(eager=True)
+        if still.count() < tombs.count():
+            PS.rewrite_tombstones(self.spark, f"{self.path}/cells", still)
 
     def _cells_bytes(self) -> int:
         """Total bytes of the cells layout — the auto-mode budget input.
@@ -157,6 +285,21 @@ class VectorIndexMaintainer:
             )
             return strict
         return bool(self.strict_ids)
+
+    def _append_cells(self, df: DataFrame) -> None:
+        """Append accepted rows into their cell partitions — into gen=0
+        when the layout has tiered (r13 verdict #7), flat otherwise."""
+        if self._layout_is_tiered():
+            (
+                df.withColumn("gen", F.lit(0))
+                .write.mode("append")
+                .partitionBy("cell", "gen")
+                .parquet(f"{self.path}/cells")
+            )
+        else:
+            df.write.mode("append").partitionBy("cell").parquet(
+                f"{self.path}/cells"
+            )
 
     def _pruned_existing(self, enc: DataFrame) -> tuple[DataFrame, list[int]]:
         """The index side of both accept anti-joins, PRUNED to the encoded
@@ -189,11 +332,25 @@ class VectorIndexMaintainer:
         # before any guard or scan. Without this, a crashed compaction
         # wedges the streaming loop permanently: every replayed batch fails
         # on the marker before maybe_compact (whose recovery would fix it)
-        # is ever reached, and restarts just repeat the failure.
+        # is ever reached, and restarts just repeat the failure. The
+        # recovery protocol matches the layout: tiered swaps park gen
+        # sub-levels, whole-cell swaps park cell dirs.
         if self._has_swap_marker():
-            from ..operators.ann_index import recover_compaction  # noqa: PLC0415
+            if self._layout_is_tiered():
+                PS.recover_tiered_compaction(
+                    self.spark, f"{self.path}/cells", "cell"
+                )
+            else:
+                from ..operators.ann_index import recover_compaction  # noqa: PLC0415
 
-            recover_compaction(self.spark, self.path)
+                recover_compaction(self.spark, self.path)
+        # Same single-writer self-heal for a crashed tombstone-set rewrite
+        # (cancellation/GC — r13 verdict #3) and for a crashed layout
+        # migration (idempotent per-file renames — re-running completes
+        # the tiered move, healing a mixed-depth tree before any scan).
+        PS.recover_tombstone_rewrite(self.spark, f"{self.path}/cells")
+        if self.compaction != "whole" and self._layout_is_tiered():
+            PS.migrate_flat_to_tiered(self.spark, f"{self.path}/cells", "cell")
         strict = self._resolve_strict()
         # A micro-batch may re-send the same vec_id more than once (at-least
         # -once sources); two same-id rows whose embeddings differ could
@@ -223,6 +380,16 @@ class VectorIndexMaintainer:
                 "rows; malformed embeddings in the micro-batch"
             )
         existing, _ = self._pruned_existing(enc)
+        # Dedup/replay guards see the LIVE index only (r13 verdict #3):
+        # a tombstoned id no longer blocks re-ingest of its vector, and a
+        # dead row's quantization key no longer blocks a new vector that
+        # quantizes identically — deleted content is out of the index.
+        tombs = self._tombs_df()
+        live_existing = (
+            existing.join(tombs.select("vec_id"), "vec_id", "left_anti")
+            if tombs is not None
+            else existing
+        )
         # Replay guard: ids already present add nothing (idempotent-by-key,
         # the T3 contract — no ledger, so a half-appended crash replays
         # cleanly too). Strict mode checks ids against the WHOLE index
@@ -239,8 +406,12 @@ class VectorIndexMaintainer:
             # single-writer contract (r12 ADVICE, medium).
             PS.assert_no_swap_marker(self.spark, f"{self.path}/cells")
             id_guard = self._cells().select("vec_id")
+            if tombs is not None:
+                id_guard = id_guard.join(
+                    tombs.select("vec_id"), "vec_id", "left_anti"
+                )
         else:
-            id_guard = existing.select("vec_id")
+            id_guard = live_existing.select("vec_id")
         # Checkpointed: both consumers (the dedup chain behind `added` and
         # the n_fresh count) would otherwise EACH re-run the id-guard
         # anti-join — in strict mode that is the full-index id scan paid
@@ -252,7 +423,7 @@ class VectorIndexMaintainer:
         qkey = F.concat_ws(
             "_", F.col("cell"), F.concat_ws(",", F.col("codes"))
         )
-        indexed_keys = existing.select(qkey.alias("qk")).distinct()
+        indexed_keys = live_existing.select(qkey.alias("qk")).distinct()
         deduped = (
             fresh.withColumn("qk", qkey)
             .join(indexed_keys.hint("shuffle_hash"), "qk", "anti")
@@ -277,10 +448,46 @@ class VectorIndexMaintainer:
         # possibly-holed slice. Single-writer deployments never hit this
         # (their compactor runs between triggers); one exists() check.
         PS.verify_stable_after(self.spark, f"{self.path}/cells")
+        res_ids: list[int] = []
         if n_added:
-            added.write.mode("append").partitionBy("cell").parquet(
-                f"{self.path}/cells"
-            )
+            to_append = added
+            if tombs is not None:
+                # Resurrections: an accepted id that is tombstoned commits
+                # by CANCELLING the tombstone; its dead physical row (equal
+                # under content-immutable ids) usually still exists — only
+                # if compaction already folded it away does the row
+                # re-append. Append-before-cancel so a crash in between
+                # leaves the row hidden and the replay converges. Collects
+                # bounded by the live tombstone count.
+                res_ids = [
+                    int(r.vec_id)
+                    for r in added.join(
+                        tombs.select("vec_id"), "vec_id", "semi"
+                    )
+                    .select("vec_id")
+                    .collect()
+                ]
+                if res_ids:
+                    present = {
+                        int(r.vec_id)
+                        for r in existing.select("vec_id")
+                        .filter(F.col("vec_id").isin(res_ids))
+                        .collect()
+                    }
+                    if present:
+                        to_append = added.filter(
+                            ~F.col("vec_id").isin([int(i) for i in present])
+                        )
+            if res_ids:
+                if not to_append.isEmpty():
+                    self._append_cells(to_append)
+                PS.rewrite_tombstones(
+                    self.spark,
+                    f"{self.path}/cells",
+                    tombs.filter(~F.col("vec_id").isin(res_ids)),
+                )
+            else:
+                self._append_cells(added)
         return IngestStats(
             n_batch=n_batch,
             n_replayed=n_batch - n_fresh,
@@ -288,6 +495,7 @@ class VectorIndexMaintainer:
             n_added=n_added,
             n_id_dup=n_rows - n_batch,
             id_guard_mode="strict" if strict else "pruned",
+            n_resurrected=len(res_ids),
         )
 
     def maybe_compact(self, max_files_per_cell: int = 8) -> list[int]:
@@ -300,12 +508,68 @@ class VectorIndexMaintainer:
         concurrent probes from OTHER sessions are tolerated because every
         reader (probe_ivfpq_index, _pruned_existing) first runs
         ``await_stable_cells``, which waits out the swap window and fails
-        loud on a crashed swap instead of silently dropping a cell."""
+        loud on a crashed swap instead of silently dropping a cell.
+
+        Tombstone FOLD (r13 verdict #3): with deletes present the rewrite
+        anti-joins the tombstone set — dead rows physically leave at the
+        compaction that rewrites their cell — and fully-folded tombstones
+        are then garbage-collected.
+
+        Compaction mode (r13 verdict #7): ``whole`` rewrites each
+        over-threshold cell; ``tiered`` merges one generation level at a
+        time (the corpus store's LSM model — O(log) write amplification
+        instead of O(cell) per pass); ``auto`` runs whole-cell until an
+        over-threshold cell's bytes cross ``_CELL_TIER_MAX_BYTES``, then
+        one-shot migrates the layout (driver renames, no data rewrite)
+        and stays tiered. The mode each pass ran is logged."""
         from ..operators.ann_index import compact_index_cells  # noqa: PLC0415
 
-        return compact_index_cells(
-            self.spark, self.path, max_files_per_cell=max_files_per_cell
-        )
+        root = f"{self.path}/cells"
+        tombs = self._tombs_df()
+        drop = tombs.select("vec_id") if tombs is not None else None
+        tiered = self.compaction == "tiered" or self._layout_is_tiered()
+        if self.compaction == "auto" and not tiered:
+            counts = PS.partition_file_counts(self.spark, root, "cell")
+            over = [v for v, n in counts.items() if n > max_files_per_cell]
+            if over:
+                fs, jvm = PS._fs(self.spark, root)
+                hp = jvm.org.apache.hadoop.fs.Path
+                biggest = max(
+                    int(fs.getContentSummary(hp(f"{root}/cell={v}")).getLength())
+                    for v in over
+                )
+                if biggest > _CELL_TIER_MAX_BYTES:
+                    log.info(
+                        "cell rewrite budget crossed (%d > %d bytes): "
+                        "migrating cells layout to generational tiering",
+                        biggest,
+                        _CELL_TIER_MAX_BYTES,
+                    )
+                    tiered = True
+        if tiered:
+            # idempotent, driver-side; a no-op once the layout has moved
+            PS.migrate_flat_to_tiered(self.spark, root, "cell")
+            log.info("compaction mode: tiered")
+            done = PS.tiered_compact_partitions(
+                self.spark,
+                root,
+                "cell",
+                max(1, max_files_per_cell),
+                drop=drop,
+                drop_key="vec_id",
+            )
+        else:
+            log.info("compaction mode: whole-cell")
+            done = compact_index_cells(
+                self.spark,
+                self.path,
+                max_files_per_cell=max_files_per_cell,
+                drop=drop,
+                drop_key="vec_id",
+            )
+        if drop is not None and done:
+            self._gc_tombstones()
+        return done
 
 
 def _qk_window():

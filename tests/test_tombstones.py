@@ -1,0 +1,272 @@
+"""Tombstone deletion on the append-only stores (r13 verdict #3): a
+100 TB corpus needs targeted removal — takedowns, contaminated-shard
+recalls — without rewriting data on the delete path.
+
+Contract pinned here, for BOTH tiers (text corpus + vector index):
+- a delete APPENDS tombstones; readers/probes hide the rows immediately,
+- the physical rows FOLD out at the next compaction that rewrites their
+  level/cell, after which the tombstone garbage-collects,
+- a deleted id legitimately re-ingested is ACCEPTED again (its content is
+  no longer in the corpus) — by cancelling the tombstone when the dead
+  physical row survives (never a duplicate physical copy), or by a fresh
+  append when compaction already folded it,
+- near-dup tier: a deleted doc's band rows stop screening, so a near-copy
+  of removed content is accepted; a resurrection never duplicates band
+  rows,
+- the tombstone-set rewrite (cancellation/GC) recovers from crashes
+  between its two renames,
+- delete-free stores never pay: no tombstone file -> no anti-join.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_flight_data_pipeline_spark.operators import partstore as PS
+from real_time_flight_data_pipeline_spark.operators.ann_index import (
+    build_ivfpq_index,
+    probe_ivfpq_index,
+    probe_ivfpq_index_batch,
+)
+from real_time_flight_data_pipeline_spark.sources.parquet import load_table
+from real_time_flight_data_pipeline_spark.streaming.corpus import (
+    CorpusStore,
+    NearDupCorpusStore,
+)
+from real_time_flight_data_pipeline_spark.streaming.vector_index import (
+    VectorIndexMaintainer,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+
+
+def _ids(store):
+    return {r.doc_id for r in store.read().select("doc_id").collect()}
+
+
+# ---------------------------------------------------------------------------
+# Text tier (exact dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_delete_hides_then_replay_resurrects(spark, tmp_path):
+    store = CorpusStore(spark, str(tmp_path / "c"), n_buckets=4)
+    store.ingest_batch(_docs(spark))
+    before = sorted(map(tuple, store.read().collect()))
+
+    assert store.delete_docs([0, 1]) == 2
+    assert {0, 1}.isdisjoint(_ids(store))
+    # idempotent: already-dead and unknown ids are no-ops
+    assert store.delete_docs([0, 999_999]) == 0
+
+    # replay of the full input: the two deleted docs are accepted again by
+    # CANCELLING their tombstones (dead rows still physical), no dup copy
+    s = store.ingest_batch(_docs(spark))
+    assert s.n_accepted == 2
+    assert s.n_resurrected == 2
+    assert sorted(map(tuple, store.read().collect())) == before
+    assert not PS.has_tombstones(spark, store.docs_root)
+
+
+def test_deleted_fingerprint_no_longer_blocks_new_id(spark, tmp_path):
+    """dup_hist is a LIVE-content check: after doc 0 is deleted, its text
+    arriving under a new id is accepted (the content left the corpus)."""
+    store = CorpusStore(spark, str(tmp_path / "c"), n_buckets=4)
+    store.ingest_batch(_docs(spark))
+    clone = _docs(spark).filter(F.col("doc_id") == 0).select(
+        F.lit(7_000_000).cast("long").alias("doc_id"), "text", "lang", "source"
+    )
+    assert store.ingest_batch(clone).n_dup_hist == 1  # blocked while live
+    store.delete_docs([0])
+    s = store.ingest_batch(clone)
+    assert s.n_accepted == 1 and s.n_resurrected == 0
+    # and the original id now re-sends as dup_hist of the clone
+    orig = _docs(spark).filter(F.col("doc_id") == 0)
+    assert store.ingest_batch(orig).n_dup_hist == 1
+
+
+def test_fold_at_compaction_then_gc_then_fresh_append(spark, tmp_path):
+    store = CorpusStore(spark, str(tmp_path / "c"), n_buckets=4)
+    # two appends -> every bucket's gen=0 holds >= 2 files, so threshold 1
+    # deterministically merges (and folds) the level holding the dead row
+    store.ingest_batch(_docs(spark).filter(F.col("doc_id") % 2 == 0))
+    store.ingest_batch(_docs(spark).filter(F.col("doc_id") % 2 == 1))
+    n_total = len(_ids(store))
+    store.delete_docs([0])
+    assert store.maybe_compact(max_files_per_bucket=1)
+    phys = spark.read.parquet(store.docs_root).select("doc_id").collect()
+    assert 0 not in {r.doc_id for r in phys}
+    assert len(phys) == n_total - 1
+    # the fully-folded tombstone was garbage-collected with it
+    assert not PS.has_tombstones(spark, store.docs_root)
+    # re-ingest after the fold is a FRESH append (nothing left to cancel)
+    s = store.ingest_batch(_docs(spark).filter(F.col("doc_id") == 0))
+    assert s.n_accepted == 1 and s.n_resurrected == 0
+    assert 0 in _ids(store)
+
+
+def test_tombstone_rewrite_crash_recovers(spark, tmp_path):
+    store = CorpusStore(spark, str(tmp_path / "c"), n_buckets=4)
+    store.ingest_batch(_docs(spark))
+    store.delete_docs([0])
+    td = PS.tombs_dir(store.docs_root)
+    fs, jvm = PS._fs(spark, td)
+    hp = jvm.org.apache.hadoop.fs.Path
+    # crash window: rename (A) done, rename (B) never ran, no staged set
+    PS._rename_or_raise(fs, hp(td), hp(f"{td}_gone"))
+    assert not PS.has_tombstones(spark, store.docs_root)  # would un-delete!
+    store.ingest_batch(_docs(spark).limit(0))  # any ingest self-heals first
+    assert PS.has_tombstones(spark, store.docs_root)
+    assert 0 not in _ids(store)
+
+
+# ---------------------------------------------------------------------------
+# Text tier (near-dup)
+# ---------------------------------------------------------------------------
+
+
+def _near_copy(spark, src_id: int, new_id: int):
+    return _docs(spark).filter(F.col("doc_id") == src_id).select(
+        F.lit(new_id).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+        "lang",
+        "source",
+    )
+
+
+def test_deleted_content_stops_screening_near_dups(spark, tmp_path):
+    store = NearDupCorpusStore(spark, str(tmp_path / "c"), n_buckets=4)
+    store.ingest_batch(_docs(spark))
+    # a near-copy of live doc 2 is rejected by the band screen
+    assert store.ingest_batch(_near_copy(spark, 2, 8_000_000)).n_near_dup == 1
+    store.delete_docs([2])
+    # the same near-copy is now ACCEPTED: doc 2's bands are dead with it
+    s = store.ingest_batch(_near_copy(spark, 2, 8_000_001))
+    assert s.n_accepted == 1 and s.n_near_dup == 0
+
+
+def test_near_dup_resurrection_never_duplicates_band_rows(spark, tmp_path):
+    store = NearDupCorpusStore(spark, str(tmp_path / "c"), n_buckets=4)
+    store.ingest_batch(_docs(spark))
+    bands_before = sorted(
+        map(tuple, store.read_bands().filter(F.col("doc_id") == 3).collect())
+    )
+    assert bands_before
+    store.delete_docs([3])
+    assert store.read_bands().filter(F.col("doc_id") == 3).isEmpty()
+    s = store.ingest_batch(_docs(spark).filter(F.col("doc_id") == 3))
+    assert s.n_accepted == 1 and s.n_resurrected == 1
+    bands_after = sorted(
+        map(tuple, store.read_bands().filter(F.col("doc_id") == 3).collect())
+    )
+    assert bands_after == bands_before  # restored, not duplicated
+
+
+# ---------------------------------------------------------------------------
+# Vector tier
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def index(spark, tmp_path):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    src = str(tmp_path / "src")
+    emb.write.parquet(f"{src}/embeddings.parquet")
+    path = str(tmp_path / "index")
+    build_ivfpq_index(spark, src, path)
+    return path, emb
+
+
+def _probe_ids(spark, path, vec, k=10):
+    return {r.vec_id for r in probe_ivfpq_index(spark, path, vec, k=k).collect()}
+
+
+def test_probe_never_returns_tombstoned_vector(spark, tmp_path, index):
+    path, emb = index
+    q = list(
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("x"))
+        .head()
+        .x
+    )
+    assert 0 in _probe_ids(spark, path, q)  # nearest to itself
+    m = VectorIndexMaintainer(spark, path)
+    assert m.delete_vectors([0]) == 1
+    assert m.delete_vectors([0]) == 0  # already dead: no-op
+    assert 0 not in _probe_ids(spark, path, q)
+    batch = probe_ivfpq_index_batch(spark, path, {7: q}, k=10)
+    assert 0 not in {r.vec_id for r in batch.collect()}
+
+
+def test_vector_delete_replay_resurrects_then_fold_gc(spark, tmp_path, index):
+    path, emb = index
+    m = VectorIndexMaintainer(spark, path)
+    held = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).filter(F.col("vec_id") < 5)
+    m.delete_vectors([1])
+    # replay containing the deleted id: accepted again by tombstone
+    # cancellation — exactly one physical row for the id afterwards
+    s = m.ingest_batch(held)
+    assert s.n_resurrected == 1
+    rows = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("vec_id") == 1)
+        .collect()
+    )
+    assert len(rows) == 1
+    assert not PS.has_tombstones(spark, f"{path}/cells")
+
+    # delete again, physically fold via compaction, tombstone GCs
+    m.delete_vectors([1])
+    assert m.maybe_compact(max_files_per_cell=0)
+    assert (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("vec_id") == 1)
+        .isEmpty()
+    )
+    assert not PS.has_tombstones(spark, f"{path}/cells")
+    # re-ingest after the fold is a fresh append
+    s = m.ingest_batch(held)
+    assert s.n_added == 1 and s.n_resurrected == 0
+
+
+def test_deleted_quantization_key_no_longer_blocks(spark, tmp_path, index):
+    """The quantized-dup guard is a LIVE-index check: after vec 0 is
+    deleted, a new id carrying vec 0's embedding (same PQ codes) is
+    accepted; re-sending id 0 afterwards is then a quantized dup of the
+    new live row and stays out — no resurrection."""
+    path, emb = index
+    m = VectorIndexMaintainer(spark, path)
+    v0 = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(6_000_000).cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    assert m.ingest_batch(v0).n_quantized_dup == 1  # blocked while live
+    m.delete_vectors([0])
+    assert m.ingest_batch(v0).n_added == 1
+    orig = emb.filter(F.col("vec_id") == 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    s = m.ingest_batch(orig)
+    assert s.n_quantized_dup == 1 and s.n_resurrected == 0
+    assert PS.has_tombstones(spark, f"{path}/cells")  # 0 stays dead
+
+
+def test_delete_free_stores_pay_nothing(spark, tmp_path):
+    """No tombstone file -> no anti-join: the live read's plan on a
+    delete-free store contains no join at all (plan-stability guard for
+    the whole catalog, whose queries never delete)."""
+    store = CorpusStore(spark, str(tmp_path / "c"), n_buckets=4)
+    store.ingest_batch(_docs(spark).filter(F.col("doc_id") < 50))
+    plan = store.read()._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
