@@ -55,7 +55,13 @@ def _read_all_sec(spark, store: CorpusStore, n_runs: int = 3) -> tuple[float, li
     return round(statistics.median(runs), 3), runs
 
 
-def run_increments(spark, sf_dir: str, tier: str, neardup: bool = False) -> dict:
+def run_increments(
+    spark,
+    sf_dir: str,
+    tier: str,
+    neardup: bool = False,
+    curated: bool = False,
+) -> dict:
     from real_time_flight_data_pipeline_spark.streaming.corpus import (
         NearDupCorpusStore,
     )
@@ -64,8 +70,28 @@ def run_increments(spark, sf_dir: str, tier: str, neardup: bool = False) -> dict
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang", "source"
     )
+    gates = {}
+    if curated:
+        # Full curation policy inside the loop (r13 verdict #2): quality
+        # gate + benchmark decontamination run inside the ingest scan; the
+        # near-dup tier is the store itself.
+        from real_time_flight_data_pipeline_spark.functions import text as TX
+        from real_time_flight_data_pipeline_spark.plans.llm_ext import (
+            _decon_bench_grams,
+        )
+        from real_time_flight_data_pipeline_spark.streaming.curation import (
+            curated_store_gates,
+        )
+
+        toks = docs.select(
+            "doc_id", TX.tokens(F.col("text")).alias("toks")
+        )
+        bench = _decon_bench_grams(toks).localCheckpoint(eager=True)
+        accept, prefilter = curated_store_gates(bench)
+        gates = {"accept": accept, "prefilter": prefilter}
+        neardup = True
     cls = NearDupCorpusStore if neardup else CorpusStore
-    store = cls(spark, f"{WORK}/store")
+    store = cls(spark, f"{WORK}/store", **gates)
 
     # Seed: 90% of the corpus as one bootstrap ingest (the one-time build
     # analog of the vector tier's build_ivfpq_index).
@@ -152,18 +178,98 @@ def run_increments(spark, sf_dir: str, tier: str, neardup: bool = False) -> dict
     }
 
 
+def run_tombstones(spark, sf_dir: str, tier: str, n_delete: int = 1000) -> dict:
+    """Tombstone lifecycle cost at scale (r13 verdict #3): delete is an
+    append + one column-pruned scan; the reader's anti-join while
+    tombstones are live; the compaction FOLD's marginal cost over a plain
+    compaction of the same levels; GC; and the resurrection replay."""
+    shutil.rmtree(WORK, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    store = CorpusStore(spark, f"{WORK}/store")
+    store.ingest_batch(docs.filter(F.col("doc_id") % 2 == 0))
+    store.ingest_batch(docs.filter(F.col("doc_id") % 2 == 1))
+    read_clean_sec, _ = _read_all_sec(spark, store)
+
+    victims = [
+        int(r.doc_id)
+        for r in store.read().select("doc_id").limit(n_delete).collect()
+    ]
+    t0 = time.perf_counter()
+    n_tombed = store.delete_docs(victims)
+    delete_sec = round(time.perf_counter() - t0, 3)
+    read_tombed_sec, _ = _read_all_sec(spark, store)
+
+    # fold: every gen=0 level holds >=2 files (two appends), so threshold
+    # 1 deterministically merges-and-folds each bucket's append level
+    t0 = time.perf_counter()
+    folded = store.maybe_compact(max_files_per_bucket=1)
+    fold_sec = round(time.perf_counter() - t0, 3)
+    gc_done = not PS.has_tombstones(spark, store.docs_root)
+    read_folded_sec, _ = _read_all_sec(spark, store)
+
+    # baseline: the same two-append store compacted WITHOUT tombstones
+    shutil.rmtree(WORK, ignore_errors=True)
+    base = CorpusStore(spark, f"{WORK}/store")
+    base.ingest_batch(docs.filter(F.col("doc_id") % 2 == 0))
+    base.ingest_batch(docs.filter(F.col("doc_id") % 2 == 1))
+    t0 = time.perf_counter()
+    base.maybe_compact(max_files_per_bucket=1)
+    compact_plain_sec = round(time.perf_counter() - t0, 3)
+
+    # resurrection replay: re-send everything; the deleted docs are
+    # re-accepted as fresh appends (their rows were folded away)
+    t0 = time.perf_counter()
+    st = store.ingest_batch(docs)
+    replay_sec = round(time.perf_counter() - t0, 3)
+    return {
+        "tier": tier,
+        "n_deleted": n_tombed,
+        "delete_sec": delete_sec,
+        "read_all_clean_sec": read_clean_sec,
+        "read_all_tombstoned_sec": read_tombed_sec,
+        "n_levels_folded": len(folded),
+        "compact_fold_sec": fold_sec,
+        "compact_plain_sec": compact_plain_sec,
+        "gc_cleared_tombstones": gc_done,
+        "read_all_after_fold_sec": read_folded_sec,
+        "replay_reaccepted": st.n_accepted,
+        "replay_sec": replay_sec,
+        "note": (
+            "fold cost = compact_fold_sec vs compact_plain_sec on identical "
+            "two-append stores (the delta is the tombstone anti-join inside "
+            "the merge job); read_all_tombstoned vs clean is the reader's "
+            "anti-join while tombstones are live; GC runs in the fold pass"
+        ),
+    }
+
+
 def main() -> None:
     use_100x = "--100x" in sys.argv
     neardup = "--neardup" in sys.argv
+    curated = "--curated" in sys.argv
+    tombs = "--tombs" in sys.argv
     sf_dir, tier = (SF_100X, "sf100x") if use_100x else (SF, "sf0.1")
     spark = get_spark()
     if use_100x and not pathlib.Path(f"{SF_100X}/documents.parquet").exists():
         from scale_curve import build_corpus_100x
 
         build_corpus_100x(spark)
-    res = run_increments(spark, sf_dir, tier, neardup=neardup)
+    if tombs:
+        key, res = f"{tier}_tombstones", run_tombstones(spark, sf_dir, tier)
+    else:
+        res = run_increments(
+            spark, sf_dir, tier, neardup=neardup, curated=curated
+        )
+        key = (
+            f"{tier}_curated_increments"
+            if curated
+            else f"{tier}_neardup_increments"
+            if neardup
+            else f"{tier}_increments"
+        )
     merged = json.loads(OUT.read_text()) if OUT.exists() else {}
-    key = f"{tier}_neardup_increments" if neardup else f"{tier}_increments"
     merged[key] = res
     OUT.write_text(json.dumps(merged, indent=1))
     print(json.dumps(res))

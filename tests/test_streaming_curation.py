@@ -1,0 +1,193 @@
+"""Stream==batch parity for the FULL curation policy (r13 verdict #2):
+the funnel's per-document gates (quality, decontamination) run inside the
+streaming store's ingest hooks, the near-dup stage is the store's
+dedup-against-history tier, and after draining N micro-batch increments
+the accepted corpus must agree with the batch policy over the same input:
+
+- GATES exactly: every accepted doc passes quality + decontamination, and
+  (exactness) every gated doc that nothing could dedup away IS accepted;
+- EXACT tier: no two accepted docs share a text fingerprint;
+- NEAR-DUP tier: zero verified near-dup pairs among accepted docs (the
+  batch detector's own parameters, run over the store), and every
+  connected component of the gated corpus's near-dup graph — the unit the
+  batch keep-best keeps one representative of — contains at least one
+  accepted doc. First-arrival (not keep-best) picks WHICH member
+  survives; the covered components are identical, so a dup-free input
+  yields exact set equality (asserted);
+- replaying the final increment is a no-op (T3 idempotence).
+
+Stage-order note (documented in streaming/curation.py): the batch
+reference applies both per-document gates BEFORE the near-dup graph —
+per-doc predicates commute, but gating first is the production order (a
+rejected doc must never claim a fingerprint or band bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_flight_data_pipeline_spark.functions import text as TX
+from real_time_flight_data_pipeline_spark.plans.llm_ext import (
+    _decon_bench_grams,
+    decontaminate_from,
+    near_dup_clusters_from,
+)
+from real_time_flight_data_pipeline_spark.plans.northstar import (
+    near_dup_pairs_from,
+    quality_filter_from,
+)
+from real_time_flight_data_pipeline_spark.sources.parquet import load_table
+from real_time_flight_data_pipeline_spark.streaming.corpus import (
+    NearDupCorpusStore,
+)
+from real_time_flight_data_pipeline_spark.streaming.curation import (
+    curated_store_gates,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _input_docs(spark):
+    """Documents plus exact re-keys (every 4th) and appended-token near
+    copies (every 5th) — both dup tiers exercised across micro-batches."""
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    exact = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text", "lang", "source"
+    )
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq")).alias("text"),
+        "lang",
+        "source",
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def _toks(df):
+    return df.select("doc_id", "text", TX.tokens(F.col("text")).alias("toks"))
+
+
+def _batch_reference(spark, docs):
+    """(gated doc_ids, components) of the batch policy: quality AND
+    not-contaminated, then the near-dup graph over the gated docs."""
+    toks = _toks(docs).localCheckpoint(eager=False)
+    bench = _decon_bench_grams(toks.select("doc_id", "toks"))
+    quality = quality_filter_from(toks).select("doc_id")
+    cont = decontaminate_from(toks.select("doc_id", "toks"), bench).select(
+        "doc_id"
+    )
+    gated = (
+        toks.join(quality, "doc_id", "semi")
+        .join(cont, "doc_id", "left_anti")
+        .localCheckpoint(eager=False)
+    )
+    pairs = near_dup_pairs_from(gated.select("doc_id", "toks")).select(
+        "a_id", "b_id"
+    )
+    clusters = near_dup_clusters_from(pairs)  # (doc_id, cluster_id)
+    return bench, gated, clusters
+
+
+def test_streaming_curation_matches_batch_policy(spark, tmp_path):
+    docs = _input_docs(spark)
+    bench, gated, clusters = _batch_reference(spark, docs)
+    gated_ids = {r.doc_id for r in gated.select("doc_id").collect()}
+    comp = {}
+    for r in clusters.collect():
+        comp.setdefault(r.cluster_id, set()).add(r.doc_id)
+    clustered_ids = set().union(*comp.values()) if comp else set()
+    assert comp, "input must exercise the near-dup tier"
+
+    accept, prefilter = curated_store_gates(bench)
+    store = NearDupCorpusStore(
+        spark, str(tmp_path / "c"), accept=accept, prefilter=prefilter
+    )
+    # three deterministic increments
+    stats = [
+        store.ingest_batch(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i))
+        for i in range(3)
+    ]
+    accepted = store.read().localCheckpoint(eager=True)
+    accepted_ids = {r.doc_id for r in accepted.select("doc_id").collect()}
+
+    # gates hold exactly
+    assert accepted_ids <= gated_ids
+    fps = [r.fingerprint for r in accepted.select("fingerprint").collect()]
+    assert len(fps) == len(set(fps))  # exact-tier invariant
+
+    # near-dup invariant: the batch detector finds nothing in the store
+    assert near_dup_pairs_from(
+        _toks(accepted).select("doc_id", "toks")
+    ).isEmpty()
+
+    # component coverage: the units batch keep-best retains are identical
+    for cid, members in comp.items():
+        assert members & accepted_ids, f"cluster {cid} lost entirely"
+
+    # exactness outside the dup graph: a gated doc with a unique
+    # fingerprint and no near-dup edge has nothing to drop it
+    fp_counts = {
+        r.fingerprint: r.n
+        for r in _toks(gated)
+        .select("doc_id", TX.md5_long(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    gated_fps = {
+        r.doc_id: r.fingerprint
+        for r in gated.select(
+            "doc_id", TX.md5_long(F.col("text")).alias("fingerprint")
+        ).collect()
+    }
+    loners = {
+        d
+        for d in gated_ids - clustered_ids
+        if fp_counts[gated_fps[d]] == 1
+    }
+    assert loners <= accepted_ids
+    assert loners, "input must contain undropable docs"
+
+    # replaying the final increment is a no-op
+    s = store.ingest_batch(
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 2)
+    )
+    assert s.n_accepted == 0
+    assert {
+        r.doc_id for r in store.read().select("doc_id").collect()
+    } == accepted_ids
+    # and the gates actually rejected something along the way
+    assert sum(x.n_rows for x in stats) < docs.count()
+
+
+def test_dup_free_gated_input_is_exact_equality(spark, tmp_path):
+    """With no exact or near dups in the input, streaming accept ==
+    batch keep set, id for id."""
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    bench, gated, _clusters = _batch_reference(spark, docs)
+    pairs = near_dup_pairs_from(_toks(gated).select("doc_id", "toks"))
+    dup_ids = {
+        r.i
+        for r in pairs.selectExpr("a_id AS i")
+        .unionByName(pairs.selectExpr("b_id AS i"))
+        .collect()
+    }
+    clean = docs.join(
+        spark.createDataFrame([(int(i),) for i in dup_ids] or [(-1,)], "doc_id long"),
+        "doc_id",
+        "left_anti",
+    )
+    bench2, gated2, _ = _batch_reference(spark, clean)
+    accept, prefilter = curated_store_gates(bench2)
+    store = NearDupCorpusStore(
+        spark, str(tmp_path / "c"), accept=accept, prefilter=prefilter
+    )
+    for i in range(2):
+        store.ingest_batch(clean.filter(F.pmod(F.col("doc_id"), F.lit(2)) == i))
+    assert {r.doc_id for r in store.read().select("doc_id").collect()} == {
+        r.doc_id for r in gated2.select("doc_id").collect()
+    }
