@@ -17,7 +17,10 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
-from real_time_flight_data_pipeline_spark.plans import ORIGINAL_ORDER
+from real_time_flight_data_pipeline_spark.plans import (
+    ORIGINAL_ORDER,
+    registry_source_hash,
+)
 from real_time_flight_data_pipeline_spark.plans.catalog import REGISTRY
 from real_time_flight_data_pipeline_spark.session import get_spark
 
@@ -55,6 +58,10 @@ def main() -> None:
         "broadcast-nested-loop joins / window nodes / whole-stage-codegen",
         "spans. BNLJ > 0 only on the documented bounded-broadcast",
         "allowlist (tests/test_plan_audit.py).",
+        "",
+        # Freshness key (r13 verdict #5): tests/test_plans_freshness.py
+        # fails when any plans/*.py source no longer matches this stamp.
+        f"Registry source hash: `{registry_source_hash()}`",
         "",
         "| query | scans | xchg | bcast | sort | BHJ | SMJ | SHJ | BNLJ | win | WSC |",
         "|---|---|---|---|---|---|---|---|---|---|---|",
