@@ -48,6 +48,18 @@ the ``docs_ingest_dedup`` catalog twin) makes violations visible.
 In-batch representative choice is deterministic (lowest doc_id per
 fingerprint) so retries that see a different row order converge.
 
+DELETES (r13 verdict #3) are tombstone appends: ``delete_docs`` records
+(doc_id, bucket) rows under ``docs_tombs``; readers anti-join the live
+tombstone set (only when one exists — delete-free stores keep their
+exact plans), classification treats dead rows as absent (deleted content
+can be re-accepted, and no longer blocks a near-copy), the dead physical
+rows fold out at the next generational compaction of their level, and
+fully-folded tombstones garbage-collect. A deleted id re-ingested while
+its dead row still exists resurrects by CANCELLING the tombstone —
+content-immutable ids make the arriving row equal to the dead one, so a
+second physical copy is never written; once folded, it re-appends fresh.
+Every crash window converges under replay (tests/test_tombstones.py).
+
 NEAR-DUP tier commit order: band rows append BEFORE doc rows. A crash
 between the two leaves "ghost" bands (a doc_id present in bands but not
 docs); the replay then re-accepts the doc — its fingerprint is absent

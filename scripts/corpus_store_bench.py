@@ -210,8 +210,8 @@ def run_tombstones(spark, sf_dir: str, tier: str, n_delete: int = 1000) -> dict:
     read_folded_sec, _ = _read_all_sec(spark, store)
 
     # baseline: the same two-append store compacted WITHOUT tombstones
-    shutil.rmtree(WORK, ignore_errors=True)
-    base = CorpusStore(spark, f"{WORK}/store")
+    # (its own path — the store under test still has the replay to run)
+    base = CorpusStore(spark, f"{WORK}/base_store")
     base.ingest_batch(docs.filter(F.col("doc_id") % 2 == 0))
     base.ingest_batch(docs.filter(F.col("doc_id") % 2 == 1))
     t0 = time.perf_counter()
@@ -223,6 +223,10 @@ def run_tombstones(spark, sf_dir: str, tier: str, n_delete: int = 1000) -> dict:
     t0 = time.perf_counter()
     st = store.ingest_batch(docs)
     replay_sec = round(time.perf_counter() - t0, 3)
+    assert st.n_accepted == n_tombed, (
+        f"expected the {n_tombed} folded deletes to re-accept, got "
+        f"{st.n_accepted}"
+    )
     return {
         "tier": tier,
         "n_deleted": n_tombed,

@@ -62,9 +62,15 @@ def _probe_median(spark, path, qvec, n=N_PROBES) -> tuple[float, list]:
     return round(statistics.median(runs), 3), runs
 
 
-def run_increments(spark, sf_dir: str, tier: str) -> dict:
+def run_increments(spark, sf_dir: str, tier: str, compaction: str = "auto") -> dict:
     """Build from 90% of the corpus, ingest the held 10% in N_INCR
-    micro-batches, measure flat-ingest and probe-vs-compaction."""
+    micro-batches, measure flat-ingest and probe-vs-compaction.
+
+    ``compaction="tiered"`` (r13 verdict #7) forces the generational
+    path: the layout migrates at the first compaction pass and per-level
+    merges run between triggers (the corpus bench's driver shape), so the
+    curve prices the LSM mode end-to-end — ingest must stay flat and
+    probes must read identically across the flip."""
     import shutil
 
     from real_time_flight_data_pipeline_spark.operators.ann_index import (
@@ -93,8 +99,8 @@ def run_increments(spark, sf_dir: str, tier: str) -> dict:
         "b", F.pmod(F.xxhash64("vec_id"), F.lit(N_INCR))
     )
     held.write.partitionBy("b").parquet(f"{work}/held")
-    m = VectorIndexMaintainer(spark, path)
-    per_batch, added = [], 0
+    m = VectorIndexMaintainer(spark, path, compaction=compaction)
+    per_batch, per_compact, added = [], [], 0
     for i in range(N_INCR):
         batch = spark.read.parquet(f"{work}/held").filter(
             F.col("b") == i
@@ -103,6 +109,12 @@ def run_increments(spark, sf_dir: str, tier: str) -> dict:
         s = m.ingest_batch(batch)
         per_batch.append(round(time.perf_counter() - t0, 3))
         added += s.n_added
+        if compaction == "tiered":
+            t0 = time.perf_counter()
+            merged_lvls = m.maybe_compact(max_files_per_cell=8)
+            per_compact.append(
+                round(time.perf_counter() - t0, 3) if merged_lvls else 0.0
+            )
     counts = cell_file_counts(spark, path)
     frag_max, frag_total = max(counts.values()), sum(counts.values())
     # strict_ids trade, measured (r12; auto default r13): replay the last
@@ -142,6 +154,9 @@ def run_increments(spark, sf_dir: str, tier: str) -> dict:
     half = N_INCR // 2
     result = {
         "tier": tier,
+        "compaction_mode": compaction,
+        "layout_tiered_final": m._layout_is_tiered(),
+        **({"compact_per_batch_sec": per_compact} if per_compact else {}),
         "n_increments": N_INCR,
         "n_added": added,
         "build_sec": build_sec,
@@ -172,7 +187,12 @@ def run_increments(spark, sf_dir: str, tier: str) -> dict:
         "probe latency to ~ the build-time figure.",
     }
     merged = json.loads(OUT.read_text()) if OUT.exists() else {}
-    merged[f"{tier}_increments"] = result
+    key = (
+        f"{tier}_tiered_increments"
+        if compaction == "tiered"
+        else f"{tier}_increments"
+    )
+    merged[key] = result
     OUT.write_text(json.dumps(merged, indent=1))
     print(json.dumps(result))
     return result
@@ -228,6 +248,11 @@ def main() -> None:
         from scale_curve import build_corpus_100x  # noqa: PLC0415
 
         build_corpus_100x(spark)
+    if "--tiered-increments" in sys.argv[1:]:
+        run_increments(
+            spark, sf_dir, tier, compaction="tiered"
+        )
+        return
     if "--increments" in sys.argv[1:]:
         run_increments(spark, sf_dir, tier)
         return
