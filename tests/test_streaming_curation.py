@@ -39,6 +39,7 @@ from real_time_flight_data_pipeline_spark.plans.northstar import (
 from real_time_flight_data_pipeline_spark.sources.parquet import load_table
 from real_time_flight_data_pipeline_spark.streaming.corpus import (
     NearDupCorpusStore,
+    run_file_replay_corpus,
 )
 from real_time_flight_data_pipeline_spark.streaming.curation import (
     curated_store_gates,
@@ -104,11 +105,13 @@ def test_streaming_curation_matches_batch_policy(spark, tmp_path):
     store = NearDupCorpusStore(
         spark, str(tmp_path / "c"), accept=accept, prefilter=prefilter
     )
-    # three deterministic increments
-    stats = [
-        store.ingest_batch(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i))
-        for i in range(3)
-    ]
+    # a REAL availableNow file-replay stream drains the increments through
+    # the production driver (compaction between triggers included)
+    src = tmp_path / "src"
+    docs.repartition(3).write.mode("overwrite").parquet(str(src))
+    run_file_replay_corpus(
+        spark, str(src), store, str(tmp_path / "ckpt"), docs.schema
+    )
     accepted = store.read().localCheckpoint(eager=True)
     accepted_ids = {r.doc_id for r in accepted.select("doc_id").collect()}
 
@@ -150,16 +153,15 @@ def test_streaming_curation_matches_batch_policy(spark, tmp_path):
     assert loners <= accepted_ids
     assert loners, "input must contain undropable docs"
 
-    # replaying the final increment is a no-op
-    s = store.ingest_batch(
-        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 2)
-    )
+    # replaying the whole input is a no-op (T3 idempotence with the full
+    # policy active)
+    s = store.ingest_batch(docs)
     assert s.n_accepted == 0
     assert {
         r.doc_id for r in store.read().select("doc_id").collect()
     } == accepted_ids
     # and the gates actually rejected something along the way
-    assert sum(x.n_rows for x in stats) < docs.count()
+    assert len(gated_ids) < docs.count()
 
 
 def test_dup_free_gated_input_is_exact_equality(spark, tmp_path):
