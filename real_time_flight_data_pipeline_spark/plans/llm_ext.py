@@ -5702,6 +5702,129 @@ def q_docs_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Tombstone-aware ingest classification (BANKED FOR r15 REGISTRATION —
+# see COVERAGE.md "Next catalog addition"): the oracle-paired spec twin
+# of CorpusStore ingest AGAINST A STORE WITH LIVE TOMBSTONES (r14's
+# delete support, streaming/corpus.delete_docs). Classification is
+# docs_ingest_dedup's with one change — the spec change deletes make:
+# history is the LIVE set (physical minus tombstoned ids), so a
+# tombstoned id re-sent is ACCEPTED again (the twin of the store's
+# tombstone-cancelling resurrection), and dead content arriving under a
+# new id is ACCEPTED (a dead fingerprint no longer blocks). Deliberately
+# NOT @_register-ed this round: the registry is at the 150/150 rotation
+# ceiling and the r15 window slot requires retiring
+# rfm_purchase_segments_approx from the r12-green cohort (the pre-planned
+# r15 retirement — COVERAGE.md cohort math). Until registration it is
+# oracle-verified every session by tests/test_preregistered.py; r15
+# flips the decorator on together with that retirement.
+# ===========================================================================
+def _docs_tombstone_ingest_oracle() -> str:
+    fp = _sql_md5_long("text")
+    return f"""
+    WITH hist AS MATERIALIZED (
+      SELECT doc_id, {fp} AS fp FROM documents WHERE doc_id % 10 != 9
+    ),
+    tombs AS (SELECT doc_id FROM hist WHERE doc_id % 100 = 0),
+    live AS MATERIALIZED (
+      SELECT * FROM hist WHERE doc_id NOT IN (SELECT doc_id FROM tombs)
+    ),
+    batch AS MATERIALIZED (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id, {fp} AS fp FROM documents WHERE doc_id % 10 = 9
+        UNION ALL
+        SELECT doc_id, {fp} FROM documents WHERE doc_id = 0
+        UNION ALL
+        SELECT doc_id, {fp} FROM documents WHERE doc_id = 1
+        UNION ALL
+        SELECT 9000001, {fp} FROM documents WHERE doc_id = 2
+        UNION ALL
+        SELECT 9000002, {fp} FROM documents WHERE doc_id = 100
+        UNION ALL
+        SELECT 9000003, {fp} FROM documents WHERE doc_id = 9
+      )
+    ),
+    reps AS (SELECT fp, min(doc_id) AS rep FROM batch GROUP BY fp)
+    SELECT b.doc_id,
+           CAST(((b.fp % {_CORPUS_N_BUCKETS}) + {_CORPUS_N_BUCKETS})
+                % {_CORPUS_N_BUCKETS} AS BIGINT) AS bucket,
+           CASE WHEN b.doc_id != r.rep THEN 'dup_batch'
+                WHEN b.doc_id IN (SELECT doc_id FROM live) THEN 'replayed'
+                WHEN b.fp IN (SELECT fp FROM live) THEN 'dup_hist'
+                ELSE 'accepted' END AS status
+    FROM batch b JOIN reps r ON r.fp = b.fp
+    """
+
+
+def q_docs_tombstone_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted scenario (history = doc_id%10 != 9, tombstoned = every
+    100th history doc): the batch re-sends tombstoned doc 0 (ACCEPTED —
+    the resurrection twin; were it live this would be `replayed`), live
+    doc 1 (replayed), live doc 2's text under id 9000001 (dup_hist),
+    TOMBSTONED doc 100's text under id 9000002 (ACCEPTED — dead content
+    no longer blocks; were 100 live this would be `dup_hist`), and an
+    in-batch clone of doc 9 (dup_batch). Same joins and shuffle_hash
+    reasoning as docs_ingest_dedup; the only delta is the live-history
+    projection, exactly the delta delete_docs makes in
+    CorpusStore._pruned_history."""
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    fp = TX.md5_long(F.col("text"))
+
+    def plant(src_id: int, new_id: int) -> DataFrame:
+        return d.filter(F.col("doc_id") == src_id).select(
+            F.lit(new_id).cast("long").alias("doc_id"), fp.alias("fp")
+        )
+
+    batch = (
+        d.filter(F.col("doc_id") % 10 == 9)
+        .select("doc_id", fp.alias("fp"))
+        .unionByName(plant(0, 0))            # tombstoned id -> accepted
+        .unionByName(plant(1, 1))            # live id -> replayed
+        .unionByName(plant(2, 9_000_001))    # live text, new id -> dup_hist
+        .unionByName(plant(100, 9_000_002))  # DEAD text, new id -> accepted
+        .unionByName(plant(9, 9_000_003))    # in-batch clone -> dup_batch
+        .dropDuplicates(["doc_id", "fp"])
+        .localCheckpoint(eager=False)
+    )
+    hist = d.filter(F.col("doc_id") % 10 != 9).select("doc_id", fp.alias("fp"))
+    # The live-history projection: physical minus tombstoned ids — the
+    # exact shape CorpusStore._pruned_history feeds classification after
+    # delete_docs, minus the bucket prune the production twin adds.
+    live = hist.filter(F.col("doc_id") % 100 != 0).localCheckpoint(
+        eager=False
+    )
+    reps = batch.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    return (
+        batch.join(reps.hint("shuffle_hash"), "fp", "left")
+        .join(
+            live.select("doc_id")
+            .withColumn("_id", F.lit(True))
+            .hint("shuffle_hash"),
+            "doc_id",
+            "left",
+        )
+        .join(
+            live.select("fp")
+            .distinct()
+            .withColumn("_fp", F.lit(True))
+            .hint("shuffle_hash"),
+            "fp",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.pmod(F.col("fp"), F.lit(_CORPUS_N_BUCKETS))
+            .cast("long")
+            .alias("bucket"),
+            F.when(F.col("doc_id") != F.col("rep"), "dup_batch")
+            .when(F.col("_id").isNotNull(), "replayed")
+            .when(F.col("_fp").isNotNull(), "dup_hist")
+            .otherwise("accepted")
+            .alias("status"),
+        )
+    )
+
+
+# ===========================================================================
 # Packing efficiency under the curriculum order (r10): compose
 # docs_training_order's stride-scheduled global order with
 # docs_sequence_packing's contiguous-bin model and measure what the
