@@ -216,11 +216,7 @@ class VectorIndexMaintainer:
         ignored; returns the tombstones written. Cost: one column-pruned
         (vec_id, cell) scan — the strict id guard's measured-cheap class;
         deletes are rare-path."""
-        if self._has_swap_marker():
-            from ..operators.ann_index import recover_compaction  # noqa: PLC0415
-
-            recover_compaction(self.spark, self.path)
-        PS.recover_tombstone_rewrite(self.spark, f"{self.path}/cells")
+        self._recover_if_crashed()
         if isinstance(vec_ids, DataFrame):
             ids_df = vec_ids.select(F.col(vec_ids.columns[0]).alias("vec_id"))
         else:
@@ -286,6 +282,30 @@ class VectorIndexMaintainer:
             return strict
         return bool(self.strict_ids)
 
+    def _recover_if_crashed(self) -> None:
+        """Writer-side self-heal at the top of every mutating entry point
+        (ingest AND delete): the maintainer is the store's single writer,
+        so a swap marker now can only be its own compactor's crash —
+        recover it before any guard or scan, with the protocol MATCHING
+        THE LAYOUT (tiered swaps park gen sub-levels; the whole-cell
+        recovery would misread a parked gen level as already-swapped —
+        live cell dir present — and delete it). Also finishes any crashed
+        tombstone-set rewrite, and completes a crashed layout migration
+        (idempotent per-file renames) before anything scans a
+        mixed-depth tree."""
+        if self._has_swap_marker():
+            if self._layout_is_tiered():
+                PS.recover_tiered_compaction(
+                    self.spark, f"{self.path}/cells", "cell"
+                )
+            else:
+                from ..operators.ann_index import recover_compaction  # noqa: PLC0415
+
+                recover_compaction(self.spark, self.path)
+        PS.recover_tombstone_rewrite(self.spark, f"{self.path}/cells")
+        if self.compaction != "whole" and self._layout_is_tiered():
+            PS.migrate_flat_to_tiered(self.spark, f"{self.path}/cells", "cell")
+
     def _append_cells(self, df: DataFrame) -> None:
         """Append accepted rows into their cell partitions — into gen=0
         when the layout has tiered (r13 verdict #7), flat otherwise."""
@@ -327,30 +347,7 @@ class VectorIndexMaintainer:
         n_rows = batch.count()
         if n_rows == 0:
             return IngestStats(0, 0, 0, 0)
-        # The maintainer IS the store's single writer, so a swap marker at
-        # ingest time can only be its own compactor's crash — heal it HERE,
-        # before any guard or scan. Without this, a crashed compaction
-        # wedges the streaming loop permanently: every replayed batch fails
-        # on the marker before maybe_compact (whose recovery would fix it)
-        # is ever reached, and restarts just repeat the failure. The
-        # recovery protocol matches the layout: tiered swaps park gen
-        # sub-levels, whole-cell swaps park cell dirs.
-        if self._has_swap_marker():
-            if self._layout_is_tiered():
-                PS.recover_tiered_compaction(
-                    self.spark, f"{self.path}/cells", "cell"
-                )
-            else:
-                from ..operators.ann_index import recover_compaction  # noqa: PLC0415
-
-                recover_compaction(self.spark, self.path)
-        # Same single-writer self-heal for a crashed tombstone-set rewrite
-        # (cancellation/GC — r13 verdict #3) and for a crashed layout
-        # migration (idempotent per-file renames — re-running completes
-        # the tiered move, healing a mixed-depth tree before any scan).
-        PS.recover_tombstone_rewrite(self.spark, f"{self.path}/cells")
-        if self.compaction != "whole" and self._layout_is_tiered():
-            PS.migrate_flat_to_tiered(self.spark, f"{self.path}/cells", "cell")
+        self._recover_if_crashed()
         strict = self._resolve_strict()
         # A micro-batch may re-send the same vec_id more than once (at-least
         # -once sources); two same-id rows whose embeddings differ could

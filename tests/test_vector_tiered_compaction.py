@@ -117,3 +117,38 @@ def test_whole_mode_never_tiers(spark, tmp_path, monkeypatch):
     m.maybe_compact(max_files_per_cell=1)
     assert not m._layout_is_tiered()
     assert not glob.glob(f"{path}/cells/cell=*/gen=*")
+
+
+def test_delete_after_crashed_tiered_swap_recovers_without_loss(
+    spark, tmp_path
+):
+    """Layout-aware recovery from EVERY mutating entry point (r14
+    self-review): a crashed TIERED swap parks a gen sub-level while the
+    cell dir stays present; the whole-cell recovery protocol would
+    misread that as an already-completed swap and DELETE the parked
+    level. delete_vectors must recover with the tiered protocol and keep
+    every row."""
+    import shutil
+
+    path, emb = _index(spark, tmp_path, subset=F.col("vec_id") < 200)
+    m = VectorIndexMaintainer(spark, path, compaction="tiered")
+    m.ingest_batch(_held(emb, 200, 240))
+    m.maybe_compact(max_files_per_cell=1)
+    assert m._layout_is_tiered()
+    before = sorted(
+        r.vec_id
+        for r in spark.read.parquet(f"{path}/cells").select("vec_id").collect()
+    )
+    # crash state: one gen level parked under cells_old, live level gone
+    gen_dir = sorted(glob.glob(f"{path}/cells/cell=*/gen=*"))[0]
+    rel = "/".join(gen_dir.rsplit("/", 2)[1:])
+    shutil.copytree(gen_dir, f"{path}/cells_old/{rel}")
+    shutil.rmtree(gen_dir)
+
+    assert m.delete_vectors([before[0]]) == 1  # heals first, then deletes
+    assert not glob.glob(f"{path}/cells_old")
+    live = sorted(
+        r.vec_id
+        for r in spark.read.parquet(f"{path}/cells").select("vec_id").collect()
+    )
+    assert live == before  # parked level restored, nothing lost
