@@ -103,12 +103,17 @@ _DOCS_READ_SCHEMA = T.StructType(
     ]
 )
 
-# Tombstone rows (r13 verdict #3): doc_id plus the fingerprint bucket the
-# dead physical row lives in, so GC's presence check prunes to the
-# tombstones' buckets instead of scanning the corpus.
+# Tombstone rows (r13 verdict #3): doc_id plus the dead row's fingerprint
+# and its bucket. The bucket prunes GC's presence check to the tombstones'
+# partitions; the FINGERPRINT guards resurrection — a tombstoned id
+# re-sent with DIFFERENT content would otherwise cancel the tombstone and
+# resurrect the old-content row alongside the new append (two live rows
+# per id). Content-immutable ids make a matching fingerprint the only
+# legal re-send; a mismatch fails loud (see _split_resurrections).
 TOMBS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
+        T.StructField("fingerprint", T.LongType()),
         T.StructField("bucket", T.IntegerType()),
     ]
 )
@@ -290,13 +295,13 @@ class CorpusStore:
         self._await_no_swap(self.docs_root)
         phys = PS.read_partitioned(
             self.spark, self.docs_root, _DOCS_READ_SCHEMA
-        ).select("doc_id", "bucket")
+        ).select("doc_id", "fingerprint", "bucket")
         tombs = self._tombs_df()
         if tombs is not None:
             phys = phys.join(tombs.select("doc_id"), "doc_id", "left_anti")
         targets = (
             phys.join(ids_df, "doc_id", "semi")
-            .select("doc_id", "bucket")
+            .select("doc_id", "fingerprint", "bucket")
             .distinct()
         )
         n = targets.count()
@@ -322,15 +327,31 @@ class CorpusStore:
         tombs = self._tombs_df()
         if tombs is None:
             return survivors, []
-        res_ids = [
-            int(r.doc_id)
-            for r in survivors.join(
-                tombs.select("doc_id"), "doc_id", "semi"
+        hits = (
+            survivors.select("doc_id", "fingerprint")
+            .join(
+                tombs.select(
+                    "doc_id", F.col("fingerprint").alias("_tfp")
+                ),
+                "doc_id",
             )
-            .select("doc_id")
-            .distinct()
             .collect()
-        ]
+        )
+        # Content-immutability guard: a tombstoned id arriving with a
+        # DIFFERENT fingerprint is an UPDATE, which this store does not
+        # define — cancelling the tombstone would resurrect the
+        # old-content row next to the new append (two live rows per id),
+        # and silently ignoring it would strand the new content. Fail
+        # loud; the caller deletes-then-ingests under a NEW id, or folds
+        # the old row first.
+        mutated = [r.doc_id for r in hits if r.fingerprint != r._tfp]
+        if mutated:
+            raise ValueError(
+                f"tombstoned doc_ids {sorted(set(mutated))[:10]} re-sent "
+                "with different content — ids are content-immutable; "
+                "re-ingest updated documents under new ids"
+            )
+        res_ids = sorted({int(r.doc_id) for r in hits})
         if not res_ids:
             return survivors, []
         present = {

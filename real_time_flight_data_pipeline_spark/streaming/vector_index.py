@@ -58,13 +58,18 @@ VECTOR_SCHEMA = T.StructType(
     ]
 )
 
-# Tombstone rows (r13 verdict #3): vec_id plus the coarse cell the dead
-# physical row lives in, so GC's presence check prunes to the tombstones'
-# cells instead of scanning the index.
+# Tombstone rows (r13 verdict #3): vec_id plus the dead row's coarse cell
+# and PQ codes. The cell prunes GC's presence check to the tombstones'
+# partitions; (cell, codes) — the index's whole identity for a vector —
+# guards resurrection: a tombstoned id re-sent with a mutated embedding
+# would otherwise cancel the tombstone and resurrect the old-content row
+# (or silently drop the new one). Content-immutable ids make a matching
+# quantization the only legal re-send; a mismatch fails loud.
 VEC_TOMBS_SCHEMA = T.StructType(
     [
         T.StructField("vec_id", T.LongType()),
         T.StructField("cell", T.IntegerType()),
+        T.StructField("codes", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -223,13 +228,17 @@ class VectorIndexMaintainer:
             ids_df = self.spark.createDataFrame(
                 [(int(i),) for i in vec_ids], "vec_id long"
             )
-        phys = self._cells().select("vec_id", "cell")
+        phys = self._cells().select("vec_id", "cell", "codes")
         tombs = self._tombs_df()
         if tombs is not None:
             phys = phys.join(tombs.select("vec_id"), "vec_id", "left_anti")
         targets = (
             phys.join(ids_df, "vec_id", "semi")
-            .select("vec_id", F.col("cell").cast("int").alias("cell"))
+            .select(
+                "vec_id",
+                F.col("cell").cast("int").alias("cell"),
+                F.col("codes").cast("array<long>").alias("codes"),
+            )
             .distinct()
         )
         n = targets.count()
@@ -456,14 +465,40 @@ class VectorIndexMaintainer:
                 # re-append. Append-before-cancel so a crash in between
                 # leaves the row hidden and the replay converges. Collects
                 # bounded by the live tombstone count.
-                res_ids = [
-                    int(r.vec_id)
-                    for r in added.join(
-                        tombs.select("vec_id"), "vec_id", "semi"
+                hits = (
+                    added.select("vec_id", "cell", "codes")
+                    .join(
+                        tombs.select(
+                            "vec_id",
+                            F.col("cell").alias("_tcell"),
+                            F.col("codes").alias("_tcodes"),
+                        ),
+                        "vec_id",
                     )
-                    .select("vec_id")
                     .collect()
+                )
+                # Content-immutability guard (the corpus tier's
+                # fingerprint check, at the index's own identity): a
+                # tombstoned id whose re-send quantizes to a different
+                # (cell, codes) carries a mutated embedding — cancelling
+                # the tombstone would resurrect the old-content row next
+                # to the new append (or, same-cell, silently drop the new
+                # content). Fail loud instead.
+                mutated = [
+                    r.vec_id
+                    for r in hits
+                    if int(r.cell) != int(r._tcell)
+                    or [int(c) for c in r.codes]
+                    != [int(c) for c in r._tcodes]
                 ]
+                if mutated:
+                    raise ValueError(
+                        f"tombstoned vec_ids {sorted(set(mutated))[:10]} "
+                        "re-sent with embeddings that quantize "
+                        "differently — ids are content-immutable; "
+                        "re-ingest updated vectors under new ids"
+                    )
+                res_ids = sorted({int(r.vec_id) for r in hits})
                 if res_ids:
                     present = {
                         int(r.vec_id)

@@ -270,3 +270,43 @@ def test_delete_free_stores_pay_nothing(spark, tmp_path):
     store.ingest_batch(_docs(spark).filter(F.col("doc_id") < 50))
     plan = store.read()._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan
+
+
+def test_corpus_mutated_resend_of_tombstoned_id_fails_loud(spark, tmp_path):
+    """Content-immutability guard: a tombstoned id re-sent with DIFFERENT
+    text is an update, which the store does not define — cancelling the
+    tombstone would resurrect the old-content row next to the new append
+    (two live rows per id). The ingest fails loud instead."""
+    store = CorpusStore(spark, str(tmp_path / "c"), n_buckets=4)
+    store.ingest_batch(_docs(spark))
+    store.delete_docs([0])
+    mutated = _docs(spark).filter(F.col("doc_id") == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" MUTATED")).alias("text"),
+        "lang",
+        "source",
+    )
+    with pytest.raises(ValueError, match="content-immutable"):
+        store.ingest_batch(mutated)
+    # the store is untouched: tombstone still live, id still hidden
+    assert PS.has_tombstones(spark, store.docs_root)
+    assert 0 not in _ids(store)
+
+
+def test_vector_mutated_resend_of_tombstoned_id_fails_loud(
+    spark, tmp_path, index
+):
+    """The corpus guard's vector twin at the index's own identity: a
+    tombstoned id re-sent with an embedding that quantizes to a different
+    (cell, codes) fails loud instead of resurrecting or silently dropping
+    content."""
+    path, emb = index
+    m = VectorIndexMaintainer(spark, path)
+    m.delete_vectors([0, 1])  # both dead: vec 1's qkey leaves the live set
+    mutated = emb.filter(F.col("vec_id") == 1).select(
+        F.lit(0).cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="content-immutable"):
+        m.ingest_batch(mutated)
+    assert PS.has_tombstones(spark, f"{path}/cells")
