@@ -331,26 +331,46 @@ class CorpusStore:
             survivors.select("doc_id", "fingerprint")
             .join(
                 tombs.select(
-                    "doc_id", F.col("fingerprint").alias("_tfp")
+                    "doc_id",
+                    F.col("fingerprint").alias("_tfp"),
+                    F.col("bucket").alias("_tbucket"),
                 ),
                 "doc_id",
             )
             .collect()
         )
         # Content-immutability guard: a tombstoned id arriving with a
-        # DIFFERENT fingerprint is an UPDATE, which this store does not
-        # define — cancelling the tombstone would resurrect the
-        # old-content row next to the new append (two live rows per id),
-        # and silently ignoring it would strand the new content. Fail
-        # loud; the caller deletes-then-ingests under a NEW id, or folds
-        # the old row first.
-        mutated = [r.doc_id for r in hits if r.fingerprint != r._tfp]
-        if mutated:
-            raise ValueError(
-                f"tombstoned doc_ids {sorted(set(mutated))[:10]} re-sent "
-                "with different content — ids are content-immutable; "
-                "re-ingest updated documents under new ids"
-            )
+        # DIFFERENT fingerprint is an UPDATE. While the dead old-content
+        # row still physically exists, cancelling the tombstone would
+        # resurrect it next to the new append (two live rows per id) —
+        # fail loud. Once compaction has folded the old row away the
+        # update degenerates to an insert and is allowed. The presence
+        # check must read the TOMBSTONE's recorded bucket (the mutated
+        # text hashes elsewhere, so the batch-bucket history slice cannot
+        # see the dead row); bounded by the mutated-hit count, rare path.
+        fp_mismatch = [r for r in hits if r.fingerprint != r._tfp]
+        if fp_mismatch:
+            mut_ids = [int(r.doc_id) for r in fp_mismatch]
+            mut_buckets = sorted({int(r._tbucket) for r in fp_mismatch})
+            still = {
+                int(r.doc_id)
+                for r in PS.read_partitioned(
+                    self.spark, self.docs_root, _DOCS_READ_SCHEMA
+                )
+                .filter(F.col("bucket").isin(mut_buckets))
+                .filter(F.col("doc_id").isin(mut_ids))
+                .select("doc_id")
+                .distinct()
+                .collect()
+            }
+            if still:
+                raise ValueError(
+                    f"tombstoned doc_ids {sorted(still)[:10]} re-sent "
+                    "with different content while their dead rows still "
+                    "exist — ids are content-immutable; re-ingest "
+                    "updated documents under new ids, or compact the "
+                    "store (folding the dead rows) first"
+                )
         res_ids = sorted({int(r.doc_id) for r in hits})
         if not res_ids:
             return survivors, []

@@ -481,23 +481,42 @@ class VectorIndexMaintainer:
                 # fingerprint check, at the index's own identity): a
                 # tombstoned id whose re-send quantizes to a different
                 # (cell, codes) carries a mutated embedding — cancelling
-                # the tombstone would resurrect the old-content row next
-                # to the new append (or, same-cell, silently drop the new
-                # content). Fail loud instead.
-                mutated = [
-                    r.vec_id
+                # the tombstone while the dead row still exists would
+                # resurrect the old-content row next to the new append
+                # (or, same-cell, silently drop the new content). Fail
+                # loud while the dead row is physically present (checked
+                # at the TOMBSTONE's recorded cell — the mutated vector
+                # routes elsewhere, so the batch-cell slice cannot see
+                # it); once folded, the update degenerates to an insert.
+                mismatch = [
+                    r
                     for r in hits
                     if int(r.cell) != int(r._tcell)
                     or [int(c) for c in r.codes]
                     != [int(c) for c in r._tcodes]
                 ]
-                if mutated:
-                    raise ValueError(
-                        f"tombstoned vec_ids {sorted(set(mutated))[:10]} "
-                        "re-sent with embeddings that quantize "
-                        "differently — ids are content-immutable; "
-                        "re-ingest updated vectors under new ids"
-                    )
+                if mismatch:
+                    mut_ids = [int(r.vec_id) for r in mismatch]
+                    mut_cells = sorted({int(r._tcell) for r in mismatch})
+                    still = {
+                        int(r.vec_id)
+                        for r in self._cells()
+                        .filter(F.col("cell").isin(mut_cells))
+                        .filter(F.col("vec_id").isin(mut_ids))
+                        .select("vec_id")
+                        .distinct()
+                        .collect()
+                    }
+                    if still:
+                        raise ValueError(
+                            f"tombstoned vec_ids {sorted(still)[:10]} "
+                            "re-sent with embeddings that quantize "
+                            "differently while their dead rows still "
+                            "exist — ids are content-immutable; "
+                            "re-ingest updated vectors under new ids, "
+                            "or compact the index (folding the dead "
+                            "rows) first"
+                        )
                 res_ids = sorted({int(r.vec_id) for r in hits})
                 if res_ids:
                     present = {

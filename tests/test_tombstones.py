@@ -310,3 +310,31 @@ def test_vector_mutated_resend_of_tombstoned_id_fails_loud(
     with pytest.raises(ValueError, match="content-immutable"):
         m.ingest_batch(mutated)
     assert PS.has_tombstones(spark, f"{path}/cells")
+
+
+def test_corpus_update_allowed_once_dead_row_is_folded(spark, tmp_path):
+    """Once compaction folds the dead row away (here simulated with the
+    fold run directly, i.e. a crash before GC), a changed-content re-send
+    degenerates to an insert: accepted, tombstone cancelled, exactly one
+    live row with the NEW content."""
+    store = CorpusStore(spark, str(tmp_path / "c"), n_buckets=4)
+    store.ingest_batch(_docs(spark).filter(F.col("doc_id") % 2 == 0))
+    store.ingest_batch(_docs(spark).filter(F.col("doc_id") % 2 == 1))
+    store.delete_docs([0])
+    tombs = PS.read_tombstones(spark, store.docs_root, None)
+    PS.tiered_compact_partitions(
+        spark, store.docs_root, "bucket", 1,
+        drop=tombs.select("doc_id"), drop_key="doc_id",
+    )  # fold WITHOUT the GC maybe_compact would run
+    assert PS.has_tombstones(spark, store.docs_root)
+    mutated = _docs(spark).filter(F.col("doc_id") == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" MUTATED")).alias("text"),
+        "lang",
+        "source",
+    )
+    s = store.ingest_batch(mutated)
+    assert s.n_accepted == 1 and s.n_resurrected == 1
+    assert not PS.has_tombstones(spark, store.docs_root)
+    rows = store.read().filter(F.col("doc_id") == 0).collect()
+    assert len(rows) == 1 and rows[0].text.endswith(" MUTATED")
