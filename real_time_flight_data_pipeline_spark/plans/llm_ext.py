@@ -5702,21 +5702,16 @@ def q_docs_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# Tombstone-aware ingest classification (BANKED FOR r15 REGISTRATION —
-# see COVERAGE.md "Next catalog addition"): the oracle-paired spec twin
-# of CorpusStore ingest AGAINST A STORE WITH LIVE TOMBSTONES (r14's
-# delete support, streaming/corpus.delete_docs). Classification is
-# docs_ingest_dedup's with one change — the spec change deletes make:
-# history is the LIVE set (physical minus tombstoned ids), so a
-# tombstoned id re-sent is ACCEPTED again (the twin of the store's
+# Tombstone-aware ingest classification (banked r14, REGISTERED r15 when
+# its reserved slot opened — retirement of rfm_purchase_segments_approx
+# from the r12-green cohort, the pre-planned rotation in COVERAGE.md):
+# the oracle-paired spec twin of CorpusStore ingest AGAINST A STORE WITH
+# LIVE TOMBSTONES (r14's delete support, streaming/corpus.delete_docs).
+# Classification is docs_ingest_dedup's with one change — the spec change
+# deletes make: history is the LIVE set (physical minus tombstoned ids),
+# so a tombstoned id re-sent is ACCEPTED again (the twin of the store's
 # tombstone-cancelling resurrection), and dead content arriving under a
-# new id is ACCEPTED (a dead fingerprint no longer blocks). Deliberately
-# NOT @_register-ed this round: the registry is at the 150/150 rotation
-# ceiling and the r15 window slot requires retiring
-# rfm_purchase_segments_approx from the r12-green cohort (the pre-planned
-# r15 retirement — COVERAGE.md cohort math). Until registration it is
-# oracle-verified every session by tests/test_preregistered.py; r15
-# flips the decorator on together with that retirement.
+# new id is ACCEPTED (a dead fingerprint no longer blocks).
 # ===========================================================================
 def _docs_tombstone_ingest_oracle() -> str:
     fp = _sql_md5_long("text")
@@ -5755,6 +5750,28 @@ def _docs_tombstone_ingest_oracle() -> str:
     """
 
 
+@_register(
+    "docs_tombstone_ingest",
+    _docs_tombstone_ingest_oracle(),
+    "Tombstone-aware streaming ingest classification: the oracle-paired "
+    "spec twin of CorpusStore.ingest_batch against a store with LIVE "
+    "tombstones (delete_docs). Same joins as docs_ingest_dedup with the "
+    "one delta deletes make — history is the LIVE projection (physical "
+    "minus tombstoned ids, the exact shape _pruned_history feeds after a "
+    "delete), so a tombstoned id re-sent is ACCEPTED (the twin of the "
+    "store's tombstone-cancelling resurrection) and dead content under a "
+    "new id is ACCEPTED (a dead fingerprint no longer blocks). The "
+    "planted batch pins both delete-specific outcomes plus replayed / "
+    "dup_hist / dup_batch. Scale shape: two hash-partitioned equi-joins "
+    "on the batch keyspace; corpus-derived sides shuffle_hash-hinted, "
+    "never statically broadcast; the anti-join against tombstones costs "
+    "nothing in delete-free stores (plan-pinned in test_tombstones.py)",
+    reference="spec twin of streaming/corpus.CorpusStore.ingest_batch "
+    "with delete_docs tombstones (r14); SURVEY §2.9 T3 exactly-once-by-"
+    "idempotence under deletes; reference contract "
+    "/root/reference/apps/spark_app/flight_stream.py:33-36",
+    tags=("dedup", "northstar", "streaming-twin", "tombstone"),
+)
 def q_docs_tombstone_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted scenario (history = doc_id%10 != 9, tombstoned = every
     100th history doc): the batch re-sends tombstoned doc 0 (ACCEPTED —

@@ -393,7 +393,12 @@ _RFM_DIMS = ("recency", "frequency", "monetary")
 _RFM_PS = (0.25, 0.5, 0.75)
 
 
-@_register(
+# Retired r15 (pre-planned rotation, COVERAGE.md cohort math): the window
+# slot freed here is consumed by docs_tombstone_ingest (plans/llm_ext.py).
+# The sketch-vs-exact measurement this twin banked (GK boundaries within
+# n/10_000 rank error of ntile's) stays pinned by the oracle compare in
+# tests/test_retired.py every session.
+@_register_retired(
     "rfm_purchase_segments_approx",
     f"""
     WITH agg AS (

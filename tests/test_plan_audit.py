@@ -25,7 +25,8 @@ _BNLJ_ALLOWED = {
     "embedding_ivf_recall",  # composes embedding_topk_ivf, inherits its plan
     "embedding_ivf_recall_trained",  # composes k-means + IVF, same bounded sides
     "docs_mix_weights",  # 1-row grand-total broadcast cross join (scalar subquery)
-    "rfm_purchase_segments_approx",  # 1-row percentile-boundary broadcast cross join
+    # (rfm_purchase_segments_approx retired r15 — its 1-row percentile-
+    # boundary allowlist entry moved to test_retired.py with its gating.)
     "docs_token_heavy_hitters",  # 1-row stream-total broadcast cross join
     "events_hourly_gapfill",  # 1-row hour-bounds broadcast cross join (spine)
     "events_hourly_anomalies",  # same 1-row hour-bounds spine broadcast

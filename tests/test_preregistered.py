@@ -1,31 +1,25 @@
 """Catalog queries banked ahead of their registration window (COVERAGE.md
 "Next catalog addition") and the semantics pinned at banking time.
 
-`docs_near_dup_ingest` was banked in r13 and registered in r14 when its
-reserved slot opened; its oracle match is covered by the registry-wide
-gate (tests/test_oracle.py) and what stays here is its planted-status
-contract. `docs_tombstone_ingest` is r14's bank for r15: the
-oracle-paired spec twin of ingest classification against a store with
-live tombstones (r14's delete support) — implemented and oracle-verified
-every session here, registered in r15 together with the pre-planned
-retirement of `rfm_purchase_segments_approx` (the rotation's r12-cohort
-slot — COVERAGE.md cohort math).
+`docs_near_dup_ingest` was banked in r13 and registered in r14;
+`docs_tombstone_ingest` was banked in r14 and registered in r15 — each
+when its reserved slot opened (retiring `embedding_topk_join` and
+`rfm_purchase_segments_approx` respectively, always from the due green
+cohort). Once registered, a query's oracle match is covered by the
+registry-wide gate (tests/test_oracle.py); what stays here is the
+planted-status contract each was banked with, so the accept-classification
+semantics can't drift under later refactors.
 """
 
 from __future__ import annotations
 
-from real_time_flight_data_pipeline_spark.plans.catalog import (
-    REGISTRY,
-    RETIRED_REGISTRY,
-)
+from real_time_flight_data_pipeline_spark.plans.catalog import REGISTRY
 from real_time_flight_data_pipeline_spark.plans.llm_ext import (
-    _docs_tombstone_ingest_oracle,
     q_docs_near_dup_ingest,
     q_docs_tombstone_ingest,
 )
 
-from .conftest import SF_CORRECT, SF_SMOKE
-from .oracle_harness import compare
+from .conftest import SF_SMOKE
 
 
 def test_near_dup_ingest_registered():
@@ -33,6 +27,15 @@ def test_near_dup_ingest_registered():
     active registry with its DuckDB oracle attached."""
     assert "docs_near_dup_ingest" in REGISTRY
     assert REGISTRY["docs_near_dup_ingest"].oracle is not None
+    assert len(REGISTRY) == 150  # rotation ceiling fully used again
+
+
+def test_tombstone_ingest_registered():
+    """r15 flipped @_register on (VERDICT r14 item 1, the pre-planned
+    rotation): registered with its DuckDB oracle, inside the 150 ceiling
+    (the slot came from retiring rfm_purchase_segments_approx)."""
+    assert "docs_tombstone_ingest" in REGISTRY
+    assert REGISTRY["docs_tombstone_ingest"].oracle is not None
     assert len(REGISTRY) == 150  # rotation ceiling fully used again
 
 
@@ -52,16 +55,6 @@ def test_near_dup_ingest_planted_statuses(spark):
     assert "accepted" in rows.values()
 
 
-def test_tombstone_ingest_oracle_match(spark):
-    ok, msg = compare(
-        spark,
-        SF_CORRECT,
-        q_docs_tombstone_ingest,
-        _docs_tombstone_ingest_oracle(),
-    )
-    assert ok, msg
-
-
 def test_tombstone_ingest_planted_statuses(spark):
     """The delete-specific classification deltas, pinned per planted row:
     a tombstoned id re-sent is ACCEPTED (the store resurrects by
@@ -77,14 +70,3 @@ def test_tombstone_ingest_planted_statuses(spark):
     assert rows[9_000_001] == "dup_hist"    # live text, new id
     assert rows[9_000_002] == "accepted"    # DEAD text, new id
     assert rows[9_000_003] == "dup_batch"   # loses min-id race to doc 9
-
-
-def test_tombstone_ingest_deliberately_not_registered_yet():
-    """The queue decision itself is pinned: the registry is at the
-    150/150 rotation ceiling, and the r15 window slot comes from retiring
-    rfm_purchase_segments_approx (r12-green cohort). When r15 executes
-    that retirement, flip @_register on and delete this test."""
-    assert "docs_tombstone_ingest" not in REGISTRY
-    assert "docs_tombstone_ingest" not in RETIRED_REGISTRY
-    assert len(REGISTRY) == 150  # ceiling fully used; no free slot
-    assert "rfm_purchase_segments_approx" in REGISTRY  # the named r15 slot

@@ -32,6 +32,8 @@ _BNLJ_ALLOWED = {
     # baseline side), same shape as its active trained twin
     "embedding_topk_join",  # 8-row query-batch broadcast (the multi-query
     # brute-force baseline), same shape it carried while active
+    "rfm_purchase_segments_approx",  # 1-row percentile-boundary broadcast
+    # cross join, same shape it carried while active
 }
 
 
@@ -55,6 +57,13 @@ def test_expected_retirees():
         "embedding_topk_join",
         "multimodal_decode_stub",
         "multimodal_resize_framesample_stub",
+        # r15 (shortlist #4, the pre-planned rotation): approx-percentile
+        # twin of the still-active rfm_purchase_segments; retired from the
+        # r12-green cohort to free the window slot docs_tombstone_ingest
+        # occupies (a never-verified addition enters the driver window
+        # immediately, so the due cohort supplies it). The GK-sketch
+        # error-bound measurement stays pinned by the oracle compare here.
+        "rfm_purchase_segments_approx",
         # r12 (shortlist #1): grouped-Arrow-UDF twin of the still-active
         # user_value_mad_native; the UDF-vs-builtin measurement lives in
         # test_udtf.py.
