@@ -193,6 +193,7 @@ def await_stable_cells(
     cells: Sequence[int],
     retries: int = 3,
     wait_sec: float = 0.2,
+    marker_wait_sec: float = 10.0,
 ) -> None:
     """Reader-side guard for the compaction swap window (r11 verdict #2 /
     ADVICE medium): wait out an in-flight swap that briefly hides a
@@ -205,12 +206,25 @@ def await_stable_cells(
     Generational layouts (r13 verdict #7): a tiered swap parks a gen
     SUB-level while the cell dir itself stays present, so the per-cell
     existence probe cannot see the hole — when the parked entries carry
-    gen= sub-dirs the coarse marker guard is the correct one and is used
-    instead."""
+    gen= sub-dirs (or the protocol cannot be positively adjudicated —
+    r15 ADVICE, medium) the coarse marker guard is used instead. Its
+    budget is ``max(retries * wait_sec, marker_wait_sec)`` polled at
+    ``wait_sec`` — the caller's patience is honored, floored at the
+    measured in-flight tiered-pass duration (~3 s at the 100x corpus)."""
+    import math  # noqa: PLC0415
+
     root = f"{path}/cells"
     try:
-        if _ps.has_swap_marker(spark, root) and _marker_is_tiered(spark, root):
-            _ps.await_no_swap_marker(spark, root)
+        if _ps.has_swap_marker(spark, root) and _marker_is_tiered(
+            spark, root, retries, wait_sec
+        ):
+            poll = max(wait_sec, 0.05)
+            _ps.await_no_swap_marker(
+                spark,
+                root,
+                retries=max(retries, math.ceil(marker_wait_sec / poll)),
+                wait_sec=poll,
+            )
             return
         _ps.await_stable_partitions(
             spark, root, "cell", cells, retries, wait_sec
@@ -222,22 +236,45 @@ def await_stable_cells(
         ) from None
 
 
-def _marker_is_tiered(spark: SparkSession, root: str) -> bool:
+def _marker_is_tiered(
+    spark: SparkSession,
+    root: str,
+    retries: int = 3,
+    wait_sec: float = 0.2,
+) -> bool:
     """Whether the swap marker's parked entries carry gen= sub-dirs (the
-    generational protocol) — a racing marker removal reads as False and
-    falls through to the per-cell guard, which then passes."""
-    fs, jvm = _ps._fs(spark, root)
-    hp = jvm.org.apache.hadoop.fs.Path(f"{root}_old")
-    try:
-        for pdir in fs.listStatus(hp):
-            if not pdir.isDirectory():
-                continue
-            for gd in fs.listStatus(pdir.getPath()):
-                if gd.getPath().getName().startswith("gen="):
-                    return True
-    except Exception:  # noqa: BLE001 — marker vanished mid-listing
-        return False
-    return False
+    generational protocol), adjudicated from the PARKED ENTRIES via
+    ``partstore.parked_protocol`` (r15 ADVICE, medium). False ONLY on a
+    positive adjudication: flat-parked entries, or the marker vanishing
+    mid-listing with ``has_swap_marker`` re-confirming the swap completed
+    (the per-cell fall-through then no-ops). An ambiguous marker (nothing
+    parked yet — the mkdirs-to-first-rename window) or a transient
+    listing error is retried, then resolved CONSERVATIVELY to tiered:
+    the coarse marker wait is a correct guard for both protocols and
+    fails loud, where guessing 'flat' would let the per-cell probe pass
+    over a store missing a parked gen level — the silent-missing-rows
+    case this guard exists to prevent. Persistent listing errors with
+    the marker still present raise."""
+    import time  # noqa: PLC0415
+
+    for attempt in range(retries + 1):
+        try:
+            proto = _ps.parked_protocol(spark, root, "cell")
+        except Exception:  # noqa: BLE001
+            if not _ps.has_swap_marker(spark, root):
+                return False  # swap completed mid-listing
+            if attempt >= retries:
+                raise  # marker present, listing keeps failing: fail loud
+            time.sleep(wait_sec)
+            continue
+        if proto == "tiered":
+            return True
+        if proto in ("flat", "none"):
+            return False
+        # "empty": ambiguous window — retry, then conservative tiered.
+        if attempt < retries:
+            time.sleep(wait_sec)
+    return True
 
 
 def cell_file_counts(spark: SparkSession, path: str) -> dict[int, int]:

@@ -412,6 +412,49 @@ def await_no_swap_marker(
     )
 
 
+def parked_protocol(spark: SparkSession, root: str, part_col: str) -> str:
+    """Which swap protocol's data is parked under ``<root>_old`` — the
+    adjudicator BOTH recovery-protocol selection and the reader guard use
+    (r15 ADVICE, medium x2). The two protocols park different shapes and
+    each recovery is DESTRUCTIVE under the other's crash state
+    (``recover_partition_compaction`` deletes a parked gen level whose
+    live cell dir still exists; ``recover_tiered_compaction`` skips
+    flat-parked files then drops the whole marker), so the protocol must
+    be read from the PARKED ENTRIES THEMSELVES, never inferred from the
+    live tree — a crashed tiered swap can have parked the only gen level
+    the live tree ever showed.
+
+    Returns one of:
+      - ``"none"``   — no marker exists (swap completed / never started);
+      - ``"tiered"`` — some parked entry carries a ``gen=`` sub-dir;
+      - ``"flat"``   — parked entries carry files / non-gen children
+        (the whole-partition protocol parks the partition dir itself);
+      - ``"empty"``  — the marker exists but nothing is parked yet: the
+        window between a swap's ``mkdirs`` and its first park rename, or
+        a completed level awaiting skeleton cleanup. Both recoveries
+        degenerate to dropping marker+staging here (live tree complete).
+    Listing errors propagate — callers decide whether to retry or fail
+    loud; silently defaulting to a protocol is exactly the data-loss
+    path this function exists to close."""
+    fs, jvm = _fs(spark, root)
+    hp = jvm.org.apache.hadoop.fs.Path
+    old_root = hp(f"{root}_old")
+    if not fs.exists(old_root):
+        return "none"
+    prefix = f"{part_col}="
+    saw_flat = False
+    for pdir in fs.listStatus(old_root):
+        if not pdir.isDirectory() or not pdir.getPath().getName().startswith(
+            prefix
+        ):
+            continue
+        for ch in fs.listStatus(pdir.getPath()):
+            if ch.isDirectory() and ch.getPath().getName().startswith("gen="):
+                return "tiered"
+            saw_flat = True
+    return "flat" if saw_flat else "empty"
+
+
 def gen_file_counts(
     spark: SparkSession, root: str, part_col: str
 ) -> dict[tuple[int, int], int]:
@@ -667,19 +710,44 @@ def has_tombstones(spark: SparkSession, root: str) -> bool:
     """Whether any tombstone file exists for ``root`` — one driver-side
     check. Readers use this to skip the anti-join entirely on stores that
     have never seen a delete (the common case), keeping their plans
-    byte-identical to the pre-tombstone ones."""
+    byte-identical to the pre-tombstone ones.
+
+    Checks the swap's parked ``<tombs>_gone`` dir too (r15 ADVICE,
+    medium): ``rewrite_tombstones`` renames the live set away (A) before
+    the new set lands (B), and a cross-session reader probing inside that
+    window must NOT conclude the store is delete-free — dropping the
+    anti-join there could surface deleted rows, the exact contract
+    ``_live_candidates`` promises never to break."""
     fs, jvm = _fs(spark, root)
-    d = jvm.org.apache.hadoop.fs.Path(tombs_dir(root))
-    if not fs.exists(d):
-        return False
-    return any(
-        f.getPath().getName().endswith(".parquet") for f in fs.listStatus(d)
-    )
+    td = tombs_dir(root)
+    for d in (td, f"{td}_gone"):
+        p = jvm.org.apache.hadoop.fs.Path(d)
+        if fs.exists(p) and any(
+            f.getPath().getName().endswith(".parquet")
+            for f in fs.listStatus(p)
+        ):
+            return True
+    return False
 
 
 def read_tombstones(spark: SparkSession, root: str, schema) -> DataFrame:
-    """Live tombstone rows (empty-with-schema when none)."""
-    return read_partitioned(spark, tombs_dir(root), schema)
+    """Live tombstone rows (empty-with-schema when none).
+
+    Unions in the swap's parked ``<tombs>_gone`` dir when one exists (r15
+    ADVICE, medium): a reader racing ``rewrite_tombstones``' two-rename
+    window would otherwise read an empty live dir and silently drop its
+    anti-join. Rewrites only ever SHRINK the set (cancellation / GC — the
+    delete path appends, it never rewrites), so the union over-filters at
+    worst: a just-resurrected id stays invisible until the swap completes
+    and recovery drops ``_gone``; a deleted row is never visible. The
+    rare rename-mid-scan race fails loud on the missing-file check rather
+    than returning a partial tombstone set."""
+    live = read_partitioned(spark, tombs_dir(root), schema)
+    fs, jvm = _fs(spark, root)
+    gone = f"{tombs_dir(root)}_gone"
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(gone)):
+        return live.unionByName(read_partitioned(spark, gone, schema))
+    return live
 
 
 def recover_tombstone_rewrite(spark: SparkSession, root: str) -> None:

@@ -295,19 +295,28 @@ class VectorIndexMaintainer:
         """Writer-side self-heal at the top of every mutating entry point
         (ingest AND delete): the maintainer is the store's single writer,
         so a swap marker now can only be its own compactor's crash —
-        recover it before any guard or scan, with the protocol MATCHING
-        THE LAYOUT (tiered swaps park gen sub-levels; the whole-cell
-        recovery would misread a parked gen level as already-swapped —
-        live cell dir present — and delete it). Also finishes any crashed
-        tombstone-set rewrite, and completes a crashed layout migration
-        (idempotent per-file renames) before anything scans a
+        recover it before any guard or scan, with the protocol read from
+        the PARKED ENTRIES THEMSELVES (r15 ADVICE, low), never from the
+        live tree: a crashed tiered swap that parked the only visible gen
+        level (a one-populated-cell index) leaves the live tree gen-free,
+        and the whole-cell recovery would then misread the parked level
+        as already-swapped — live cell dir present — and delete it,
+        permanent data loss. Each recovery is destructive under the
+        other's crash state, so ``parked_protocol`` adjudicates from what
+        is actually parked; an empty marker (crash between mkdirs and the
+        first park rename, or a completed level awaiting skeleton
+        cleanup) degenerates to dropping marker+staging under either
+        protocol — the flat recovery does exactly that. Also finishes any
+        crashed tombstone-set rewrite, and completes a crashed layout
+        migration (idempotent per-file renames) before anything scans a
         mixed-depth tree."""
         if self._has_swap_marker():
-            if self._layout_is_tiered():
+            proto = PS.parked_protocol(self.spark, f"{self.path}/cells", "cell")
+            if proto == "tiered":
                 PS.recover_tiered_compaction(
                     self.spark, f"{self.path}/cells", "cell"
                 )
-            else:
+            elif proto in ("flat", "empty"):
                 from ..operators.ann_index import recover_compaction  # noqa: PLC0415
 
                 recover_compaction(self.spark, self.path)

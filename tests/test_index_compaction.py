@@ -491,3 +491,60 @@ def test_partstore_guard_helpers(spark, tmp_path):
         PS.verify_stable_after(spark, root)
     with pytest.raises(RuntimeError, match="swap marker"):
         PS.assert_no_swap_marker(spark, root)
+
+
+def test_parked_protocol_classification(spark, tmp_path):
+    """r15 ADVICE (medium): the swap protocol is adjudicated from the
+    PARKED entries themselves — gen= sub-dirs mean tiered, parked files
+    mean flat (whole-partition), an entry-less marker is the ambiguous
+    mkdirs-to-first-rename window — never from the live tree."""
+    import os
+
+    from real_time_flight_data_pipeline_spark.operators import partstore as PS
+
+    root = str(tmp_path / "s")
+    os.makedirs(f"{root}/cell=0")
+    assert PS.parked_protocol(spark, root, "cell") == "none"
+    os.makedirs(f"{root}_old")
+    assert PS.parked_protocol(spark, root, "cell") == "empty"
+    os.makedirs(f"{root}_old/cell=0")
+    assert PS.parked_protocol(spark, root, "cell") == "empty"
+    with open(f"{root}_old/cell=0/part-000.parquet", "w") as f:
+        f.write("x")
+    assert PS.parked_protocol(spark, root, "cell") == "flat"
+    os.makedirs(f"{root}_old/cell=1/gen=3")
+    assert PS.parked_protocol(spark, root, "cell") == "tiered"
+
+
+def test_marker_guard_conservative_on_ambiguous(spark, tmp_path):
+    """r15 ADVICE (medium): _marker_is_tiered must never silently guess
+    'flat' — an ambiguous marker (nothing parked yet) resolves to the
+    coarse tiered wait, which fails LOUD on a crashed swap instead of
+    letting the per-cell probe pass over a missing gen level. A
+    positively-flat marker still falls through to the per-cell guard,
+    and the caller's wait budget is honored on the coarse path."""
+    import os
+    import time
+
+    from real_time_flight_data_pipeline_spark.operators.ann_index import (
+        _marker_is_tiered,
+    )
+
+    path = str(tmp_path / "idx")
+    os.makedirs(f"{path}/cells/cell=0")
+    os.makedirs(f"{path}/cells_old")  # marker present, nothing parked
+    assert _marker_is_tiered(spark, f"{path}/cells", retries=0) is True
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="persists"):
+        await_stable_cells(
+            spark, path, [0], retries=1, wait_sec=0.05, marker_wait_sec=0.1
+        )
+    assert time.monotonic() - t0 < 5  # the budget was the caller's, not 10 s
+
+    # flat-parked entries adjudicate flat -> per-cell guard (cell 0 live,
+    # so the guard passes despite the marker)
+    os.makedirs(f"{path}/cells_old/cell=1")
+    with open(f"{path}/cells_old/cell=1/part-000.parquet", "w") as f:
+        f.write("x")
+    assert _marker_is_tiered(spark, f"{path}/cells", retries=0) is False
+    await_stable_cells(spark, path, [0], retries=0, wait_sec=0.01)

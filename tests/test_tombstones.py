@@ -121,11 +121,15 @@ def test_tombstone_rewrite_crash_recovers(spark, tmp_path):
     td = PS.tombs_dir(store.docs_root)
     fs, jvm = PS._fs(spark, td)
     hp = jvm.org.apache.hadoop.fs.Path
-    # crash window: rename (A) done, rename (B) never ran, no staged set
+    # crash window: rename (A) done, rename (B) never ran, no staged set.
+    # Readers already see the parked set (r15 ADVICE closed the un-delete
+    # window — test_tombstone_swap_window_never_hides_deletes), and any
+    # ingest self-heals the swap itself.
     PS._rename_or_raise(fs, hp(td), hp(f"{td}_gone"))
-    assert not PS.has_tombstones(spark, store.docs_root)  # would un-delete!
+    assert PS.has_tombstones(spark, store.docs_root)  # parked set visible
     store.ingest_batch(_docs(spark).limit(0))  # any ingest self-heals first
     assert PS.has_tombstones(spark, store.docs_root)
+    assert not fs.exists(hp(f"{td}_gone"))  # swap adjudicated, not parked
     assert 0 not in _ids(store)
 
 
@@ -338,3 +342,34 @@ def test_corpus_update_allowed_once_dead_row_is_folded(spark, tmp_path):
     assert not PS.has_tombstones(spark, store.docs_root)
     rows = store.read().filter(F.col("doc_id") == 0).collect()
     assert len(rows) == 1 and rows[0].text.endswith(" MUTATED")
+
+
+def test_tombstone_swap_window_never_hides_deletes(spark, tmp_path):
+    """r15 ADVICE (medium): rewrite_tombstones renames the live set away
+    (A) before the new set lands (B). A cross-session reader probing
+    inside that window must still see the deletes via the parked
+    ``_gone`` set — concluding 'delete-free' there drops the anti-join
+    and surfaces deleted rows, breaking the probes-never-return-deleted
+    contract. Over-filtering (a resurrection transiently invisible) is
+    the safe direction; recovery converges either way."""
+    import shutil
+
+    store = CorpusStore(spark, str(tmp_path / "c"), n_buckets=4)
+    store.ingest_batch(_docs(spark))
+    assert store.delete_docs([0, 1]) == 2
+
+    # simulate the mid-swap instant: rename (A) done, (B) not yet
+    td = PS.tombs_dir(store.docs_root)
+    shutil.move(td, f"{td}_gone")
+    assert PS.has_tombstones(spark, store.docs_root)
+    assert {0, 1}.isdisjoint(_ids(store))  # reader still anti-joins
+
+    # crashed-after-(B) state: live holds the new set, _gone the old —
+    # the union over-filters (safe) and never errors
+    shutil.copytree(f"{td}_gone", td)
+    assert {0, 1}.isdisjoint(_ids(store))
+
+    # writer-side recovery adjudicates; deletes still in force after
+    PS.recover_tombstone_rewrite(spark, store.docs_root)
+    assert not glob.glob(f"{td}_gone")
+    assert {0, 1}.isdisjoint(_ids(store))

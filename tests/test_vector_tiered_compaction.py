@@ -152,3 +152,40 @@ def test_delete_after_crashed_tiered_swap_recovers_without_loss(
         for r in spark.read.parquet(f"{path}/cells").select("vec_id").collect()
     )
     assert live == before  # parked level restored, nothing lost
+
+
+def test_recovery_protocol_from_parked_entries_not_live_tree(spark, tmp_path):
+    """r15 ADVICE (low): a crashed tiered swap can park the ONLY visible
+    gen level(s), leaving the live tree gen-free — protocol detection
+    from the live layout would then pick the whole-cell recovery, whose
+    first arm (live cell dir present) DELETES the parked level:
+    permanent data loss. _recover_if_crashed now reads the protocol from
+    the parked entries themselves and restores every row."""
+    import os
+    import shutil
+
+    path, emb = _index(spark, tmp_path, subset=F.col("vec_id") < 200)
+    m = VectorIndexMaintainer(spark, path, compaction="tiered")
+    m.ingest_batch(_held(emb, 200, 240))
+    m.maybe_compact(max_files_per_cell=1)
+    assert m._layout_is_tiered()
+    before = {
+        r.vec_id
+        for r in spark.read.parquet(f"{path}/cells").select("vec_id").collect()
+    }
+    # crash state: EVERY gen level parked; the live tree shows no gen=
+    for gen_dir in sorted(glob.glob(f"{path}/cells/cell=*/gen=*")):
+        rel = "/".join(gen_dir.rsplit("/", 2)[1:])
+        os.makedirs(os.path.dirname(f"{path}/cells_old/{rel}"), exist_ok=True)
+        shutil.move(gen_dir, f"{path}/cells_old/{rel}")
+    assert not glob.glob(f"{path}/cells/cell=*/gen=*")
+    assert not m._layout_is_tiered()  # the live tree lies about protocol
+
+    s = m.ingest_batch(_held(emb, 240, 250))  # heals first, then ingests
+    assert not glob.glob(f"{path}/cells_old")
+    live = {
+        r.vec_id
+        for r in spark.read.parquet(f"{path}/cells").select("vec_id").collect()
+    }
+    assert before <= live  # every parked row restored, nothing lost
+    assert s.n_added + s.n_replayed + s.n_quantized_dup == 10
