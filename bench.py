@@ -6,7 +6,12 @@ it:
    "queries": {"<name>": <sec>, ...}, "n_queries": N, "n_errors": E}
 
 Per-query progress goes to stderr and the full detail (runs, errors with
-tracebacks) to BENCH_DETAIL.json next to this file. A query that raises is
+tracebacks) to a RUN-STAMPED ``BENCH_DETAIL.<runid>.json`` next to this
+file (gitignored). ``BENCH_DETAIL.json`` — the adjudicated
+artifact-of-record ``git diff`` must keep meaningful — is only written on
+an explicit ``--adopt`` (r14 verdict "what's wrong" #1: the driver's
+per-round sweep used to clobber the committed artifact every round, two
+rounds running; adoption is now a deliberate act, not a side effect). A query that raises is
 recorded as an error and skipped — one red query must never zero the whole
 round's perf signal (r4: the run crashed at sessionize_events and the round
 had no bench number at all). When ANY query errors the headline value is
@@ -191,7 +196,19 @@ def _time_canary(spark, sf_dir: str) -> float:
     return round(statistics.median(runs), 4)
 
 
+def _detail_paths(
+    repo_dir: pathlib.Path, adopt: bool, run_id: str
+) -> list[pathlib.Path]:
+    """Where this sweep's detail lands: always the run-stamped file; the
+    committed artifact-of-record ONLY under --adopt (unit-tested)."""
+    paths = [repo_dir / f"BENCH_DETAIL.{run_id}.json"]
+    if adopt:
+        paths.append(repo_dir / "BENCH_DETAIL.json")
+    return paths
+
+
 def main() -> None:
+    adopt = "--adopt" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -383,15 +400,18 @@ def main() -> None:
         sum(d["exec_median"] for d in detail.values() if "exec_median" in d),
         4,
     )
-    detail_path = pathlib.Path(__file__).resolve().parent / "BENCH_DETAIL.json"
-    try:
-        detail_path.write_text(
-            json.dumps(
-                {"sf": sf, "total_sec": None if errors else total, "build_total_sec": build_total, "exec_total_sec": exec_total, "n_errors": len(errors), "canary": canary, "host": host, "detail": detail}, indent=1
-            )
-        )
-    except OSError:
-        traceback.print_exc(file=sys.stderr)
+    run_id = time.strftime("%Y%m%d-%H%M%S")
+    payload = json.dumps(
+        {"sf": sf, "total_sec": None if errors else total, "build_total_sec": build_total, "exec_total_sec": exec_total, "n_errors": len(errors), "run_id": run_id, "canary": canary, "host": host, "detail": detail}, indent=1
+    )
+    for detail_path in _detail_paths(
+        pathlib.Path(__file__).resolve().parent, adopt, run_id
+    ):
+        try:
+            detail_path.write_text(payload)
+            print(f"  detail -> {detail_path.name}", file=sys.stderr)
+        except OSError:
+            traceback.print_exc(file=sys.stderr)
     # The single stdout line, kept SMALL: r3's 61-entry per-query map made
     # the line unparseable to the driver (parsed: null), so the full map
     # lives in BENCH_DETAIL.json and stderr; stdout carries only the

@@ -313,20 +313,29 @@ class CorpusStore:
 
     def _split_resurrections(
         self, survivors: DataFrame, hist: DataFrame
-    ) -> tuple[DataFrame, list[int]]:
+    ) -> tuple[DataFrame, DataFrame | None, int]:
         """Split accepted survivors into (rows to physically append,
-        tombstoned ids to cancel). A survivor whose id is tombstoned is a
-        RESURRECTION: content-immutable ids mean the arriving row equals
-        the dead physical one, so if that row still exists (visible in the
-        batch-bucket history slice as ``_dead``) the accept is just the
-        tombstone's cancellation — appending would create a duplicate
-        physical row that the cancelled tombstone could no longer hide. If
-        compaction already folded the dead row away, the survivor appends
-        like any fresh accept. Both collects are bounded by the live
-        tombstone count (deletes are rare-path)."""
+        resurrected-id frame to cancel, resurrection count). A survivor
+        whose id is tombstoned is a RESURRECTION: content-immutable ids
+        mean the arriving row equals the dead physical one, so if that
+        row still exists (visible in the batch-bucket history slice as
+        ``_dead``) the accept is just the tombstone's cancellation —
+        appending would create a duplicate physical row that the
+        cancelled tombstone could no longer hide. If compaction already
+        folded the dead row away, the survivor appends like any fresh
+        accept.
+
+        Entirely JOIN-based (r15 verdict #4 / r14 what's-wrong #5): a
+        takedown WAVE — 10^6 ids is a real compliance scenario at
+        100 TB — must neither collect the wave to the driver nor push
+        megabyte ``isin`` literal expressions through Catalyst. The only
+        driver-side materializations are the bucket prune (bounded by
+        n_buckets, never by the wave) and a 10-row fail-loud sample; the
+        id sets travel as checkpointed frames, bounded by the live
+        tombstone count and distributed either way."""
         tombs = self._tombs_df()
         if tombs is None:
-            return survivors, []
+            return survivors, None, 0
         hits = (
             survivors.select("doc_id", "fingerprint")
             .join(
@@ -337,8 +346,12 @@ class CorpusStore:
                 ),
                 "doc_id",
             )
-            .collect()
+            .localCheckpoint(eager=True)  # one slice for all consumers
         )
+        res = hits.select("doc_id").distinct().localCheckpoint(eager=True)
+        n_res = res.count()
+        if n_res == 0:
+            return survivors, None, 0
         # Content-immutability guard: a tombstoned id arriving with a
         # DIFFERENT fingerprint is an UPDATE. While the dead old-content
         # row still physically exists, cancelling the tombstone would
@@ -347,52 +360,53 @@ class CorpusStore:
         # update degenerates to an insert and is allowed. The presence
         # check must read the TOMBSTONE's recorded bucket (the mutated
         # text hashes elsewhere, so the batch-bucket history slice cannot
-        # see the dead row); bounded by the mutated-hit count, rare path.
-        fp_mismatch = [r for r in hits if r.fingerprint != r._tfp]
-        if fp_mismatch:
-            mut_ids = [int(r.doc_id) for r in fp_mismatch]
-            mut_buckets = sorted({int(r._tbucket) for r in fp_mismatch})
-            still = {
+        # see the dead row); semi-join on the mutated ids, bucket-pruned.
+        mut = hits.filter(F.col("fingerprint") != F.col("_tfp"))
+        mut_buckets = sorted(
+            int(r._tbucket)
+            for r in mut.select("_tbucket").distinct().collect()
+        )
+        if mut_buckets:
+            still_sample = sorted(
                 int(r.doc_id)
                 for r in PS.read_partitioned(
                     self.spark, self.docs_root, _DOCS_READ_SCHEMA
                 )
                 .filter(F.col("bucket").isin(mut_buckets))
-                .filter(F.col("doc_id").isin(mut_ids))
                 .select("doc_id")
-                .distinct()
+                .join(mut.select("doc_id").distinct(), "doc_id", "semi")
+                .limit(10)
                 .collect()
-            }
-            if still:
+            )
+            if still_sample:
                 raise ValueError(
-                    f"tombstoned doc_ids {sorted(still)[:10]} re-sent "
+                    f"tombstoned doc_ids {still_sample} re-sent "
                     "with different content while their dead rows still "
                     "exist — ids are content-immutable; re-ingest "
                     "updated documents under new ids, or compact the "
                     "store (folding the dead rows) first"
                 )
-        res_ids = sorted({int(r.doc_id) for r in hits})
-        if not res_ids:
-            return survivors, []
-        present = {
-            int(r.doc_id)
-            for r in hist.filter(
-                F.col("_dead") & F.col("doc_id").isin(res_ids)
-            )
+        # Lineage cut: to_append is written INTO docs_root, so the
+        # present-set must not lazily re-scan docs_root mid-append.
+        present = (
+            hist.filter(F.col("_dead"))
             .select("doc_id")
-            .distinct()
-            .collect()
-        }
-        to_append = survivors.filter(
-            ~F.col("doc_id").isin([int(i) for i in present])
-        ) if present else survivors
-        return to_append, res_ids
+            .join(res, "doc_id", "semi")
+            .localCheckpoint(eager=True)
+        )
+        to_append = (
+            survivors.join(present, "doc_id", "left_anti")
+            if not present.isEmpty()
+            else survivors
+        )
+        return to_append, res, n_res
 
-    def _cancel_tombstones(self, res_ids: list[int]) -> None:
+    def _cancel_tombstones(self, res: DataFrame | None) -> None:
         """Drop resurrected ids from the tombstone set (runs AFTER any
         append: a crash in between leaves the row hidden and the replay
-        converges — see _split_resurrections)."""
-        if not res_ids:
+        converges — see _split_resurrections). Anti-join, never an
+        ``isin`` literal: bounded by live tombstones, wave-safe."""
+        if res is None:
             return
         tombs = self._tombs_df()
         if tombs is None:
@@ -400,7 +414,7 @@ class CorpusStore:
         PS.rewrite_tombstones(
             self.spark,
             self.docs_root,
-            tombs.filter(~F.col("doc_id").isin(res_ids)),
+            tombs.join(res, "doc_id", "left_anti"),
         )
 
     def _gc_tombstones(self) -> None:
@@ -580,19 +594,19 @@ class CorpusStore:
             F.count("*").alias("n")).collect()}
         survivors = cls.filter(F.col("status") == "accepted")
         n_accepted = by.get("accepted", 0)
-        res_ids: list[int] = []
+        n_res = 0
         if n_accepted:
             # Resurrections (re-ingest of a deleted id) whose dead physical
             # row still exists are committed by CANCELLING the tombstone;
             # everything else appends. Append-before-cancel: a crash in
             # between leaves the row hidden, and the replay converges.
-            to_append, res_ids = self._split_resurrections(survivors, hist)
-            if not res_ids:
+            to_append, res, n_res = self._split_resurrections(survivors, hist)
+            if n_res == 0:
                 self._append_docs(survivors)
             else:
                 if not to_append.isEmpty():
                     self._append_docs(to_append)
-                self._cancel_tombstones(res_ids)
+                self._cancel_tombstones(res)
         n_reps = sum(by.values())
         return CorpusIngestStats(
             n_rows=n_rows,
@@ -600,7 +614,7 @@ class CorpusStore:
             n_replayed=by.get("replayed", 0),
             n_dup_hist=by.get("dup_hist", 0),
             n_accepted=n_accepted,
-            n_resurrected=len(res_ids),
+            n_resurrected=n_res,
         )
 
     def maybe_compact(
@@ -929,7 +943,7 @@ class NearDupCorpusStore(CorpusStore):
             eager=True
         )
         n_accepted = survivors.count()
-        res_ids: list[int] = []
+        n_res = 0
         if n_accepted:
             # Bands FIRST (crash-convergence: see module docstring), with a
             # (doc_id, band_idx) anti-join against the PHYSICAL pruned band
@@ -956,13 +970,13 @@ class NearDupCorpusStore(CorpusStore):
             # Docs: resurrections with a surviving dead row commit by
             # tombstone cancellation instead of a duplicate append (same
             # split + ordering argument as the exact tier).
-            to_append, res_ids = self._split_resurrections(survivors, hist)
-            if not res_ids:
+            to_append, res, n_res = self._split_resurrections(survivors, hist)
+            if n_res == 0:
                 self._append_docs(survivors)
             else:
                 if not to_append.isEmpty():
                     self._append_docs(to_append)
-                self._cancel_tombstones(res_ids)
+                self._cancel_tombstones(res)
         n_exact_ok = by.get("accepted", 0)
         n_reps = sum(by.values())
         return CorpusIngestStats(
@@ -972,7 +986,7 @@ class NearDupCorpusStore(CorpusStore):
             n_dup_hist=by.get("dup_hist", 0),
             n_accepted=n_accepted,
             n_near_dup=n_exact_ok - n_accepted,
-            n_resurrected=len(res_ids),
+            n_resurrected=n_res,
         )
 
     def maybe_compact(

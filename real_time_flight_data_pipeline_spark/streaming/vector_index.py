@@ -463,17 +463,23 @@ class VectorIndexMaintainer:
         # possibly-holed slice. Single-writer deployments never hit this
         # (their compactor runs between triggers); one exists() check.
         PS.verify_stable_after(self.spark, f"{self.path}/cells")
-        res_ids: list[int] = []
+        n_res = 0
         if n_added:
             to_append = added
+            res = None
             if tombs is not None:
                 # Resurrections: an accepted id that is tombstoned commits
                 # by CANCELLING the tombstone; its dead physical row (equal
                 # under content-immutable ids) usually still exists — only
                 # if compaction already folded it away does the row
                 # re-append. Append-before-cancel so a crash in between
-                # leaves the row hidden and the replay converges. Collects
-                # bounded by the live tombstone count.
+                # leaves the row hidden and the replay converges.
+                # Entirely JOIN-based (r15 verdict #4): a takedown WAVE
+                # must neither collect to the driver nor push megabyte
+                # isin literals through Catalyst — the only collects are
+                # the cell prune (bounded by K) and a 10-row fail-loud
+                # sample; id sets travel as checkpointed frames, bounded
+                # by the live tombstone count.
                 hits = (
                     added.select("vec_id", "cell", "codes")
                     .join(
@@ -484,8 +490,15 @@ class VectorIndexMaintainer:
                         ),
                         "vec_id",
                     )
-                    .collect()
+                    .localCheckpoint(eager=True)
                 )
+                res = (
+                    hits.select("vec_id")
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+                n_res = res.count()
+            if n_res:
                 # Content-immutability guard (the corpus tier's
                 # fingerprint check, at the index's own identity): a
                 # tombstoned id whose re-send quantizes to a different
@@ -497,28 +510,29 @@ class VectorIndexMaintainer:
                 # at the TOMBSTONE's recorded cell — the mutated vector
                 # routes elsewhere, so the batch-cell slice cannot see
                 # it); once folded, the update degenerates to an insert.
-                mismatch = [
-                    r
-                    for r in hits
-                    if int(r.cell) != int(r._tcell)
-                    or [int(c) for c in r.codes]
-                    != [int(c) for c in r._tcodes]
-                ]
-                if mismatch:
-                    mut_ids = [int(r.vec_id) for r in mismatch]
-                    mut_cells = sorted({int(r._tcell) for r in mismatch})
-                    still = {
+                mut = hits.filter(
+                    (F.col("cell") != F.col("_tcell"))
+                    | (F.col("codes") != F.col("_tcodes"))
+                )
+                mut_cells = sorted(
+                    int(r._tcell)
+                    for r in mut.select("_tcell").distinct().collect()
+                )  # bounded by K coarse cells, never by the wave
+                if mut_cells:
+                    still_sample = sorted(
                         int(r.vec_id)
                         for r in self._cells()
                         .filter(F.col("cell").isin(mut_cells))
-                        .filter(F.col("vec_id").isin(mut_ids))
                         .select("vec_id")
-                        .distinct()
+                        .join(
+                            mut.select("vec_id").distinct(), "vec_id", "semi"
+                        )
+                        .limit(10)
                         .collect()
-                    }
-                    if still:
+                    )
+                    if still_sample:
                         raise ValueError(
-                            f"tombstoned vec_ids {sorted(still)[:10]} "
+                            f"tombstoned vec_ids {still_sample} "
                             "re-sent with embeddings that quantize "
                             "differently while their dead rows still "
                             "exist — ids are content-immutable; "
@@ -526,25 +540,21 @@ class VectorIndexMaintainer:
                             "or compact the index (folding the dead "
                             "rows) first"
                         )
-                res_ids = sorted({int(r.vec_id) for r in hits})
-                if res_ids:
-                    present = {
-                        int(r.vec_id)
-                        for r in existing.select("vec_id")
-                        .filter(F.col("vec_id").isin(res_ids))
-                        .collect()
-                    }
-                    if present:
-                        to_append = added.filter(
-                            ~F.col("vec_id").isin([int(i) for i in present])
-                        )
-            if res_ids:
+                # Lineage cut: to_append is written INTO the cells layout,
+                # so the present-set must not lazily re-scan it mid-append.
+                present = (
+                    existing.select("vec_id")
+                    .join(res, "vec_id", "semi")
+                    .localCheckpoint(eager=True)
+                )
+                if not present.isEmpty():
+                    to_append = added.join(present, "vec_id", "left_anti")
                 if not to_append.isEmpty():
                     self._append_cells(to_append)
                 PS.rewrite_tombstones(
                     self.spark,
                     f"{self.path}/cells",
-                    tombs.filter(~F.col("vec_id").isin(res_ids)),
+                    tombs.join(res, "vec_id", "left_anti"),
                 )
             else:
                 self._append_cells(added)
@@ -555,7 +565,7 @@ class VectorIndexMaintainer:
             n_added=n_added,
             n_id_dup=n_rows - n_batch,
             id_guard_mode="strict" if strict else "pruned",
-            n_resurrected=len(res_ids),
+            n_resurrected=n_res,
         )
 
     def maybe_compact(self, max_files_per_cell: int = 8) -> list[int]:

@@ -132,3 +132,19 @@ def test_host_sample_shape():
         "user", "nice", "system", "idle",
         "iowait", "irq", "softirq", "steal",
     }
+
+
+def test_detail_paths_adopt_gate(tmp_path):
+    """r15 (verdict r14 what's-wrong #1): a sweep always writes its
+    run-stamped detail (gitignored); the committed BENCH_DETAIL.json is
+    touched ONLY under --adopt, so a driver sweep can no longer clobber
+    the adjudicated artifact-of-record as a side effect."""
+    from bench import _detail_paths
+
+    plain = _detail_paths(tmp_path, adopt=False, run_id="20260816-010203")
+    assert [p.name for p in plain] == ["BENCH_DETAIL.20260816-010203.json"]
+    adopted = _detail_paths(tmp_path, adopt=True, run_id="20260816-010203")
+    assert [p.name for p in adopted] == [
+        "BENCH_DETAIL.20260816-010203.json",
+        "BENCH_DETAIL.json",
+    ]
