@@ -279,9 +279,14 @@ def _marker_is_tiered(
 
 def cell_file_counts(spark: SparkSession, path: str) -> dict[int, int]:
     """Parquet part-file count per cell partition of ``<path>/cells`` —
-    the quantity threshold compaction bounds. Driver-side listing of K
-    directories (K = coarse codebook size, small by construction)."""
-    return _ps.partition_file_counts(spark, f"{path}/cells", "cell")
+    the fragmentation MONITORING counter. Layout-agnostic (r15 verdict
+    #5): on a generational layout the gen= sub-level files roll up into
+    the per-cell total, so the metric keeps reporting across the tiered
+    flip instead of reading 0. Driver-side listing of K directories (K =
+    coarse codebook size, small by construction). The whole-cell
+    compactor's own threshold input is partstore.partition_file_counts,
+    which fails loud on a tiered tree."""
+    return _ps.partition_file_counts_rollup(spark, f"{path}/cells", "cell")
 
 
 def recover_compaction(spark: SparkSession, path: str) -> None:

@@ -179,9 +179,17 @@ def partition_file_counts(
     spark: SparkSession, root: str, part_col: str
 ) -> dict[int, int]:
     """Parquet part-file count per partition of ``root`` — the quantity
-    threshold compaction bounds. Driver-side listing of the partition
-    directories (bounded by the partition-value domain, small by
-    construction for every instantiation: coarse cells, hash buckets)."""
+    threshold FLAT-layout compaction bounds. Driver-side listing of the
+    partition directories (bounded by the partition-value domain, small by
+    construction for every instantiation: coarse cells, hash buckets).
+
+    Strictly the flat protocol's counter: on a GENERATIONAL layout it
+    RAISES instead of silently reading 0 for every partition (r15 verdict
+    #5 — a counter that reads 0 on exactly the layout that needs
+    monitoring is a footgun, and a 0 threshold reading would also make
+    ``compact_partitions`` silently no-op where the caller meant to
+    compact). Use ``gen_file_counts`` for per-level counts or
+    ``partition_file_counts_rollup`` for the layout-agnostic total."""
     fs, jvm = _fs(spark, root)
     hroot = jvm.org.apache.hadoop.fs.Path(root)
     counts: dict[int, int] = {}
@@ -197,7 +205,57 @@ def partition_file_counts(
             continue
         n = 0
         for f in fs.listStatus(st.getPath()):
-            if f.getPath().getName().endswith(".parquet"):
+            fname = f.getPath().getName()
+            if (
+                f.isDirectory()
+                and fname.startswith("gen=")
+                and _int_part_value(fname) is not None
+            ):
+                raise ValueError(
+                    f"{root} carries gen= sub-levels (generational "
+                    "layout); the flat counter would read 0 everywhere — "
+                    "use gen_file_counts or partition_file_counts_rollup"
+                )
+            if fname.endswith(".parquet"):
+                n += 1
+        counts[v] = n
+    return counts
+
+
+def partition_file_counts_rollup(
+    spark: SparkSession, root: str, part_col: str
+) -> dict[int, int]:
+    """Layout-agnostic per-partition parquet file count — the MONITORING
+    counter (r15 verdict #5): loose files plus every integer ``gen=``
+    sub-level's files roll up into one number per partition, so a
+    fragmentation metric keeps reporting across the flat->tiered layout
+    flip instead of dropping to 0. Strays (non-integer partition or gen
+    dirs) are skipped, same as every other listing (r13 ADVICE, low)."""
+    fs, jvm = _fs(spark, root)
+    hroot = jvm.org.apache.hadoop.fs.Path(root)
+    counts: dict[int, int] = {}
+    if not fs.exists(hroot):
+        return counts
+    prefix = f"{part_col}="
+    for st in fs.listStatus(hroot):
+        name = st.getPath().getName()
+        if not st.isDirectory() or not name.startswith(prefix):
+            continue
+        v = _int_part_value(name)
+        if v is None:
+            continue
+        n = 0
+        for f in fs.listStatus(st.getPath()):
+            fname = f.getPath().getName()
+            if (
+                f.isDirectory()
+                and fname.startswith("gen=")
+                and _int_part_value(fname) is not None
+            ):
+                for g in fs.listStatus(f.getPath()):
+                    if g.getPath().getName().endswith(".parquet"):
+                        n += 1
+            elif fname.endswith(".parquet"):
                 n += 1
         counts[v] = n
     return counts
