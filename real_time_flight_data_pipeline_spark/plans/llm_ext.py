@@ -28,6 +28,8 @@ from .northstar import (
     _NEAR_CORPUS_SQL,
     _PACK_TOKENS,
     _SQL_BASE_HASHES,
+    _SQL_LANG_BEST,
+    _SQL_LANG_CASE,
     _SQL_LANG_COUNTS,
     _SQL_SHINGLES,
     _SQL_TOKS,
@@ -5835,6 +5837,406 @@ def q_docs_tombstone_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") != F.col("rep"), "dup_batch")
             .when(F.col("_id").isNotNull(), "replayed")
             .when(F.col("_fp").isNotNull(), "dup_hist")
+            .otherwise("accepted")
+            .alias("status"),
+        )
+    )
+
+
+# ===========================================================================
+# Curated streaming ingest classification (BANKED FOR r16 REGISTRATION —
+# see COVERAGE.md "Next catalog addition"): the oracle-paired spec twin
+# of the FULL curated streaming policy — NearDupCorpusStore with
+# streaming/curation's gates wired in, against a store with live
+# tombstones. Composes every streaming contract in the catalog:
+# decontamination prefilter (gates-first: a contaminated doc never
+# reaches fingerprinting), quality+language accept gate, then the exact
+# tier (dup_batch / replayed / dup_hist), the near-dup band tier, and
+# the tombstone live-history projection (a tombstoned id resurrects; a
+# dead fingerprint and dead band rows no longer block). Deliberately NOT
+# @_register-ed this round: the registry is at the 150/150 rotation
+# ceiling and the r16 window slot requires a retirement from the
+# r13-green cohort (the cohort due by window staleness — see COVERAGE.md
+# r16 pre-plan; the earlier distinct_users_exact suggestion is stale:
+# that query re-greened in r14). Until registration it is
+# oracle-verified every session by tests/test_preregistered.py.
+# ===========================================================================
+_CURATED_T1 = (
+    "the quick brown fox jumps over the lazy dog and runs far away from home"
+)
+_CURATED_T2 = (
+    "a small boat sails on the wide blue sea while the wind blows gently "
+    "to the north"
+)
+_CURATED_T3 = (
+    "an old clock ticks on the stone wall as the rain falls softly outside "
+    "in the night"
+)
+_CURATED_T4 = (
+    "bright stars shine over the quiet village while children sleep and "
+    "dream of tomorrow"
+)
+_CURATED_T5 = (
+    "seven geese fly across the cold grey sky before the winter storm "
+    "arrives each year"
+)
+_CURATED_BAD = "zz zz zz"  # 3 'und' tokens: fails the quality+lang gate
+_CURATED_TOMBSTONED = (8_000_001, 8_000_003)  # H1 (T1) and H3 (T4) are dead
+
+
+def _sql_gate_ok(src: str) -> str:
+    """(doc_id, ok) for a (doc_id, text) relation: the streaming curation
+    accept gate — quality_score >= 0.75 AND lang_id = 'en', the exact
+    predicate of docs_quality_filter / streaming.curation.quality_accept."""
+    counts = ", ".join(
+        f"{sql} AS c_{lg}" for lg, sql in _SQL_LANG_COUNTS.items()
+    )
+    return f"""
+      SELECT doc_id,
+             (CAST(
+               (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN (CASE WHEN length(text) > 0
+                            THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                                 / length(text) ELSE 0.0 END) <= 0.2 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN n_tokens > 0
+                       AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / n_tokens
+                           BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN n_tokens > 0
+                       AND CAST(c_en AS DOUBLE) / n_tokens >= 0.01 THEN 0.25 ELSE 0.0 END)
+             AS DOUBLE) >= 0.75 AND {_SQL_LANG_CASE} = 'en') AS ok
+      FROM (SELECT *, {_SQL_LANG_BEST} AS best FROM (
+            SELECT doc_id, text, len(toks) AS n_tokens, {counts}
+            FROM (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM {src})))
+    """
+
+
+def _sql_contaminated(src: str) -> str:
+    """Distinct doc_ids of a (doc_id, text) relation sharing any word
+    8-gram with the ``bgrams`` benchmark set (docs_decontaminate's test,
+    as the streaming prefilter's drop set)."""
+    return f"""
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id,
+               unnest(list_distinct({_sql_ngrams("toks", _DECON_N)})) AS g
+        FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM {src})
+      ) WHERE {_sql_md5_long("g")} IN (SELECT gh FROM bgrams)
+    """
+
+
+def _docs_curated_ingest_oracle() -> str:
+    fp = _sql_md5_long("text")
+    mh_cols = ", ".join(f"{_sql_minhash(s)} AS mh{s}" for s in range(8))
+    jac = "CAST(inter AS DOUBLE) / (na + nb - inter)"
+    t1, t2, t3, t4, t5 = (
+        _CURATED_T1,
+        _CURATED_T2,
+        _CURATED_T3,
+        _CURATED_T4,
+        _CURATED_T5,
+    )
+    dead = ", ".join(str(i) for i in _CURATED_TOMBSTONED)
+    return f"""
+    WITH bench AS (
+      SELECT list_slice({_SQL_TOKS}, {_DECON_SLICE_START},
+                        {_DECON_SLICE_START + _DECON_SLICE_LEN - 1}) AS btoks
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    bgrams AS MATERIALIZED (
+      SELECT DISTINCT {_sql_md5_long("g")} AS gh
+      FROM (SELECT unnest({_sql_ngrams("btoks", _DECON_N)}) AS g FROM bench)
+    ),
+    hraw AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 9),
+    hok AS ({_sql_gate_ok("hraw")}),
+    hcont AS ({_sql_contaminated("hraw")}),
+    hcur AS (
+      SELECT doc_id, text FROM hraw
+      WHERE doc_id IN (SELECT doc_id FROM hok WHERE ok)
+        AND doc_id NOT IN (SELECT doc_id FROM hcont)
+      UNION ALL SELECT 8000001, '{t1}'
+      UNION ALL SELECT 8000002, '{t2}'
+      UNION ALL SELECT 8000003, '{t4}'
+      UNION ALL SELECT 8000004, '{t5}'
+    ),
+    live AS MATERIALIZED (
+      SELECT doc_id, text, {fp} AS fp FROM hcur
+      WHERE doc_id NOT IN ({dead})
+    ),
+    braw AS MATERIALIZED (
+      SELECT DISTINCT doc_id, text, fp FROM (
+        SELECT doc_id, text, {fp} AS fp FROM documents WHERE doc_id % 10 = 9
+        UNION ALL SELECT 8000001, '{t1}', {_sql_md5_long(f"'{t1}'")}
+        UNION ALL SELECT 8000002, '{t2}', {_sql_md5_long(f"'{t2}'")}
+        UNION ALL SELECT 9000001, '{t5}', {_sql_md5_long(f"'{t5}'")}
+        UNION ALL SELECT 9000002, '{t4}', {_sql_md5_long(f"'{t4}'")}
+        UNION ALL SELECT 9000003, '{t2} zq', {_sql_md5_long(f"'{t2} zq'")}
+        UNION ALL SELECT 9000004, '{t3}', {_sql_md5_long(f"'{t3}'")}
+        UNION ALL SELECT 9000005, '{t3}', {_sql_md5_long(f"'{t3}'")}
+        UNION ALL SELECT 9000006, '{_CURATED_BAD}',
+                         {_sql_md5_long(f"'{_CURATED_BAD}'")}
+        UNION ALL SELECT 9000007, text, {fp} FROM documents WHERE doc_id = 0
+      )
+    ),
+    bok AS ({_sql_gate_ok("braw")}),
+    bcont AS ({_sql_contaminated("braw")}),
+    surv AS MATERIALIZED (
+      SELECT doc_id, text, fp FROM braw
+      WHERE doc_id NOT IN (SELECT doc_id FROM bcont)
+        AND doc_id IN (SELECT doc_id FROM bok WHERE ok)
+    ),
+    reps AS (SELECT fp, min(doc_id) AS rep FROM surv GROUP BY fp),
+    excls AS MATERIALIZED (
+      SELECT b.doc_id, b.text,
+             CASE WHEN b.doc_id != r.rep THEN 'dup_batch'
+                  WHEN b.doc_id IN (SELECT doc_id FROM live) THEN 'replayed'
+                  WHEN b.fp IN (SELECT fp FROM live) THEN 'dup_hist'
+             END AS ex_status
+      FROM surv b JOIN reps r ON r.fp = b.fp
+    ),
+    exact_ok AS (SELECT doc_id, text FROM excls WHERE ex_status IS NULL),
+    btok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM exact_ok),
+    bshin AS MATERIALIZED (
+      SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM btok),
+    bhsh AS (SELECT doc_id, {_SQL_BASE_HASHES} AS hs FROM bshin),
+    bmh AS (SELECT doc_id, {mh_cols} FROM bhsh),
+    bbands AS MATERIALIZED ({_sql_band_rows("bmh")}),
+    htok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM live),
+    hshin AS MATERIALIZED (
+      SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM htok),
+    hhsh AS (SELECT doc_id, {_SQL_BASE_HASHES} AS hs FROM hshin),
+    hmh AS (SELECT doc_id, {mh_cols} FROM hhsh),
+    hbands AS MATERIALIZED ({_sql_band_rows("hmh")}),
+    cand_in AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bbands a JOIN bbands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    drop_in AS (
+      SELECT DISTINCT b_id AS doc_id FROM (
+        SELECT c.b_id,
+               len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+               len(sa.sh) AS na, len(sb.sh) AS nb
+        FROM cand_in c
+        JOIN bshin sa ON sa.doc_id = c.a_id
+        JOIN bshin sb ON sb.doc_id = c.b_id
+      ) WHERE {jac} >= 0.5
+    ),
+    cand_h AS (
+      SELECT DISTINCT a.doc_id AS a_id, h.doc_id AS b_id
+      FROM bbands a JOIN hbands h
+        ON a.band_idx = h.band_idx AND a.band_key = h.band_key
+    ),
+    drop_h AS (
+      SELECT DISTINCT a_id AS doc_id FROM (
+        SELECT c.a_id,
+               len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+               len(sa.sh) AS na, len(sb.sh) AS nb
+        FROM cand_h c
+        JOIN bshin sa ON sa.doc_id = c.a_id
+        JOIN hshin sb ON sb.doc_id = c.b_id
+      ) WHERE {jac} >= 0.5
+    ),
+    dropped AS (SELECT doc_id FROM drop_in UNION SELECT doc_id FROM drop_h)
+    SELECT b.doc_id,
+           CASE WHEN b.doc_id IN (SELECT doc_id FROM bcont)
+                THEN 'contaminated'
+                WHEN b.doc_id NOT IN (SELECT doc_id FROM bok WHERE ok)
+                THEN 'rejected'
+                ELSE COALESCE(e.ex_status,
+                     CASE WHEN b.doc_id IN (SELECT doc_id FROM dropped)
+                          THEN 'near_dup' ELSE 'accepted' END)
+           END AS status
+    FROM braw b LEFT JOIN excls e ON e.doc_id = b.doc_id
+    """
+
+
+def q_docs_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted scenario: curated history = the quality+decon-gated 90%
+    slice plus four synthetic accepted docs (T1/T2/T4/T5), of which T1
+    and T4's ids are TOMBSTONED. The batch re-sends tombstoned T1 under
+    its id (ACCEPTED — resurrection), live T2 under its id (replayed),
+    live T5's text under a new id (dup_hist), DEAD T4's text under a new
+    id (ACCEPTED — dead content no longer blocks), an appended-token
+    near-copy of live T2 (near_dup), an in-batch clone pair of T3
+    (accepted + dup_batch), a gate-failing text (rejected), and a copy
+    of benchmark-excerpt doc 0 (contaminated — the prefilter runs
+    FIRST, so a contaminated doc never reaches fingerprinting, exactly
+    the store's gates-first order). Built from the store's own tier
+    functions plus streaming/curation's gate definitions, so spec
+    fidelity is by construction."""
+    from ..streaming.corpus import (  # noqa: PLC0415
+        _band_rows,
+        _shingle_sets,
+        _verify_pairs,
+    )
+    from ..streaming.curation import quality_accept  # noqa: PLC0415
+
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    fp = TX.md5_long(F.col("text"))
+
+    toks_all = d.select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+    bench = _decon_bench_grams(toks_all).localCheckpoint(eager=False)
+
+    hist_plants = spark.createDataFrame(
+        [
+            (8_000_001, _CURATED_T1),
+            (8_000_002, _CURATED_T2),
+            (8_000_003, _CURATED_T4),
+            (8_000_004, _CURATED_T5),
+        ],
+        "doc_id long, text string",
+    )
+    batch_plants = spark.createDataFrame(
+        [
+            (8_000_001, _CURATED_T1),          # tombstoned id -> accepted
+            (8_000_002, _CURATED_T2),          # live id -> replayed
+            (9_000_001, _CURATED_T5),          # live text, new id -> dup_hist
+            (9_000_002, _CURATED_T4),          # DEAD text, new id -> accepted
+            (9_000_003, _CURATED_T2 + " zq"),  # near-copy of live -> near_dup
+            (9_000_004, _CURATED_T3),          # fresh -> accepted
+            (9_000_005, _CURATED_T3),          # in-batch clone -> dup_batch
+            (9_000_006, _CURATED_BAD),         # gate fail -> rejected
+        ],
+        "doc_id long, text string",
+    )
+
+    hist_raw = d.filter(F.col("doc_id") % 10 != 9)
+    htoks = toks_all.join(hist_raw.select("doc_id"), "doc_id", "semi")
+    hcont = decontaminate_from(htoks, bench).select("doc_id")
+    live = (
+        hist_raw.filter(quality_accept(hist_raw))
+        .join(hcont.hint("shuffle_hash"), "doc_id", "left_anti")
+        .unionByName(hist_plants)
+        .filter(~F.col("doc_id").isin(list(_CURATED_TOMBSTONED)))
+        .withColumn("fp", fp)
+        .localCheckpoint(eager=False)
+    )
+
+    braw = (
+        d.filter(F.col("doc_id") % 10 == 9)
+        .unionByName(batch_plants)
+        .unionByName(
+            d.filter(F.col("doc_id") == 0).select(
+                F.lit(9_000_007).cast("long").alias("doc_id"), "text"
+            )  # benchmark-excerpt copy -> contaminated
+        )
+        .withColumn("fp", fp)
+        .dropDuplicates(["doc_id", "fp"])
+        .localCheckpoint(eager=False)
+    )
+    btoks = braw.select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+    bcont = (
+        decontaminate_from(btoks, bench)
+        .select("doc_id")
+        .withColumn("_cont", F.lit(True))
+    )
+    # Gates-first, in the store's order: prefilter (decon) drops before
+    # the accept Column is even evaluated; the twin classifies instead.
+    gated = braw.join(bcont.hint("shuffle_hash"), "doc_id", "left").withColumn(
+        "_ok", quality_accept(braw)
+    )
+    surv = gated.filter(
+        F.col("_cont").isNull() & F.col("_ok")
+    ).localCheckpoint(eager=False)
+
+    reps = surv.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    excls = (
+        surv.join(reps.hint("shuffle_hash"), "fp", "left")
+        .join(
+            live.select("doc_id")
+            .withColumn("_id", F.lit(True))
+            .hint("shuffle_hash"),
+            "doc_id",
+            "left",
+        )
+        .join(
+            live.select("fp")
+            .distinct()
+            .withColumn("_fp", F.lit(True))
+            .hint("shuffle_hash"),
+            "fp",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "text",
+            F.when(F.col("doc_id") != F.col("rep"), "dup_batch")
+            .when(F.col("_id").isNotNull(), "replayed")
+            .when(F.col("_fp").isNotNull(), "dup_hist")
+            .alias("ex_status"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    exact_ok = excls.filter(F.col("ex_status").isNull()).select(
+        "doc_id", "text"
+    )
+    shin = _shingle_sets(exact_ok)
+    bands = _band_rows(shin).localCheckpoint(eager=False)
+    lshin = _shingle_sets(live.select("doc_id", "text"))
+    lbands = _band_rows(lshin).localCheckpoint(eager=False)
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand_in = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .dropDuplicates()
+    )
+    sa = shin.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    sb = shin.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    drop_in = (
+        _verify_pairs(cand_in, sa, sb)
+        .select(F.col("b_id").alias("doc_id"))
+        .dropDuplicates()
+    )
+    cand_h = (
+        bands.alias("a")
+        .join(
+            lbands.alias("h"),
+            (F.col("a.band_idx") == F.col("h.band_idx"))
+            & (F.col("a.band_key") == F.col("h.band_key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("h.doc_id").alias("b_id")
+        )
+        .dropDuplicates()
+    )
+    hb = lshin.select(
+        F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh")
+    )
+    drop_h = (
+        _verify_pairs(cand_h, sa, hb)
+        .select(F.col("a_id").alias("doc_id"))
+        .dropDuplicates()
+    )
+    dropped = (
+        drop_in.unionByName(drop_h)
+        .distinct()
+        .withColumn("_nd", F.lit(True))
+    )
+    return (
+        gated.join(
+            excls.select("doc_id", "ex_status").hint("shuffle_hash"),
+            "doc_id",
+            "left",
+        )
+        .join(dropped.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_cont").isNotNull(), "contaminated")
+            .when(~F.col("_ok"), "rejected")
+            .when(F.col("ex_status").isNotNull(), F.col("ex_status"))
+            .when(F.col("_nd").isNotNull(), "near_dup")
             .otherwise("accepted")
             .alias("status"),
         )

@@ -61,6 +61,7 @@ def run_increments(
     tier: str,
     neardup: bool = False,
     curated: bool = False,
+    medium: bool = False,
 ) -> dict:
     from real_time_flight_data_pipeline_spark.streaming.corpus import (
         NearDupCorpusStore,
@@ -71,6 +72,7 @@ def run_increments(
         "doc_id", "text", "lang", "source"
     )
     gates = {}
+    medium_thr = None
     if curated:
         # Full curation policy inside the loop (r13 verdict #2): quality
         # gate + benchmark decontamination run inside the ingest scan; the
@@ -88,6 +90,34 @@ def run_increments(
         )
         bench = _decon_bench_grams(toks).localCheckpoint(eager=True)
         accept, prefilter = curated_store_gates(bench)
+        if medium:
+            # r15 verdict #3: the production C4 gate accepts 0.8% of the
+            # SYNTHETIC 100x corpus (the copy salt suffixes every token,
+            # so lang-id reads "und" for 99 of 100 copies — a generator
+            # property, not a policy property), which loads the gate+
+            # screen scan but starves the near-dup history tier. The
+            # medium row keeps the full policy SHAPE (quality Column +
+            # decon anti-join + near-dup store) but relaxes the gate to
+            # the verdict's target ~40% acceptance. The corpus's quality
+            # score is BINARY by construction (0.75 salted / 1.0
+            # unsalted), so no threshold lands mid-range; per the
+            # verdict's "or a corpus slice that passes" alternative the
+            # gate keeps the full quality-score scan (same per-row cost)
+            # and composes a deterministic content-hash slice at 2/5 —
+            # the load profile under test is the near-dup history tier
+            # absorbing thousands of accepted docs per batch.
+            accept = lambda df: (  # noqa: E731
+                (
+                    TX.quality_score_from(
+                        F.col("text"), TX.tokens(F.col("text"))
+                    )
+                    >= 0.75
+                )
+                & (F.pmod(F.xxhash64(F.col("text")), F.lit(5)) < 2)
+            )
+            medium_thr = 0.75
+        else:
+            medium_thr = None
         gates = {"accept": accept, "prefilter": prefilter}
         neardup = True
     cls = NearDupCorpusStore if neardup else CorpusStore
@@ -145,10 +175,16 @@ def run_increments(
     read_comp_sec, read_comp_runs = _read_all_sec(spark, store)
 
     total_rows = store.read().count()
+    n_docs = docs.count()
+    held_n = held.count()
     return {
         "tier": tier,
-        "n_docs_corpus": docs.count(),
+        "n_docs_corpus": n_docs,
         "n_increments": N_INCR,
+        "medium_quality_threshold": medium_thr,
+        "increment_acceptance_frac": (
+            round(n_acc / held_n, 4) if held_n else None
+        ),
         "seed_sec": seed_sec,
         "seed_accepted": seed_stats.n_accepted,
         "increments_accepted": n_acc,
@@ -178,11 +214,19 @@ def run_increments(
     }
 
 
-def run_tombstones(spark, sf_dir: str, tier: str, n_delete: int = 1000) -> dict:
+def run_tombstones(
+    spark, sf_dir: str, tier: str, n_delete: int = 1000, wave: bool = False
+) -> dict:
     """Tombstone lifecycle cost at scale (r13 verdict #3): delete is an
     append + one column-pruned scan; the reader's anti-join while
     tombstones are live; the compaction FOLD's marginal cost over a plain
-    compaction of the same levels; GC; and the resurrection replay."""
+    compaction of the same levels; GC; and the resurrection replay.
+
+    ``wave`` (r15 verdict #4): a compliance-scale takedown — 5% of the
+    corpus deleted at once, the victim set passed as a DataFrame (never a
+    driver-side id list) — measuring the same lifecycle at a density 25x
+    the rare-path row. The r14 caveat this closes: the 1000-delete row
+    measured 0.2% density only."""
     shutil.rmtree(WORK, ignore_errors=True)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang", "source"
@@ -192,10 +236,19 @@ def run_tombstones(spark, sf_dir: str, tier: str, n_delete: int = 1000) -> dict:
     store.ingest_batch(docs.filter(F.col("doc_id") % 2 == 1))
     read_clean_sec, _ = _read_all_sec(spark, store)
 
-    victims = [
-        int(r.doc_id)
-        for r in store.read().select("doc_id").limit(n_delete).collect()
-    ]
+    if wave:
+        n_delete = int(store.read().count() * 0.05)
+        victims = (
+            store.read()
+            .select("doc_id")
+            .limit(n_delete)
+            .localCheckpoint(eager=True)
+        )
+    else:
+        victims = [
+            int(r.doc_id)
+            for r in store.read().select("doc_id").limit(n_delete).collect()
+        ]
     t0 = time.perf_counter()
     n_tombed = store.delete_docs(victims)
     delete_sec = round(time.perf_counter() - t0, 3)
@@ -253,7 +306,9 @@ def main() -> None:
     use_100x = "--100x" in sys.argv
     neardup = "--neardup" in sys.argv
     curated = "--curated" in sys.argv
+    medium = "--medium" in sys.argv  # r15 verdict #3 (with --curated)
     tombs = "--tombs" in sys.argv
+    wave = "--wave" in sys.argv      # r15 verdict #4 (with --tombs)
     sf_dir, tier = (SF_100X, "sf100x") if use_100x else (SF, "sf0.1")
     spark = get_spark()
     if use_100x and not pathlib.Path(f"{SF_100X}/documents.parquet").exists():
@@ -261,13 +316,17 @@ def main() -> None:
 
         build_corpus_100x(spark)
     if tombs:
-        key, res = f"{tier}_tombstones", run_tombstones(spark, sf_dir, tier)
+        key = f"{tier}_tombstone_wave" if wave else f"{tier}_tombstones"
+        res = run_tombstones(spark, sf_dir, tier, wave=wave)
     else:
         res = run_increments(
-            spark, sf_dir, tier, neardup=neardup, curated=curated
+            spark, sf_dir, tier, neardup=neardup, curated=curated,
+            medium=medium,
         )
         key = (
-            f"{tier}_curated_increments"
+            f"{tier}_curated_medium_increments"
+            if curated and medium
+            else f"{tier}_curated_increments"
             if curated
             else f"{tier}_neardup_increments"
             if neardup

@@ -9,17 +9,31 @@ cohort). Once registered, a query's oracle match is covered by the
 registry-wide gate (tests/test_oracle.py); what stays here is the
 planted-status contract each was banked with, so the accept-classification
 semantics can't drift under later refactors.
+
+`docs_curated_ingest` is r15's bank for r16: the oracle-paired spec twin
+of the FULL curated streaming policy (decon prefilter + quality gate +
+exact tier + near-dup tier + tombstone live-history projection composed —
+the one streaming contract not yet in the catalog). Oracle-verified every
+session here; r16 flips its @_register together with the pre-planned
+retirement of `docs_simhash` (r13-green cohort) and deletes the queue
+guard.
 """
 
 from __future__ import annotations
 
-from real_time_flight_data_pipeline_spark.plans.catalog import REGISTRY
+from real_time_flight_data_pipeline_spark.plans.catalog import (
+    REGISTRY,
+    RETIRED_REGISTRY,
+)
 from real_time_flight_data_pipeline_spark.plans.llm_ext import (
+    _docs_curated_ingest_oracle,
+    q_docs_curated_ingest,
     q_docs_near_dup_ingest,
     q_docs_tombstone_ingest,
 )
 
-from .conftest import SF_SMOKE
+from .conftest import SF_CORRECT, SF_SMOKE
+from .oracle_harness import compare
 
 
 def test_near_dup_ingest_registered():
@@ -70,3 +84,49 @@ def test_tombstone_ingest_planted_statuses(spark):
     assert rows[9_000_001] == "dup_hist"    # live text, new id
     assert rows[9_000_002] == "accepted"    # DEAD text, new id
     assert rows[9_000_003] == "dup_batch"   # loses min-id race to doc 9
+
+
+def test_curated_ingest_oracle_match(spark):
+    ok, msg = compare(
+        spark,
+        SF_CORRECT,
+        q_docs_curated_ingest,
+        _docs_curated_ingest_oracle(),
+    )
+    assert ok, msg
+
+
+def test_curated_ingest_planted_statuses(spark):
+    """Every stage of the curated streaming policy is exercised by a
+    planted row, with the gates-first and tombstone-delta semantics
+    pinned: the prefilter classifies before anything touches a
+    fingerprint (a contaminated doc is 'contaminated' even if it would
+    also fail quality or dup), a tombstoned id re-sent is ACCEPTED
+    (resurrection), and dead content under a new id is ACCEPTED (dead
+    fingerprints and band rows no longer block)."""
+    rows = {
+        r.doc_id: r.status
+        for r in q_docs_curated_ingest(spark, SF_SMOKE).collect()
+    }
+    assert rows[8_000_001] == "accepted"      # tombstoned id -> resurrect
+    assert rows[8_000_002] == "replayed"      # live id
+    assert rows[9_000_001] == "dup_hist"      # live text, new id
+    assert rows[9_000_002] == "accepted"      # DEAD text, new id
+    assert rows[9_000_003] == "near_dup"      # near-copy of live history
+    assert rows[9_000_004] == "accepted"      # fresh text, wins min-id race
+    assert rows[9_000_005] == "dup_batch"     # loses min-id race
+    assert rows[9_000_006] == "rejected"      # fails the quality+lang gate
+    assert rows[9_000_007] == "contaminated"  # benchmark-excerpt copy
+
+
+def test_curated_ingest_deliberately_not_registered_yet():
+    """The queue decision itself is pinned: the registry is at the
+    150/150 rotation ceiling, and the r16 window slot comes from retiring
+    docs_simhash (r13-green cohort — the signature scaffolding the active
+    docs_simhash_near_dup_pairs composes; NOT distinct_users_exact, which
+    re-greened in r14 and is not due until r17). When r16 executes that
+    retirement, flip @_register on and delete this test."""
+    assert "docs_curated_ingest" not in REGISTRY
+    assert "docs_curated_ingest" not in RETIRED_REGISTRY
+    assert len(REGISTRY) == 150  # ceiling fully used; no free slot
+    assert "docs_simhash" in REGISTRY  # the named r16 slot
