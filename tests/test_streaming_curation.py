@@ -193,3 +193,113 @@ def test_dup_free_gated_input_is_exact_equality(spark, tmp_path):
     assert {r.doc_id for r in store.read().select("doc_id").collect()} == {
         r.doc_id for r in gated2.select("doc_id").collect()
     }
+
+
+def test_curated_store_with_deletes_matches_banked_twin(spark, tmp_path):
+    """The banked r16 spec twin (plans/llm_ext.q_docs_curated_ingest) IS
+    the store's behavior: drive a REAL NearDupCorpusStore with the
+    curation gates through the twin's exact planted scenario — curated
+    history plus four synthetic accepted docs, two of them then
+    tombstone-DELETED — and assert the store's accept decisions match the
+    twin's classification, with every planted status realized as
+    physical presence/absence.
+
+    The one modeled divergence: the store self-near-dup-dedups its
+    HISTORY at ingest (first-arrival keeps one member per verified pair)
+    while the twin's oracle models history as the full gated raw set —
+    so the store's dedup screens are weaker SUBSETS of the twin's, and
+    the exact relationship is containment: the store accepts everything
+    the twin accepts, and may additionally accept a doc the twin
+    classified near_dup/dup_hist against a history doc the store itself
+    dropped. Gates, the exact tier's in-batch race, the tombstone
+    deltas, and all planted rows agree exactly."""
+    from real_time_flight_data_pipeline_spark.plans.llm_ext import (
+        _CURATED_T1,
+        _CURATED_T2,
+        _CURATED_T3,
+        _CURATED_T4,
+        _CURATED_T5,
+        _CURATED_TOMBSTONED,
+        q_docs_curated_ingest,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    toks = _toks(docs).select("doc_id", "toks")
+    bench = _decon_bench_grams(toks).localCheckpoint(eager=True)
+    accept, prefilter = curated_store_gates(bench)
+    store = NearDupCorpusStore(
+        spark, str(tmp_path / "c"), accept=accept, prefilter=prefilter
+    )
+
+    def synth(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "synth") for i, t in rows],
+            "doc_id long, text string, lang string, source string",
+        )
+
+    hist = docs.filter(F.col("doc_id") % 10 != 9).unionByName(
+        synth(
+            [
+                (8_000_001, _CURATED_T1),
+                (8_000_002, _CURATED_T2),
+                (8_000_003, _CURATED_T4),
+                (8_000_004, _CURATED_T5),
+            ]
+        )
+    )
+    hs = store.ingest_batch(hist)
+    assert hs.n_near_dup > 0  # the history-model divergence IS exercised
+    assert store.delete_docs(list(_CURATED_TOMBSTONED)) == 2
+
+    batch = docs.filter(F.col("doc_id") % 10 == 9).unionByName(
+        synth(
+            [
+                (8_000_001, _CURATED_T1),          # resurrection
+                (8_000_002, _CURATED_T2),          # replayed
+                (9_000_001, _CURATED_T5),          # dup_hist
+                (9_000_002, _CURATED_T4),          # dead content, new id
+                (9_000_003, _CURATED_T2 + " zq"),  # near_dup
+                (9_000_004, _CURATED_T3),          # accepted
+                (9_000_005, _CURATED_T3),          # dup_batch
+                (9_000_006, "zz zz zz"),           # rejected
+            ]
+        )
+    ).unionByName(
+        docs.filter(F.col("doc_id") == 0).select(
+            F.lit(9_000_007).cast("long").alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+        )  # contaminated
+    )
+    before = {r.doc_id for r in store.read().select("doc_id").collect()}
+    bs = store.ingest_batch(batch)
+    after = {r.doc_id for r in store.read().select("doc_id").collect()}
+
+    twin = {
+        r.doc_id: r.status
+        for r in q_docs_curated_ingest(spark, SF).collect()
+    }
+    twin_accepted = {i for i, s in twin.items() if s == "accepted"}
+    added = after - before
+    # containment parity: the store admits every twin-accepted row...
+    assert twin_accepted <= added
+    # ...and anything extra is exactly the modeled divergence — a doc the
+    # twin dropped against a history doc the store's self-dedup removed
+    extra = added - twin_accepted
+    assert all(twin[i] in ("near_dup", "dup_hist") for i in extra), {
+        i: twin[i]
+        for i in sorted(extra)
+        if twin[i] not in ("near_dup", "dup_hist")
+    }
+    assert bs.n_accepted == len(added)
+    assert bs.n_resurrected == 1  # 8_000_001 came back by cancellation
+    # every planted status realized as physical presence/absence
+    assert 8_000_001 in after and 9_000_002 in after and 9_000_004 in after
+    for gone in (9_000_001, 9_000_003, 9_000_005, 9_000_006, 9_000_007):
+        assert gone not in after
+    # replay converges (T3 under the full policy + deletes)
+    rs = store.ingest_batch(batch)
+    assert rs.n_accepted == 0
