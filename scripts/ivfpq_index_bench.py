@@ -198,6 +198,107 @@ def run_increments(spark, sf_dir: str, tier: str, compaction: str = "auto") -> d
     return result
 
 
+def run_tombstones(spark, sf_dir: str, tier: str, wave: bool = False) -> dict:
+    """Vector-tier tombstone lifecycle at scale (r13 verdict #3; scripted
+    r15 — the r14 row was produced ad hoc): delete cost, probe overhead
+    while tombstones are live (with the probes-never-return-deleted
+    assertion), fold at compaction, GC, and the re-ingest of folded
+    deletes. ``wave`` (r15 verdict #4 mirror of the corpus row): 5% of
+    the index deleted at once, the victim set passed as a DataFrame."""
+    import shutil
+
+    from real_time_flight_data_pipeline_spark.operators import (
+        partstore as PS,
+    )
+    from real_time_flight_data_pipeline_spark.streaming.vector_index import (
+        VectorIndexMaintainer,
+    )
+
+    work = "/tmp/flightframe_ivfpq_tombs"
+    shutil.rmtree(work, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # Build from half, maintainer-append the other half: every cell then
+    # carries >= 2 part-files, so a threshold-1 compaction deterministically
+    # rewrites (and folds) every cell.
+    hist = emb.filter(F.col("vec_id") % 2 == 0)
+    hist.write.parquet(f"{work}/hist/embeddings.parquet")
+    path = f"{work}/index"
+    build_ivfpq_index(spark, f"{work}/hist", path)
+    m = VectorIndexMaintainer(spark, path)
+    m.ingest_batch(emb.filter(F.col("vec_id") % 2 == 1))
+    qvec = list(emb.filter(F.col("vec_id") == 0).head().embedding)
+    probe_clean, _ = _probe_median(spark, path, qvec)
+
+    live = spark.read.parquet(f"{path}/cells").select("vec_id")
+    n_total = live.count()
+    victims_df = (
+        live.limit(int(n_total * 0.05) if wave else 1000)
+        .localCheckpoint(eager=True)
+    )
+    # wave passes the DataFrame (compliance-scale path); rare-path passes
+    # a driver list — both delete_vectors input forms stay exercised.
+    victims = (
+        victims_df
+        if wave
+        else [int(r.vec_id) for r in victims_df.collect()]
+    )
+    t0 = time.perf_counter()
+    n_tombed = m.delete_vectors(victims)
+    delete_sec = round(time.perf_counter() - t0, 3)
+    probe_tombed, _ = _probe_median(spark, path, qvec)
+    # the hard part of the claim: a probe NEVER returns a deleted vector
+    leaked = (
+        probe_ivfpq_index(spark, path, qvec)
+        .join(victims_df, "vec_id", "semi")
+        .count()
+    )
+    assert leaked == 0, f"probe returned {leaked} deleted vectors"
+
+    t0 = time.perf_counter()
+    folded = m.maybe_compact(max_files_per_cell=1)
+    fold_sec = round(time.perf_counter() - t0, 3)
+    gc_cleared = not PS.has_tombstones(spark, f"{path}/cells")
+    probe_folded, _ = _probe_median(spark, path, qvec)
+
+    t0 = time.perf_counter()
+    s = m.ingest_batch(emb.join(victims_df, "vec_id", "semi"))
+    replay_sec = round(time.perf_counter() - t0, 3)
+    readded = s.n_added + s.n_resurrected
+
+    result = {
+        "tier": tier,
+        "n_index": n_total,
+        "n_deleted": n_tombed,
+        "delete_sec": delete_sec,
+        "probe_clean_sec": probe_clean,
+        "probe_tombstoned_sec": probe_tombed,
+        "n_cells_folded": len(folded),
+        "compact_fold_sec": fold_sec,
+        "gc_cleared_tombstones": gc_cleared,
+        "probe_after_fold_sec": probe_folded,
+        "replay_readded": readded,
+        "replay_quantized_dup": s.n_quantized_dup,
+        "replay_sec": replay_sec,
+        "note": (
+            "delete = one column-pruned (vec_id, cell, codes) scan; probe "
+            "while tombstones live pays one anti-join (asserted to never "
+            "return a deleted vector); fold rides the threshold "
+            "compaction; re-ingest of folded deletes is accepted again "
+            "(fresh append) or by tombstone cancellation if unfolded — "
+            "minus the ones whose (cell, codes) now PQ-collides with a "
+            "live vector (replay_quantized_dup): the index is "
+            "quantization-resolution by design."
+        ),
+    }
+    merged = json.loads(OUT.read_text()) if OUT.exists() else {}
+    merged[f"{tier}_tombstone_wave" if wave else f"{tier}_tombstones"] = result
+    OUT.write_text(json.dumps(merged, indent=1))
+    print(json.dumps(result))
+    return result
+
+
 def run_batch_probe(spark, sf_dir: str, tier: str) -> dict:
     """Per-query probe cost vs batch size (r11 verdict #7): the batched
     API pays the codebook reads / job scheduling / cell scan ONCE per
@@ -258,6 +359,9 @@ def main() -> None:
         return
     if "--batch-probe" in sys.argv[1:]:
         run_batch_probe(spark, sf_dir, tier)
+        return
+    if "--tombs" in sys.argv[1:]:
+        run_tombstones(spark, sf_dir, tier, wave="--wave" in sys.argv[1:])
         return
     qvec = list(
         load_table(spark, sf_dir, "embeddings")
