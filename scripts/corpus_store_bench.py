@@ -302,6 +302,74 @@ def run_tombstones(
     }
 
 
+def run_wave_resurrection(spark, sf_dir: str, tier: str) -> dict:
+    """The resurrection side of a delete wave (r15 verdict #4's other
+    half): re-send the whole corpus while a 5% tombstone wave is LIVE
+    (nothing folded yet). Every victim must come back by tombstone
+    CANCELLATION — the join-based _split_resurrections /
+    _cancel_tombstones path the r15 hardening moved off driver-side
+    isin literals — with zero duplicate physical rows and the store's
+    visible contents identical to pre-delete."""
+    from real_time_flight_data_pipeline_spark.operators import (  # noqa: PLC0415
+        partstore as PS2,
+    )
+
+    shutil.rmtree(WORK, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    store = CorpusStore(spark, f"{WORK}/store")
+    store.ingest_batch(docs.filter(F.col("doc_id") % 2 == 0))
+    store.ingest_batch(docs.filter(F.col("doc_id") % 2 == 1))
+    before = store.read().count()
+    n_delete = int(before * 0.05)
+    victims = (
+        store.read().select("doc_id").limit(n_delete)
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.perf_counter()
+    n_tombed = store.delete_docs(victims)
+    delete_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    st = store.ingest_batch(docs)
+    resurrect_sec = round(time.perf_counter() - t0, 3)
+    # Victims are store rows, so their fingerprints are distinct — each
+    # dead fingerprint re-enters exactly once. A victim whose text also
+    # exists under a LOWER id in the replay batch loses the in-batch
+    # min-id race (dup_batch) and the twin appends fresh instead — the
+    # store's documented representative choice, so resurrections may
+    # undershoot by exactly that outraced count.
+    assert st.n_accepted == n_tombed, (st, n_tombed)
+    assert st.n_resurrected <= n_tombed, (st, n_tombed)
+    outraced = n_tombed - st.n_resurrected
+    gc_done = not PS2.has_tombstones(spark, store.docs_root)
+    assert gc_done == (outraced == 0)  # outraced victims stay tombstoned
+    after = store.read().localCheckpoint(eager=True)
+    n_after = after.count()
+    n_distinct = after.select("doc_id").distinct().count()
+    assert n_after == n_distinct == before, (n_after, n_distinct, before)
+    return {
+        "tier": tier,
+        "n_deleted": n_tombed,
+        "delete_sec": delete_sec,
+        "resurrect_batch_rows": docs.count(),
+        "resurrect_sec": resurrect_sec,
+        "n_resurrected": st.n_resurrected,
+        "n_outraced_by_lower_id_twin": outraced,
+        "all_cancelled": gc_done,
+        "store_rows_final": n_after,
+        "note": (
+            "resurrect_sec = one full-corpus replay ingest whose "
+            "accepted set is exactly the wave: each victim cancels its "
+            "tombstone (no physical append, no duplicate rows) unless a "
+            "lower-id same-text twin in the batch outraces it, in which "
+            "case the twin appends fresh and the victim's tombstone "
+            "stays until its fold; row count and id-uniqueness are "
+            "asserted identical to pre-delete either way"
+        ),
+    }
+
+
 def main() -> None:
     use_100x = "--100x" in sys.argv
     neardup = "--neardup" in sys.argv
@@ -315,7 +383,12 @@ def main() -> None:
         from scale_curve import build_corpus_100x
 
         build_corpus_100x(spark)
-    if tombs:
+    if "--wave-resurrect" in sys.argv:
+        key, res = (
+            f"{tier}_wave_resurrection",
+            run_wave_resurrection(spark, sf_dir, tier),
+        )
+    elif tombs:
         key = f"{tier}_tombstone_wave" if wave else f"{tier}_tombstones"
         res = run_tombstones(spark, sf_dir, tier, wave=wave)
     else:
