@@ -130,3 +130,20 @@ def test_curated_ingest_deliberately_not_registered_yet():
     assert "docs_curated_ingest" not in RETIRED_REGISTRY
     assert len(REGISTRY) == 150  # ceiling fully used; no free slot
     assert "docs_simhash" in REGISTRY  # the named r16 slot
+
+
+def test_curated_ingest_plan_gates(spark):
+    """Pre-registration plan audit (so the r16 flip cannot trip
+    test_plan_audit): no cartesian product, no BNLJ (the bench-gram side
+    is a broadcast HASH join on gh), and the tokenize idiom bounded at
+    its measured single-projection fan-out — the quality gate's
+    stopword/score terms reference tokens(text) inside ONE Project per
+    relation (batch + history), the CSE-safe class docs_quality_filter's
+    pinned ceiling documents. Registration must carry
+    _TOKENIZE_CEILINGS['docs_curated_ingest'] = 18."""
+    df = q_docs_curated_ingest(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(lower(") <= 18
