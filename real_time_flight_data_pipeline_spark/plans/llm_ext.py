@@ -6050,6 +6050,32 @@ def _docs_curated_ingest_oracle() -> str:
     """
 
 
+@_register(
+    "docs_curated_ingest",
+    _docs_curated_ingest_oracle(),
+    "Curated streaming ingest classification: the oracle-paired spec twin "
+    "of the FULL curated policy composed in the store's own gates-first "
+    "order — decontamination prefilter, quality+lang accept gate, exact "
+    "fingerprint tier, near-dup band tier, and the tombstone live-history "
+    "projection — SEVEN statuses (contaminated / rejected / dup_batch / "
+    "replayed / dup_hist / near_dup / accepted), each pinned by a planted "
+    "row including both tombstone deltas (a tombstoned id re-sent is "
+    "ACCEPTED/resurrected; dead content under a new id is ACCEPTED). "
+    "Built from NearDupCorpusStore's own tier functions + "
+    "streaming/curation's gate definitions (curated_store_gates), so "
+    "spec fidelity is by construction. Scale shape: gates are per-row "
+    "codegen before any join; band/fingerprint tiers are "
+    "hash-partitioned equi-joins on the batch keyspace; corpus-derived "
+    "sides shuffle_hash-hinted, never statically broadcast; bench-gram "
+    "decon side is a broadcast HASH join on gh (bounded gram set)",
+    reference="spec twin of streaming/corpus.NearDupCorpusStore."
+    "ingest_batch under curated_store_gates + delete_docs tombstones "
+    "(banked r15, registered r16); "
+    "SURVEY §2.9 T3 exactly-once-by-idempotence composed with the "
+    "curation policy; reference contract "
+    "/root/reference/apps/spark_app/flight_stream.py:33-36",
+    tags=("dedup", "northstar", "streaming-twin", "tombstone", "curation"),
+)
 def q_docs_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted scenario: curated history = the quality+decon-gated 90%
     slice plus four synthetic accepted docs (T1/T2/T4/T5), of which T1

@@ -828,7 +828,7 @@ def _simhash_df(docs: DataFrame) -> DataFrame:
     return out.select("doc_id", packed.alias("simhash"))
 
 
-@_register(
+@_register_retired(
     "docs_simhash",
     f"""
     WITH tok AS (

@@ -162,6 +162,11 @@ _TOKENIZE_CEILING_DEFAULT = 4
 # Measured r5 snapshot: single-Project stat fan-outs (one tokenize per stat
 # column inside ONE projection — runtime CSE computes it once per row).
 _TOKENIZE_CEILINGS = {
+    # r16 registration (pre-audited while banked in test_preregistered):
+    # quality-gate stopword/score terms reference tokens(text) inside ONE
+    # Project per relation (batch + history) — the CSE-safe
+    # single-Project class docs_quality_filter's ceiling documents.
+    "docs_curated_ingest": 18,
     "docs_text_stats": 51,
     "docs_lang_confusion": 36,
     "docs_quality_filter": 28,

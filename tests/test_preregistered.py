@@ -10,13 +10,13 @@ registry-wide gate (tests/test_oracle.py); what stays here is the
 planted-status contract each was banked with, so the accept-classification
 semantics can't drift under later refactors.
 
-`docs_curated_ingest` is r15's bank for r16: the oracle-paired spec twin
-of the FULL curated streaming policy (decon prefilter + quality gate +
-exact tier + near-dup tier + tombstone live-history projection composed —
-the one streaming contract not yet in the catalog). Oracle-verified every
-session here; r16 flips its @_register together with the pre-planned
-retirement of `docs_simhash` (r13-green cohort) and deletes the queue
-guard.
+`docs_curated_ingest` was banked in r15 and registered in r16 (retiring
+`docs_simhash` from the r13-green cohort, per the pre-plan): the
+oracle-paired spec twin of the FULL curated streaming policy (decon
+prefilter + quality gate + exact tier + near-dup tier + tombstone
+live-history projection composed). Its oracle match is now covered by
+the registry-wide gate; the planted seven-status contract stays pinned
+here.
 """
 
 from __future__ import annotations
@@ -86,6 +86,18 @@ def test_tombstone_ingest_planted_statuses(spark):
     assert rows[9_000_003] == "dup_batch"   # loses min-id race to doc 9
 
 
+def test_curated_ingest_registered():
+    """r16 flipped @_register on (VERDICT r15 item 1, the pre-planned
+    rotation): registered with its DuckDB oracle, inside the 150 ceiling
+    (the slot came from retiring docs_simhash, whose signature
+    scaffolding the active docs_simhash_near_dup_pairs composes)."""
+    assert "docs_curated_ingest" in REGISTRY
+    assert REGISTRY["docs_curated_ingest"].oracle is not None
+    assert "docs_simhash" in RETIRED_REGISTRY
+    assert "docs_simhash" not in REGISTRY
+    assert len(REGISTRY) == 150  # rotation ceiling fully used again
+
+
 def test_curated_ingest_oracle_match(spark):
     ok, msg = compare(
         spark,
@@ -117,19 +129,6 @@ def test_curated_ingest_planted_statuses(spark):
     assert rows[9_000_005] == "dup_batch"     # loses min-id race
     assert rows[9_000_006] == "rejected"      # fails the quality+lang gate
     assert rows[9_000_007] == "contaminated"  # benchmark-excerpt copy
-
-
-def test_curated_ingest_deliberately_not_registered_yet():
-    """The queue decision itself is pinned: the registry is at the
-    150/150 rotation ceiling, and the r16 window slot comes from retiring
-    docs_simhash (r13-green cohort — the signature scaffolding the active
-    docs_simhash_near_dup_pairs composes; NOT distinct_users_exact, which
-    re-greened in r14 and is not due until r17). When r16 executes that
-    retirement, flip @_register on and delete this test."""
-    assert "docs_curated_ingest" not in REGISTRY
-    assert "docs_curated_ingest" not in RETIRED_REGISTRY
-    assert len(REGISTRY) == 150  # ceiling fully used; no free slot
-    assert "docs_simhash" in REGISTRY  # the named r16 slot
 
 
 def test_curated_ingest_plan_gates(spark):

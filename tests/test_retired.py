@@ -43,6 +43,15 @@ def test_expected_retirees():
     below if it was a measurement probe)."""
     assert _RETIRED == [
         "docs_lsh_recall",
+        # r16 (the pre-planned rotation): 48-bit SimHash signature
+        # scaffolding whose _simhash_df core the still-active
+        # docs_simhash_near_dup_pairs composes (its brute-force hamming
+        # oracle keeps verifying the signatures); retired from the
+        # r13-green cohort to free the window slot docs_curated_ingest
+        # occupies (a never-verified addition enters the driver window
+        # immediately, so the due cohort supplies it). The standalone
+        # signature oracle compare keeps running here.
+        "docs_simhash",
         "embedding_ivf_recall",
         "embedding_ivf_recall_trained",
         # r12 (shortlist #3): training-free ADC rung, superseded by the
