@@ -400,7 +400,9 @@ def main() -> None:
         sum(d["exec_median"] for d in detail.values() if "exec_median" in d),
         4,
     )
-    run_id = time.strftime("%Y%m%d-%H%M%S")
+    # pid suffix: two sweeps launched within the same second must not
+    # clobber each other's BENCH_DETAIL.<runid>.json (r15 ADVICE).
+    run_id = f"{time.strftime('%Y%m%d-%H%M%S')}-{os.getpid()}"
     payload = json.dumps(
         {"sf": sf, "total_sec": None if errors else total, "build_total_sec": build_total, "exec_total_sec": exec_total, "n_errors": len(errors), "run_id": run_id, "canary": canary, "host": host, "detail": detail}, indent=1
     )

@@ -208,24 +208,49 @@ def await_stable_cells(
     existence probe cannot see the hole — when the parked entries carry
     gen= sub-dirs (or the protocol cannot be positively adjudicated —
     r15 ADVICE, medium) the coarse marker guard is used instead. Its
-    budget is ``max(retries * wait_sec, marker_wait_sec)`` polled at
-    ``wait_sec`` — the caller's patience is honored, floored at the
-    measured in-flight tiered-pass duration (~3 s at the 100x corpus)."""
+    TOTAL budget is ``max(retries * wait_sec, marker_wait_sec)`` polled
+    at ``wait_sec`` — adjudication retries spend from the same budget
+    (r16 ADVICE: the budgets do not stack) — the caller's patience is
+    honored, floored at the measured in-flight tiered-pass duration
+    (~3 s at the 100x corpus).
+
+    A marker that stays 'empty' through the whole coarse budget (a
+    crashed swap that parked NOTHING — both recoveries degenerate to
+    dropping the skeleton, live tree complete) falls through to the
+    per-cell existence probe instead of raising (r16 ADVICE: the old
+    per-cell probe correctly passed this state; blocking every reader
+    until the writer's next recovery was an availability regression).
+    If a re-adjudication after the timeout finds a gen level WAS parked
+    meanwhile, it fails loud as before."""
     import math  # noqa: PLC0415
+    import time  # noqa: PLC0415
 
     root = f"{path}/cells"
     try:
-        if _ps.has_swap_marker(spark, root) and _marker_is_tiered(
-            spark, root, retries, wait_sec
-        ):
-            poll = max(wait_sec, 0.05)
-            _ps.await_no_swap_marker(
-                spark,
-                root,
-                retries=max(retries, math.ceil(marker_wait_sec / poll)),
-                wait_sec=poll,
-            )
-            return
+        if _ps.has_swap_marker(spark, root):
+            t0 = time.monotonic()
+            proto = _adjudicate_marker(spark, root, retries, wait_sec)
+            if proto in ("tiered", "empty"):
+                poll = max(wait_sec, 0.05)
+                budget = max(retries * wait_sec, marker_wait_sec)
+                budget -= time.monotonic() - t0
+                try:
+                    _ps.await_no_swap_marker(
+                        spark,
+                        root,
+                        retries=max(0, math.ceil(max(budget, 0.0) / poll)),
+                        wait_sec=poll,
+                    )
+                    return  # swap completed within budget
+                except RuntimeError:
+                    # Persistent marker: re-adjudicate once. Still-empty
+                    # (or vanished) -> nothing is parked, the live tree
+                    # is complete by protocol; flat-parked -> the
+                    # per-cell probe below sees the hole itself. Only a
+                    # parked gen level (invisible to the probe) stays
+                    # loud.
+                    if _ps.parked_protocol(spark, root, "cell") == "tiered":
+                        raise
         _ps.await_stable_partitions(
             spark, root, "cell", cells, retries, wait_sec
         )
@@ -236,25 +261,26 @@ def await_stable_cells(
         ) from None
 
 
-def _marker_is_tiered(
+def _adjudicate_marker(
     spark: SparkSession,
     root: str,
     retries: int = 3,
     wait_sec: float = 0.2,
-) -> bool:
-    """Whether the swap marker's parked entries carry gen= sub-dirs (the
-    generational protocol), adjudicated from the PARKED ENTRIES via
-    ``partstore.parked_protocol`` (r15 ADVICE, medium). False ONLY on a
-    positive adjudication: flat-parked entries, or the marker vanishing
-    mid-listing with ``has_swap_marker`` re-confirming the swap completed
-    (the per-cell fall-through then no-ops). An ambiguous marker (nothing
-    parked yet — the mkdirs-to-first-rename window) or a transient
-    listing error is retried, then resolved CONSERVATIVELY to tiered:
-    the coarse marker wait is a correct guard for both protocols and
-    fails loud, where guessing 'flat' would let the per-cell probe pass
-    over a store missing a parked gen level — the silent-missing-rows
-    case this guard exists to prevent. Persistent listing errors with
-    the marker still present raise."""
+) -> str:
+    """The swap marker's protocol, adjudicated from the PARKED ENTRIES
+    via ``partstore.parked_protocol`` (r15 ADVICE, medium): one of
+    ``"tiered"`` / ``"flat"`` / ``"none"`` (positive adjudications, the
+    latter also covering the marker vanishing mid-listing with
+    ``has_swap_marker`` re-confirming the swap completed) / ``"empty"``
+    (still ambiguous after retries — nothing parked yet, the
+    mkdirs-to-first-rename window or a parked-nothing crash). A
+    transient listing error is retried; persistent listing errors with
+    the marker still present raise. The caller routes ``"empty"``
+    CONSERVATIVELY to the coarse marker wait first — guessing 'flat'
+    outright would let the per-cell probe pass over a store missing a
+    parked gen level, the silent-missing-rows case this guard exists to
+    prevent — and only falls through to the per-cell probe after the
+    coarse budget confirms nothing ever gets parked."""
     import time  # noqa: PLC0415
 
     for attempt in range(retries + 1):
@@ -262,19 +288,35 @@ def _marker_is_tiered(
             proto = _ps.parked_protocol(spark, root, "cell")
         except Exception:  # noqa: BLE001
             if not _ps.has_swap_marker(spark, root):
-                return False  # swap completed mid-listing
+                return "none"  # swap completed mid-listing
             if attempt >= retries:
                 raise  # marker present, listing keeps failing: fail loud
             time.sleep(wait_sec)
             continue
-        if proto == "tiered":
-            return True
-        if proto in ("flat", "none"):
-            return False
-        # "empty": ambiguous window — retry, then conservative tiered.
+        if proto != "empty":
+            return proto
+        # "empty": ambiguous window — retry, then let the caller wait.
         if attempt < retries:
             time.sleep(wait_sec)
-    return True
+    return "empty"
+
+
+def _marker_is_tiered(
+    spark: SparkSession,
+    root: str,
+    retries: int = 3,
+    wait_sec: float = 0.2,
+) -> bool:
+    """Whether the marker routes to the coarse (tiered) wait — True for
+    a positive gen=-parked adjudication AND for a still-ambiguous
+    'empty' marker (see ``_adjudicate_marker``). Kept as the boolean
+    view the compaction tests pin; ``await_stable_cells`` uses the
+    protocol string so the empty case can fall through to the per-cell
+    probe after the coarse wait times out."""
+    return _adjudicate_marker(spark, root, retries, wait_sec) in (
+        "tiered",
+        "empty",
+    )
 
 
 def cell_file_counts(spark: SparkSession, path: str) -> dict[int, int]:

@@ -377,6 +377,12 @@ def main() -> None:
     medium = "--medium" in sys.argv  # r15 verdict #3 (with --curated)
     tombs = "--tombs" in sys.argv
     wave = "--wave" in sys.argv      # r15 verdict #4 (with --tombs)
+    if medium and not curated:
+        # The relaxed gate only exists inside the curated branch; a
+        # silent fallthrough would record a plain row under an
+        # expected-medium invocation (r15 ADVICE).
+        sys.exit("--medium requires --curated (the relaxed gate is a "
+                 "curated-store config)")
     sf_dir, tier = (SF_100X, "sf100x") if use_100x else (SF, "sf0.1")
     spark = get_spark()
     if use_100x and not pathlib.Path(f"{SF_100X}/documents.parquet").exists():

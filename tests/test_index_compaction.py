@@ -517,34 +517,63 @@ def test_parked_protocol_classification(spark, tmp_path):
 
 
 def test_marker_guard_conservative_on_ambiguous(spark, tmp_path):
-    """r15 ADVICE (medium): _marker_is_tiered must never silently guess
-    'flat' — an ambiguous marker (nothing parked yet) resolves to the
-    coarse tiered wait, which fails LOUD on a crashed swap instead of
-    letting the per-cell probe pass over a missing gen level. A
-    positively-flat marker still falls through to the per-cell guard,
-    and the caller's wait budget is honored on the coarse path."""
+    """r15 ADVICE (medium) + r16 ADVICE (low): _marker_is_tiered must
+    never silently guess 'flat' — an ambiguous marker (nothing parked
+    yet) resolves to the coarse tiered wait FIRST, with the caller's
+    budget honored (adjudication retries spend from the same budget, the
+    budgets do not stack). But a marker that stays EMPTY through the
+    whole coarse budget is a parked-nothing crash skeleton (live tree
+    complete by protocol), so the guard falls through to the per-cell
+    probe instead of blocking every reader until the writer's next
+    recovery: a complete live tree passes, a genuinely missing cell
+    still fails loud. A positively-flat marker skips the coarse wait
+    entirely."""
     import os
     import time
 
     from real_time_flight_data_pipeline_spark.operators.ann_index import (
+        _adjudicate_marker,
         _marker_is_tiered,
     )
 
     path = str(tmp_path / "idx")
     os.makedirs(f"{path}/cells/cell=0")
     os.makedirs(f"{path}/cells_old")  # marker present, nothing parked
+    assert _adjudicate_marker(spark, f"{path}/cells", retries=0) == "empty"
     assert _marker_is_tiered(spark, f"{path}/cells", retries=0) is True
+    # live tree complete: after the coarse wait times out on the
+    # persistently-empty marker, the per-cell probe passes (availability)
     t0 = time.monotonic()
+    await_stable_cells(
+        spark, path, [0], retries=1, wait_sec=0.05, marker_wait_sec=0.1
+    )
+    elapsed = time.monotonic() - t0
+    assert elapsed < 5  # the budget was the caller's, not 10 s
+    # a genuinely missing cell still fails loud on the same path
+    with pytest.raises(RuntimeError):
+        await_stable_cells(
+            spark, path, [7], retries=1, wait_sec=0.05, marker_wait_sec=0.1
+        )
+
+    # a parked gen level (tiered crash) still blocks loud — the
+    # coarse wait is the only guard that can see it
+    os.makedirs(f"{path}/cells_old/cell=0/gen=2")
+    with open(f"{path}/cells_old/cell=0/gen=2/part-000.parquet", "w") as f:
+        f.write("x")
+    assert _adjudicate_marker(spark, f"{path}/cells", retries=0) == "tiered"
     with pytest.raises(RuntimeError, match="persists"):
         await_stable_cells(
             spark, path, [0], retries=1, wait_sec=0.05, marker_wait_sec=0.1
         )
-    assert time.monotonic() - t0 < 5  # the budget was the caller's, not 10 s
+    import shutil
+
+    shutil.rmtree(f"{path}/cells_old/cell=0")
 
     # flat-parked entries adjudicate flat -> per-cell guard (cell 0 live,
     # so the guard passes despite the marker)
     os.makedirs(f"{path}/cells_old/cell=1")
     with open(f"{path}/cells_old/cell=1/part-000.parquet", "w") as f:
         f.write("x")
+    assert _adjudicate_marker(spark, f"{path}/cells", retries=0) == "flat"
     assert _marker_is_tiered(spark, f"{path}/cells", retries=0) is False
     await_stable_cells(spark, path, [0], retries=0, wait_sec=0.01)
