@@ -248,23 +248,28 @@ class VectorIndexMaintainer:
             )
         return n
 
-    def _gc_tombstones(self) -> None:
-        """Drop tombstones whose dead physical row was folded out —
-        presence checked PRUNED to the tombstones' recorded cells."""
-        tombs = self._tombs_df()
-        if tombs is None:
-            return
-        cells = [
-            int(r.cell) for r in tombs.select("cell").distinct().collect()
-        ]
-        phys = (
+    def _phys_vec_ids(self, cells: list[int]) -> DataFrame:
+        """Physical vec ids pruned to ``cells`` — the tier-specific
+        presence scan split_resurrections/gc use (column-pruned, bounded
+        by the coarse codebook size K)."""
+        return (
             self._cells()
-            .filter(F.col("cell").isin(cells))
+            .filter(F.col("cell").isin([int(c) for c in cells]))
             .select("vec_id")
         )
-        still = tombs.join(phys, "vec_id", "semi").localCheckpoint(eager=True)
-        if still.count() < tombs.count():
-            PS.rewrite_tombstones(self.spark, f"{self.path}/cells", still)
+
+    def _gc_tombstones(self) -> None:
+        """Drop tombstones whose dead physical row was folded out —
+        shared protocol (partstore.gc_folded_tombstones), presence
+        checked PRUNED to the tombstones' recorded cells."""
+        PS.gc_folded_tombstones(
+            self.spark,
+            f"{self.path}/cells",
+            self._tombs_df(),
+            id_col="vec_id",
+            part_col="cell",
+            phys_ids_for_parts=self._phys_vec_ids,
+        )
 
     def _cells_bytes(self) -> int:
         """Total bytes of the cells layout — the auto-mode budget input.
@@ -465,96 +470,39 @@ class VectorIndexMaintainer:
         PS.verify_stable_after(self.spark, f"{self.path}/cells")
         n_res = 0
         if n_added:
-            to_append = added
-            res = None
-            if tombs is not None:
-                # Resurrections: an accepted id that is tombstoned commits
-                # by CANCELLING the tombstone; its dead physical row (equal
-                # under content-immutable ids) usually still exists — only
-                # if compaction already folded it away does the row
-                # re-append. Append-before-cancel so a crash in between
-                # leaves the row hidden and the replay converges.
-                # Entirely JOIN-based (r15 verdict #4): a takedown WAVE
-                # must neither collect to the driver nor push megabyte
-                # isin literals through Catalyst — the only collects are
-                # the cell prune (bounded by K) and a 10-row fail-loud
-                # sample; id sets travel as checkpointed frames, bounded
-                # by the live tombstone count.
-                hits = (
-                    added.select("vec_id", "cell", "codes")
-                    .join(
-                        tombs.select(
-                            "vec_id",
-                            F.col("cell").alias("_tcell"),
-                            F.col("codes").alias("_tcodes"),
-                        ),
-                        "vec_id",
-                    )
-                    .localCheckpoint(eager=True)
-                )
-                res = (
-                    hits.select("vec_id")
-                    .distinct()
-                    .localCheckpoint(eager=True)
-                )
-                n_res = res.count()
+            # Resurrections: an accepted id that is tombstoned commits by
+            # CANCELLING the tombstone; its dead physical row (equal
+            # under content-immutable ids) usually still exists — only
+            # if compaction already folded it away does the row
+            # re-append. Append-before-cancel so a crash in between
+            # leaves the row hidden and the replay converges. Shared
+            # wave-safe protocol (r16: partstore.split_resurrections /
+            # cancel_resurrected_tombstones, one implementation for both
+            # tiers); the tier-specific parts passed in: identity = the
+            # quantization (cell, codes) — a re-send that quantizes
+            # differently carries a mutated embedding and fails loud
+            # while its dead row exists — presence scans = the cells
+            # layout pruned to the tombstones' recorded cells, and the
+            # batch-cell existing slice as the dead-visible set.
+            to_append, res, n_res = PS.split_resurrections(
+                added,
+                tombs,
+                id_col="vec_id",
+                part_col="cell",
+                identity_cols=("cell", "codes"),
+                dead_visible_ids=existing.select("vec_id"),
+                phys_ids_for_parts=self._phys_vec_ids,
+                entity="vec_ids",
+                mutation_desc="with embeddings that quantize differently",
+                mutation_remedy="re-ingest updated vectors under new "
+                "ids, or compact the index (folding the dead rows) "
+                "first",
+            )
             if n_res:
-                # Content-immutability guard (the corpus tier's
-                # fingerprint check, at the index's own identity): a
-                # tombstoned id whose re-send quantizes to a different
-                # (cell, codes) carries a mutated embedding — cancelling
-                # the tombstone while the dead row still exists would
-                # resurrect the old-content row next to the new append
-                # (or, same-cell, silently drop the new content). Fail
-                # loud while the dead row is physically present (checked
-                # at the TOMBSTONE's recorded cell — the mutated vector
-                # routes elsewhere, so the batch-cell slice cannot see
-                # it); once folded, the update degenerates to an insert.
-                mut = hits.filter(
-                    (F.col("cell") != F.col("_tcell"))
-                    | (F.col("codes") != F.col("_tcodes"))
-                )
-                mut_cells = sorted(
-                    int(r._tcell)
-                    for r in mut.select("_tcell").distinct().collect()
-                )  # bounded by K coarse cells, never by the wave
-                if mut_cells:
-                    still_sample = sorted(
-                        int(r.vec_id)
-                        for r in self._cells()
-                        .filter(F.col("cell").isin(mut_cells))
-                        .select("vec_id")
-                        .join(
-                            mut.select("vec_id").distinct(), "vec_id", "semi"
-                        )
-                        .limit(10)
-                        .collect()
-                    )
-                    if still_sample:
-                        raise ValueError(
-                            f"tombstoned vec_ids {still_sample} "
-                            "re-sent with embeddings that quantize "
-                            "differently while their dead rows still "
-                            "exist — ids are content-immutable; "
-                            "re-ingest updated vectors under new ids, "
-                            "or compact the index (folding the dead "
-                            "rows) first"
-                        )
-                # Lineage cut: to_append is written INTO the cells layout,
-                # so the present-set must not lazily re-scan it mid-append.
-                present = (
-                    existing.select("vec_id")
-                    .join(res, "vec_id", "semi")
-                    .localCheckpoint(eager=True)
-                )
-                if not present.isEmpty():
-                    to_append = added.join(present, "vec_id", "left_anti")
                 if not to_append.isEmpty():
                     self._append_cells(to_append)
-                PS.rewrite_tombstones(
-                    self.spark,
-                    f"{self.path}/cells",
-                    tombs.join(res, "vec_id", "left_anti"),
+                PS.cancel_resurrected_tombstones(
+                    self.spark, f"{self.path}/cells", tombs, res, "vec_id"
                 )
             else:
                 self._append_cells(added)
