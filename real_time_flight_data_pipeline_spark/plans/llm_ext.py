@@ -5097,24 +5097,14 @@ def q_embedding_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame
 # json); this spec pays full-scan training in-query so the oracle can
 # check it, exactly as embedding_ivfpq_topk does for the probe side.
 # ===========================================================================
-def _ingest_dedup_oracle() -> str:
-    batch_rows = """
-  SELECT CAST(vec_id AS BIGINT) AS vec_id, x FROM e WHERE vec_id % 10 = 9
-  UNION ALL SELECT CAST(0 AS BIGINT), x FROM e WHERE vec_id = 0
-  UNION ALL SELECT CAST(2000000 AS BIGINT), x FROM e WHERE vec_id = 10
-  UNION ALL SELECT CAST(2000001 AS BIGINT), x FROM e WHERE vec_id = 9
-  UNION ALL SELECT CAST(2000002 AS BIGINT), x FROM e WHERE vec_id = 9
-"""
-    bsubs_rows = " UNION ALL ".join(
-        f"SELECT vec_id, {m} AS m, "
-        f"x[{m * _PQ_SUB + 1}:{(m + 1) * _PQ_SUB}] AS xs FROM batch"
-        for m in range(_PQ_M)
-    )
-    return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
-    hist AS MATERIALIZED (SELECT vec_id, x FROM e WHERE vec_id % 10 <> 9),
-    batch AS MATERIALIZED ({batch_rows}),
-    c1 AS (SELECT vec_id AS cid, x AS cv FROM hist
+def _vec_train_hist_ctes() -> str:
+    """Shared oracle CTE block (r16, banked r17 twin): k-means coarse +
+    PQ codebook training on the PHYSICAL history and the history
+    encoding (hcell/hcode). Used verbatim by both vector ingest twins —
+    the codebooks belong to the index and are NOT retrained by deletes,
+    so the tombstone twin trains on the same physical frame and applies
+    the live projection only in its guards."""
+    return f"""c1 AS (SELECT vec_id AS cid, x AS cv FROM hist
            WHERE vec_id BETWEEN 0 AND {_KM_K - 1}),
     a1 AS ({_km_sql_assign("hist", "c1")}),
     comp AS (
@@ -5146,12 +5136,18 @@ def _ingest_dedup_oracle() -> str:
     hassign AS ({_pq_sql_sub_assign("pcents")}),
     hcode AS (SELECT vec_id, string_agg(CAST(c AS VARCHAR), ',' ORDER BY m)
                        AS codes
-              FROM hassign GROUP BY vec_id),
-    hkeys AS (
-      SELECT DISTINCT CAST(hcell.cid AS VARCHAR) || '_' || hcode.codes AS qk
-      FROM hcell JOIN hcode USING (vec_id)
-    ),
-    bsubs AS MATERIALIZED ({bsubs_rows}),
+              FROM hassign GROUP BY vec_id)"""
+
+
+def _vec_batch_enc_ctes() -> str:
+    """Shared oracle CTE block: encode the arriving batch with the
+    trained codebooks (bsubs/bcell/bcode/benc)."""
+    bsubs_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, "
+        f"x[{m * _PQ_SUB + 1}:{(m + 1) * _PQ_SUB}] AS xs FROM batch"
+        for m in range(_PQ_M)
+    )
+    return f"""bsubs AS MATERIALIZED ({bsubs_rows}),
     bcell AS ({_km_sql_assign("batch", "c2")}),
     bassign AS (
       SELECT vec_id, m, c FROM (
@@ -5169,7 +5165,27 @@ def _ingest_dedup_oracle() -> str:
              CAST(bcell.cid AS VARCHAR) || '_' || bcode.codes AS qk
       FROM batch b JOIN bcell ON bcell.vec_id = b.vec_id
       JOIN bcode ON bcode.vec_id = b.vec_id
+    )"""
+
+
+def _ingest_dedup_oracle() -> str:
+    batch_rows = """
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, x FROM e WHERE vec_id % 10 = 9
+  UNION ALL SELECT CAST(0 AS BIGINT), x FROM e WHERE vec_id = 0
+  UNION ALL SELECT CAST(2000000 AS BIGINT), x FROM e WHERE vec_id = 10
+  UNION ALL SELECT CAST(2000001 AS BIGINT), x FROM e WHERE vec_id = 9
+  UNION ALL SELECT CAST(2000002 AS BIGINT), x FROM e WHERE vec_id = 9
+"""
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    hist AS MATERIALIZED (SELECT vec_id, x FROM e WHERE vec_id % 10 <> 9),
+    batch AS MATERIALIZED ({batch_rows}),
+    {_vec_train_hist_ctes()},
+    hkeys AS (
+      SELECT DISTINCT CAST(hcell.cid AS VARCHAR) || '_' || hcode.codes AS qk
+      FROM hcell JOIN hcode USING (vec_id)
     ),
+    {_vec_batch_enc_ctes()},
     cls AS MATERIALIZED (
       SELECT benc.vec_id, benc.cell, benc.qk,
              benc.vec_id IN (SELECT vec_id FROM hist) AS is_replay,
@@ -5187,6 +5203,40 @@ def _ingest_dedup_oracle() -> str:
                 ELSE 'dup_batch' END AS status
     FROM cls c LEFT JOIN reps r ON r.qk = c.qk
     """
+
+
+def _vec_encode(
+    df: DataFrame, df_subs: DataFrame, coarse: DataFrame, pcents: DataFrame
+) -> DataFrame:
+    """Encode ``df`` with the trained codebooks: (vec_id, cell, qk) where
+    qk is the maintainer's quantization key. Shared by both vector ingest
+    twins (r16); codebooks broadcast (K + M*K rows)."""
+    cells = _km_assign(df, coarse)
+    codes = (
+        df_subs.join(F.broadcast(pcents), "m")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.expr(
+                f"min_by(c, struct({_pq_sub_d2_sql('xs', 'cs')} as d, "
+                "c as c))"
+            ).alias("code")
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(m, code)))"
+                    ", s -> cast(s.code as string))"
+                ),
+            ).alias("codes")
+        )
+    )
+    return cells.join(codes, "vec_id").select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cell"),
+        F.concat_ws("_", F.col("cid"), F.col("codes")).alias("qk"),
+    )
 
 
 @_register(
@@ -5232,36 +5282,10 @@ def q_index_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse = _km_trained_centroids(hist).localCheckpoint(eager=False)
     hsubs = _pq_subs(hist)
     pcents = _pq_trained_cents(hsubs).localCheckpoint(eager=False)
-
-    def enc(df: DataFrame, df_subs: DataFrame) -> DataFrame:
-        cells = _km_assign(df, coarse)
-        codes = (
-            df_subs.join(F.broadcast(pcents), "m")
-            .groupBy("vec_id", "m")
-            .agg(
-                F.expr(
-                    f"min_by(c, struct({_pq_sub_d2_sql('xs', 'cs')} as d, "
-                    "c as c))"
-                ).alias("code")
-            )
-            .groupBy("vec_id")
-            .agg(
-                F.concat_ws(
-                    ",",
-                    F.expr(
-                        "transform(array_sort(collect_list(struct(m, code)))"
-                        ", s -> cast(s.code as string))"
-                    ),
-                ).alias("codes")
-            )
-        )
-        return cells.join(codes, "vec_id").select(
-            "vec_id",
-            F.col("cid").cast("long").alias("cell"),
-            F.concat_ws("_", F.col("cid"), F.col("codes")).alias("qk"),
-        )
-    hkeys = enc(hist, hsubs).select("qk").distinct()
-    benc = enc(batch, _pq_subs(batch)).localCheckpoint(eager=False)
+    hkeys = _vec_encode(hist, hsubs, coarse, pcents).select("qk").distinct()
+    benc = _vec_encode(
+        batch, _pq_subs(batch), coarse, pcents
+    ).localCheckpoint(eager=False)
     # shuffle_hash on both guards: the id set and the key set are
     # corpus-derived aggregates — the statically-misplanned broadcast
     # class the 100x tier caught twice (r8).
@@ -5292,6 +5316,173 @@ def q_index_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         F.when(F.col("_r").isNotNull(), "replayed")
         .when(F.col("_h").isNotNull(), "dup_hist")
+        .when(F.col("vec_id") == F.col("rep"), "added")
+        .otherwise("dup_batch")
+        .alias("status"),
+    )
+
+
+# ===========================================================================
+# Vector-tier tombstone-aware ingest classification (r16, BANKED for r17):
+# the vector analog of docs_tombstone_ingest — the oracle-paired spec twin
+# of streaming/vector_index.ingest_batch against an index with LIVE
+# tombstones (delete_vectors). Codebooks are NOT retrained by deletes, so
+# training stays on the PHYSICAL history; the guards see the LIVE
+# projection: the id guard excludes tombstoned ids (a dead id re-sent
+# passes it) and the quantized-key guard excludes dead rows' keys (dead
+# content no longer blocks) — EXCEPT where another live vector shares the
+# key at PQ resolution, in which case the arrival still dup_hist-blocks
+# and the tombstone stays: the PQ-resolution collision property the r15
+# 100x wave replay documented (ivfpq_index_results.json:
+# sf100x_tombstone_wave). Registration planned for r17 (retiring
+# distinct_users_exact from the r14-green cohort); verified every session
+# by tests/test_preregistered.py until then.
+# ===========================================================================
+# Indexed ids whose delete is live (planted): 2 and 5 quantize to keys
+# UNIQUE among history at both sf0.001 and sf0.01 (verified at bank time),
+# so their deltas are deterministic at the driver's SF; 0's key is unique
+# at sf0.001 but PQ-COLLIDES with a live vector at sf0.01 — planted
+# deliberately so the driver-checked result also exercises the collision
+# property (resurrection blocked, tombstone stays).
+_VEC_TOMBSTONED = (0, 2, 5)
+
+
+def _embedding_tombstone_ingest_oracle() -> str:
+    dead = ", ".join(str(i) for i in _VEC_TOMBSTONED)
+    batch_rows = """
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, x FROM e WHERE vec_id % 10 = 9
+  UNION ALL SELECT CAST(0 AS BIGINT), x FROM e WHERE vec_id = 0
+  UNION ALL SELECT CAST(2 AS BIGINT), x FROM e WHERE vec_id = 2
+  UNION ALL SELECT CAST(1 AS BIGINT), x FROM e WHERE vec_id = 1
+  UNION ALL SELECT CAST(3000001 AS BIGINT), x FROM e WHERE vec_id = 10
+  UNION ALL SELECT CAST(3000002 AS BIGINT), x FROM e WHERE vec_id = 5
+  UNION ALL SELECT CAST(3000003 AS BIGINT), x FROM e WHERE vec_id = 9
+"""
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    hist AS MATERIALIZED (SELECT vec_id, x FROM e WHERE vec_id % 10 <> 9),
+    batch AS MATERIALIZED ({batch_rows}),
+    {_vec_train_hist_ctes()},
+    hkeys AS (
+      SELECT DISTINCT CAST(hcell.cid AS VARCHAR) || '_' || hcode.codes AS qk
+      FROM hcell JOIN hcode USING (vec_id)
+      WHERE vec_id NOT IN ({dead})
+    ),
+    {_vec_batch_enc_ctes()},
+    cls AS MATERIALIZED (
+      SELECT benc.vec_id, benc.cell, benc.qk,
+             benc.vec_id IN (SELECT vec_id FROM hist
+                             WHERE vec_id NOT IN ({dead})) AS is_replay,
+             benc.qk IN (SELECT qk FROM hkeys) AS in_hist
+      FROM benc
+    ),
+    reps AS (
+      SELECT qk, min(vec_id) AS rep FROM cls
+      WHERE NOT is_replay AND NOT in_hist GROUP BY qk
+    )
+    SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+           CASE WHEN c.is_replay THEN 'replayed'
+                WHEN c.in_hist THEN 'dup_hist'
+                WHEN c.vec_id = r.rep THEN
+                  CASE WHEN c.vec_id IN ({dead})
+                       THEN 'resurrected' ELSE 'added' END
+                ELSE 'dup_batch' END AS status
+    FROM cls c LEFT JOIN reps r ON r.qk = c.qk
+    """
+
+
+def q_embedding_tombstone_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Planted scenario (history = vec_id%10 != 9, tombstoned = vec ids
+    0, 2, 5): the batch re-sends tombstoned vec 2 under its id
+    (RESURRECTED — the id guard sees the live projection, and the
+    maintainer's accept cancels the tombstone; were it live this would
+    be `replayed`), tombstoned vec 0 under its id (resurrected at
+    sf0.001; at sf0.01 a LIVE vector shares its PQ key, so the arrival
+    dup_hist-blocks and the tombstone stays — the quantization IS the
+    identity, the collision property the r15 100x wave replay
+    documented), live vec 1 (replayed), live vec 10's embedding under
+    id 3000001 (dup_hist — its key is live), TOMBSTONED vec 5's
+    embedding under id 3000002 (ADDED — the dead key no longer blocks),
+    and an in-batch clone of held-out vec 9 (dup_batch, loses the
+    min-id race). Same joins and shuffle_hash reasoning as
+    embedding_index_ingest_dedup; the only deltas are the live-history
+    projections in the two guards plus the resurrected branch — exactly
+    the deltas delete_vectors makes in the maintainer (the live id guard
+    and the live quantized-key set, streaming/vector_index.py
+    ingest_batch), with the tombstone cancellation surfaced as its own
+    status because the maintainer counts it separately (n_resurrected).
+
+    Spec twin of streaming/vector_index.ingest_batch under
+    delete_vectors tombstones; SURVEY §2.9 T3 exactly-once-by-idempotence
+    under deletes at the ANN tier; reference contract
+    /root/reference/apps/spark_app/flight_stream.py:33-36."""
+    e = _km_load(spark, sf_dir)
+    hist = e.filter(F.col("vec_id") % 10 != 9).localCheckpoint(eager=False)
+
+    def plant(src_id: int, new_id: int) -> DataFrame:
+        return e.filter(F.col("vec_id") == src_id).select(
+            F.lit(new_id).cast("long").alias("vec_id"), "x"
+        )
+
+    batch = (
+        e.filter(F.col("vec_id") % 10 == 9)
+        .unionByName(plant(0, 0))     # tombstoned; PQ-collides at sf0.01
+        .unionByName(plant(2, 2))     # tombstoned id -> resurrected
+        .unionByName(plant(1, 1))     # live id -> replayed
+        .unionByName(plant(10, 3_000_001))     # live key, new id
+        .unionByName(plant(5, 3_000_002))      # DEAD key, new id
+        .unionByName(plant(9, 3_000_003))      # in-batch clone of 9
+        .localCheckpoint(eager=False)
+    )
+    coarse = _km_trained_centroids(hist).localCheckpoint(eager=False)
+    hsubs = _pq_subs(hist)
+    pcents = _pq_trained_cents(hsubs).localCheckpoint(eager=False)
+    # Live projections: a 2-element planted fixture set, so isin is a
+    # constant predicate, not a wave-sized literal (the store's own wave
+    # path is join-based — partstore.split_resurrections).
+    dead = list(_VEC_TOMBSTONED)
+    live_ids = hist.select("vec_id").filter(~F.col("vec_id").isin(dead))
+    hkeys = (
+        _vec_encode(hist, hsubs, coarse, pcents)
+        .filter(~F.col("vec_id").isin(dead))
+        .select("qk")
+        .distinct()
+    )
+    benc = _vec_encode(
+        batch, _pq_subs(batch), coarse, pcents
+    ).localCheckpoint(eager=False)
+    # shuffle_hash on both guards: corpus-derived sides, never statically
+    # broadcast (same reasoning as embedding_index_ingest_dedup).
+    cls = (
+        benc.join(
+            live_ids.withColumn("_r", F.lit(True)).hint("shuffle_hash"),
+            "vec_id",
+            "left",
+        )
+        .join(
+            hkeys.withColumn("_h", F.lit(True)).hint("shuffle_hash"),
+            "qk",
+            "left",
+        )
+        .localCheckpoint(eager=False)  # reused: reps + final classify
+    )
+    reps = (
+        cls.filter(F.col("_r").isNull() & F.col("_h").isNull())
+        .groupBy("qk")
+        .agg(F.min("vec_id").alias("rep"))
+    )
+    return cls.join(reps.hint("shuffle_hash"), "qk", "left").select(
+        "vec_id",
+        "cell",
+        F.when(F.col("_r").isNotNull(), "replayed")
+        .when(F.col("_h").isNotNull(), "dup_hist")
+        .when(
+            (F.col("vec_id") == F.col("rep"))
+            & F.col("vec_id").isin(dead),
+            "resurrected",
+        )
         .when(F.col("vec_id") == F.col("rep"), "added")
         .otherwise("dup_batch")
         .alias("status"),

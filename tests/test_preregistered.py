@@ -17,6 +17,15 @@ prefilter + quality gate + exact tier + near-dup tier + tombstone
 live-history projection composed). Its oracle match is now covered by
 the registry-wide gate; the planted seven-status contract stays pinned
 here.
+
+`embedding_tombstone_ingest` is r16's bank for r17: the VECTOR-tier
+analog of docs_tombstone_ingest — the oracle-paired spec twin of
+streaming/vector_index.ingest_batch under delete_vectors tombstones
+(live id guard + live quantized-key guard + the resurrected branch),
+including the PQ-resolution collision property the r15 100x wave replay
+documented. Oracle-verified every session here; r17 flips its @_register
+together with the pre-planned retirement of `distinct_users_exact`
+(r14-green cohort, recomputed r16) and deletes the queue guard.
 """
 
 from __future__ import annotations
@@ -27,9 +36,11 @@ from real_time_flight_data_pipeline_spark.plans.catalog import (
 )
 from real_time_flight_data_pipeline_spark.plans.llm_ext import (
     _docs_curated_ingest_oracle,
+    _embedding_tombstone_ingest_oracle,
     q_docs_curated_ingest,
     q_docs_near_dup_ingest,
     q_docs_tombstone_ingest,
+    q_embedding_tombstone_ingest,
 )
 
 from .conftest import SF_CORRECT, SF_SMOKE
@@ -129,6 +140,78 @@ def test_curated_ingest_planted_statuses(spark):
     assert rows[9_000_005] == "dup_batch"     # loses min-id race
     assert rows[9_000_006] == "rejected"      # fails the quality+lang gate
     assert rows[9_000_007] == "contaminated"  # benchmark-excerpt copy
+
+
+def test_embedding_tombstone_ingest_oracle_match(spark):
+    ok, msg = compare(
+        spark,
+        SF_CORRECT,
+        q_embedding_tombstone_ingest,
+        _embedding_tombstone_ingest_oracle(),
+    )
+    assert ok, msg
+
+
+def test_embedding_tombstone_ingest_planted_statuses(spark):
+    """The delete-specific classification deltas at the ANN tier, pinned
+    per planted row: a tombstoned id re-sent is RESURRECTED (the live id
+    guard passes it, the accept cancels the tombstone), dead content
+    under a new id is ADDED (a dead quantization key no longer blocks),
+    and live keys / live ids / in-batch races classify as in the
+    delete-free twin."""
+    rows = {
+        r.vec_id: r.status
+        for r in q_embedding_tombstone_ingest(spark, SF_SMOKE).collect()
+    }
+    assert rows[2] == "resurrected"         # tombstoned id -> resurrect
+    assert rows[0] == "resurrected"         # unique key at sf0.001
+    assert rows[1] == "replayed"            # live id
+    assert rows[3_000_001] == "dup_hist"    # live key, new id
+    assert rows[3_000_002] == "added"       # DEAD key, new id
+    assert rows[3_000_003] == "dup_batch"   # loses min-id race to vec 9
+
+
+def test_embedding_tombstone_ingest_pq_collision_property(spark):
+    """The PQ-resolution collision property (r15 wave replay,
+    ivfpq_index_results.json sf100x_tombstone_wave), pinned at the
+    driver's SF: tombstoned vec 0's key is shared by a LIVE vector at
+    sf0.01, so its re-send dup_hist-blocks instead of resurrecting — the
+    quantization IS the identity, and the tombstone stays until the
+    collision partner is itself deleted or the dead row folds. Vec 2
+    (key unique at both SFs) resurrects at the same SF, so both branches
+    are exercised where the driver checks."""
+    rows = {
+        r.vec_id: r.status
+        for r in q_embedding_tombstone_ingest(spark, SF_CORRECT).collect()
+    }
+    assert rows[0] == "dup_hist"
+    assert rows[2] == "resurrected"
+
+
+def test_embedding_tombstone_ingest_deliberately_not_registered_yet():
+    """The queue decision itself is pinned: the registry is at the
+    150/150 rotation ceiling, and the r17 window slot comes from retiring
+    distinct_users_exact (r14-green cohort — recomputed r16 from the
+    CORRECTNESS artifacts; the HLL production query
+    segment_distinct_users_hll stays active and test_retired keeps the
+    exact/HLL contrast verified). When r17 executes that retirement,
+    flip @_register on and delete this test."""
+    assert "embedding_tombstone_ingest" not in REGISTRY
+    assert "embedding_tombstone_ingest" not in RETIRED_REGISTRY
+    assert len(REGISTRY) == 150  # ceiling fully used; no free slot
+    assert "distinct_users_exact" in REGISTRY  # the named r17 slot
+
+
+def test_embedding_tombstone_ingest_plan_gates(spark):
+    """Pre-registration plan audit (so the r17 flip cannot trip
+    test_plan_audit): no cartesian product, no BNLJ — the codebook sides
+    are bounded broadcasts (K + M*K rows) on equi-keys, the guard joins
+    are shuffle_hash-hinted equi-joins, and the 3-element tombstone set
+    is a constant isin predicate, never a wave-sized literal."""
+    df = q_embedding_tombstone_ingest(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_curated_ingest_plan_gates(spark):
