@@ -1,0 +1,207 @@
+"""Pure-stdlib PNG codec (encode + decode) for the multimodal tier.
+
+PNG is the first COMPRESSED codec this engine decodes for real. The
+container blocks PIL/ffmpeg (COVERAGE.md env-blocker table), but nothing
+about non-interlaced 8-bit RGB PNG needs them: the compression is DEFLATE
+(stdlib ``zlib``), the integrity checks are CRC-32 (``zlib.crc32``), and
+the five scanline filters (None/Sub/Up/Average/Paeth) are byte arithmetic.
+So a complete decode — signature check, chunk walk with per-chunk CRC
+verification, IHDR validation, multi-IDAT reassembly, inflate, filter
+reversal — is standard library + numpy, and the former "compressed codecs
+are env-blocked" line retreats to the codecs that genuinely need external
+libraries (JPEG's DCT/entropy coding, real video codecs).
+
+Spec: PNG (ISO/IEC 15948 / RFC 2083). No reference-repo counterpart — this
+is [NORTH-STAR] multimodal-column work per the round-1 brief; the Spark
+side that drives it lives in ``plans/northstar.py``.
+
+Scale notes: both directions are O(bytes) per image and partition-local —
+at corpus scale they run inside Arrow-batched ``mapInPandas`` with zero
+shuffle. The decoder is strict (any CRC/structure violation raises), which
+is the posture a curation pipeline wants: a corrupt payload must surface
+as a dead-letter row, never as silently-wrong pixels.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+_BPP = 3  # bytes per pixel: 8-bit RGB (color type 2) only
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    """One PNG chunk: length, tag, body, CRC-32 over tag+body."""
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec order: a, then b, then c)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_encode(pixels: np.ndarray, row_filters=None, idat_split: int = 64) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a real non-interlaced 8-bit RGB
+    PNG: per-row filtering, one zlib DEFLATE stream, CRC-32 on every chunk.
+
+    ``row_filters`` pins the filter type per scanline (default: ``y % 5``,
+    so any image with >= 5 rows exercises all five filter reversals in the
+    decoder). Filtering at encode time predicts from RAW neighbor bytes,
+    so it vectorizes fully. ``idat_split`` caps bytes per IDAT chunk; the
+    default always yields multiple IDAT chunks for non-trivial images, so
+    every decode also proves multi-IDAT reassembly.
+    """
+    if pixels.ndim != 3 or pixels.shape[2] != _BPP:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {pixels.shape}")
+    h, w, _ = pixels.shape
+    raw = pixels.astype(np.int32).reshape(h, w * _BPP)
+    zeros = np.zeros(_BPP, dtype=np.int32)
+    lines = []
+    for y in range(h):
+        cur = raw[y]
+        prior = raw[y - 1] if y else np.zeros(w * _BPP, dtype=np.int32)
+        f = int(row_filters[y]) if row_filters is not None else y % 5
+        a = np.concatenate([zeros, cur[:-_BPP]])  # left neighbor, raw
+        b = prior                                  # up neighbor, raw
+        c = np.concatenate([zeros, prior[:-_BPP]])  # up-left, raw
+        if f == 0:
+            out = cur
+        elif f == 1:
+            out = cur - a
+        elif f == 2:
+            out = cur - b
+        elif f == 3:
+            out = cur - (a + b) // 2
+        elif f == 4:
+            out = cur - _paeth_vec(a, b, c)
+        else:
+            raise ValueError(f"invalid filter type {f}")
+        lines.append(bytes([f]) + (out % 256).astype(np.uint8).tobytes())
+    stream = zlib.compress(b"".join(lines), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    out = [_SIG, _chunk(b"IHDR", ihdr)]
+    for i in range(0, len(stream), idat_split):
+        out.append(_chunk(b"IDAT", stream[i : i + idat_split]))
+    out.append(_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def png_decode(data: bytes):
+    """Decode a non-interlaced 8-bit RGB PNG; returns ``(pixels, filters,
+    n_idat)`` where ``pixels`` is (h, w, 3) uint8, ``filters`` the per-row
+    filter bytes actually read from the inflated stream, and ``n_idat``
+    the IDAT chunk count reassembled.
+
+    Strict by design: bad signature, truncated chunk, CRC mismatch,
+    unsupported IHDR (bit depth != 8, color type != 2, interlaced),
+    missing IEND, stray post-IEND bytes, unknown filter byte, or a
+    filtered-stream length that disagrees with the geometry all raise
+    ``ValueError`` — corrupt payloads surface as dead-letter rows, never
+    as silently-wrong pixels.
+    """
+    if data[:8] != _SIG:
+        raise ValueError("bad PNG signature")
+    pos, ihdr, idat, ended = 8, None, [], False
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(f"truncated {tag!r} chunk body")
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            ended = True
+            pos += 12 + length
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    if not ended:
+        raise ValueError("missing IEND")
+    if pos != len(data):
+        raise ValueError("trailing bytes after IEND")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color != 2:
+        raise ValueError(f"unsupported PNG: bit depth {depth}, color type {color}")
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    stream = zlib.decompress(b"".join(idat))
+    stride = 1 + w * _BPP
+    if len(stream) != h * stride:
+        raise ValueError(
+            f"filtered stream is {len(stream)} bytes, geometry needs {h * stride}"
+        )
+    rows, filters = [], []
+    prior = np.zeros(w * _BPP, dtype=np.int32)
+    for y in range(h):
+        f = stream[y * stride]
+        filters.append(f)
+        line = np.frombuffer(
+            stream, dtype=np.uint8, count=w * _BPP, offset=y * stride + 1
+        ).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:
+            cur = (line + prior) % 256
+        elif f == 1:
+            # Sub reconstructs cur[i] = line[i] + cur[i-bpp]: neighbors are
+            # same-channel, so per channel this is exactly a prefix sum
+            # mod 256 — fully vectorized.
+            cur = np.empty(w * _BPP, dtype=np.int32)
+            for c in range(_BPP):
+                cur[c::_BPP] = np.cumsum(line[c::_BPP], dtype=np.int64) % 256
+        elif f in (3, 4):
+            # Average/Paeth reconstruct from DECODED left neighbors —
+            # inherently sequential along the row. Channels are
+            # independent (left neighbor is i-bpp), so run three scalar
+            # chains over Python lists (much cheaper per step than numpy
+            # scalar indexing); the parallelism axis at scale is
+            # images-per-partition, not bytes-per-row.
+            cur = np.empty(w * _BPP, dtype=np.int32)
+            for c in range(_BPP):
+                ln = line[c::_BPP].tolist()
+                pr = prior[c::_BPP].tolist()
+                out, a = [], 0
+                for x in range(w):
+                    b = pr[x]
+                    if f == 3:
+                        a = (ln[x] + (a + b) // 2) % 256
+                    else:
+                        up_left = pr[x - 1] if x else 0
+                        a = (ln[x] + _paeth(a, b, up_left)) % 256
+                    out.append(a)
+                cur[c::_BPP] = out
+        else:
+            raise ValueError(f"unknown scanline filter {f} on row {y}")
+        rows.append(cur)
+        prior = cur
+    pixels = np.stack(rows).astype(np.uint8).reshape(h, w, _BPP)
+    return pixels, filters, len(idat)

@@ -1907,14 +1907,150 @@ def _y4m_frame_stats(batches):
     "parse, frame iteration, strided sampling and plane split are all "
     "real work, the shape a video-curation pipeline runs before any "
     "model. With PCM audio and PPM image this completes a fully-REAL "
-    "multimodal tier; only compressed codecs (ffmpeg, env-blocked) "
-    "remain stubbed. Zero shuffles: both stages are partition-local "
-    "Arrow passes",
+    "multimodal tier; r16 extends it to a first COMPRESSED codec "
+    "(stdlib-zlib PNG, banked below for the r18 window), so only "
+    "DCT/entropy codecs (JPEG, real video — ffmpeg, env-blocked) remain "
+    "stubbed. Zero shuffles: both stages are partition-local Arrow "
+    "passes",
     reference="[NORTH-STAR] multimodal columns — codec-free video tier "
-    "(r7); the md5 stubs above now stand in for compressed codecs only",
+    "(r7); the md5 stubs above now stand in for DCT/entropy codecs only "
+    "(PNG is real as of r16, q_multimodal_png below)",
     tags=("multimodal", "northstar", "pandas-udf"),
 )
 def q_multimodal_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _spread(spark, _t(spark, sf_dir, "embeddings")).select("vec_id")
     y4m = emb.mapInPandas(_y4m_synth, schema=_Y4M_SCHEMA)
     return y4m.mapInPandas(_y4m_frame_stats, schema=_Y4M_OUT_SCHEMA)
+
+
+# ===========================================================================
+# Multimodal image, COMPRESSED codec: REAL PNG decode via stdlib zlib
+# (r16, banked for the r18 window — COVERAGE.md r18 rotation pre-plan).
+# The "compressed codecs are env-blocked" line held because PIL/ffmpeg are
+# absent — but PNG's compression is DEFLATE (stdlib zlib) and its
+# integrity checks are CRC-32 (zlib.crc32), so a complete non-interlaced
+# 8-bit RGB decode needs no codec library at all. functions/codecs.py
+# implements both directions: the encoder applies a different scanline
+# filter per row (y % 5, so every payload exercises all five reversals —
+# None/Sub/Up/Average/Paeth) and splits the DEFLATE stream across
+# multiple IDAT chunks; the decoder walks chunks verifying every CRC,
+# validates IHDR, reassembles IDAT, inflates, reverses the filters and
+# only then computes pixel statistics. Filtering and DEFLATE are
+# lossless, so the oracle recomputes every statistic from the closed-form
+# pixel function — the compression round-trip is exactly what the decode
+# must undo. The decoder is additionally validated against a real
+# libpng-encoded file where one is present (tests/test_png_codec.py).
+# With this, the env-blocked stub line retreats to codecs that genuinely
+# need external libraries (JPEG's DCT/entropy coding, real video codecs).
+# ===========================================================================
+_PNG_SCHEMA = "vec_id long, png binary"
+_PNG_OUT_SCHEMA = (
+    "vec_id long, width int, height int, sum_r long, sum_g long, "
+    "sum_b long, bright_r int, filter_sum int"
+)
+
+
+def _png_synth(batches):
+    """Encode stage: integer pseudo-image -> REAL PNG bytes (stdlib zlib
+    DEFLATE, per-chunk CRC-32, per-row filters y % 5, multi-IDAT).
+    Geometry w = 8 + vec_id%9, h = 5 + vec_id%5 (h >= 5, so all five
+    filter types appear in every payload); pixel byte at flat index j is
+    (vec_id*13 + j*17) % 256 — exactly reproducible in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.codecs import png_encode
+
+    for pdf in batches:
+        payloads = []
+        for seed in pdf["vec_id"]:
+            s = int(seed)
+            w, h = 8 + s % 9, 5 + s % 5
+            j = np.arange(w * h * 3, dtype=np.int64)
+            px = ((s * 13 + j * 17) % 256).astype(np.uint8).reshape(h, w, 3)
+            payloads.append(png_encode(px))
+        yield pd.DataFrame({"vec_id": pdf["vec_id"], "png": payloads})
+
+
+def _png_pixel_stats(batches):
+    """Decode stage — REAL compressed-codec work: signature check, chunk
+    walk with CRC-32 verification on every chunk, IHDR validation,
+    multi-IDAT reassembly, zlib inflate, reversal of all five scanline
+    filters; then exact per-channel sums, a red-channel bright-pixel
+    count, and the sum of the per-row filter bytes READ FROM THE INFLATED
+    STREAM (pinning that the filters actually varied on the wire)."""
+    import pandas as pd
+
+    from ..functions.codecs import png_decode
+
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "vec_id", "width", "height", "sum_r", "sum_g", "sum_b",
+            "bright_r", "filter_sum",
+        )}
+        for vec_id, buf in zip(pdf["vec_id"], pdf["png"]):
+            img, filters, _n_idat = png_decode(bytes(buf))
+            px = img.astype("int64")
+            h, w = px.shape[0], px.shape[1]
+            rows["vec_id"].append(vec_id)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["sum_r"].append(int(px[:, :, 0].sum()))
+            rows["sum_g"].append(int(px[:, :, 1].sum()))
+            rows["sum_b"].append(int(px[:, :, 2].sum()))
+            rows["bright_r"].append(int((px[:, :, 0] >= 128).sum()))
+            rows["filter_sum"].append(int(sum(filters)))
+        yield pd.DataFrame(rows)
+
+
+def _multimodal_png_oracle() -> str:
+    """DuckDB twin: the closed-form pixel function, per-channel sums and
+    the filter-byte sum (rows carry filter y % 5, so the sum over rows is
+    pure geometry). Attached at registration (r18 pre-plan); until then
+    tests/test_preregistered.py runs the compare every session."""
+    return """
+    WITH seeds AS (
+      SELECT vec_id,
+             8 + (vec_id % 9) AS w,
+             5 + (vec_id % 5) AS h
+      FROM embeddings
+    ),
+    px AS (
+      SELECT vec_id, w, h, unnest(range(0, w * h * 3)) AS j
+      FROM seeds
+    ),
+    v AS (
+      SELECT vec_id, w, h,
+             (vec_id * 13 + j * 17) % 256 AS p,
+             j % 3 AS c
+      FROM px
+    ),
+    fs AS (
+      SELECT vec_id, CAST(SUM(y % 5) AS INTEGER) AS filter_sum
+      FROM (SELECT vec_id, unnest(range(0, h)) AS y FROM seeds)
+      GROUP BY vec_id
+    )
+    SELECT v.vec_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM(p) FILTER (WHERE c = 0) AS BIGINT) AS sum_r,
+           CAST(SUM(p) FILTER (WHERE c = 1) AS BIGINT) AS sum_g,
+           CAST(SUM(p) FILTER (WHERE c = 2) AS BIGINT) AS sum_b,
+           CAST(COUNT(*) FILTER (WHERE c = 0 AND p >= 128) AS INTEGER)
+             AS bright_r,
+           MAX(fs.filter_sum) AS filter_sum
+    FROM v JOIN fs ON v.vec_id = fs.vec_id
+    GROUP BY v.vec_id
+    """
+
+
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banked for r18 (not registered — the 150-slot rotation ceiling is
+    fully used; COVERAGE.md names the r18 slot). Same two-stage shape as
+    the PPM/Y4M tiers: encode mapInPandas, then a decode mapInPandas that
+    does the full compressed-codec read. Zero shuffles — both stages are
+    partition-local Arrow passes; at 100 TB the decode parallelizes
+    per-file with no data movement."""
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings")).select("vec_id")
+    png = emb.mapInPandas(_png_synth, schema=_PNG_SCHEMA)
+    return png.mapInPandas(_png_pixel_stats, schema=_PNG_OUT_SCHEMA)

@@ -18,6 +18,16 @@ live-history projection composed). Its oracle match is now covered by
 the registry-wide gate; the planted seven-status contract stays pinned
 here.
 
+`multimodal_png_pixel_stats` (q_multimodal_png, plans/northstar.py) is
+r16's bank for the R18 window: the first COMPRESSED-codec real decode
+(stdlib-zlib PNG — per-chunk CRC verification, multi-IDAT reassembly,
+DEFLATE inflate, all five scanline-filter reversals), retiring the
+"compressed codecs are env-blocked" stub line to the codecs that
+genuinely need external libraries. Named r18 retirement (recompute the
+due cohort first, per the standing lesson): `multimodal_pcm_frame_energy`
+— the same-tier audio real-decode, whose oracle compare moves to
+test_retired; the multimodal tier then holds PPM + Y4M + PNG active.
+
 `embedding_tombstone_ingest` is r16's bank for r17: the VECTOR-tier
 analog of docs_tombstone_ingest — the oracle-paired spec twin of
 streaming/vector_index.ingest_batch under delete_vectors tombstones
@@ -229,3 +239,69 @@ def test_curated_ingest_plan_gates(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("split(lower(") <= 18
+
+
+def test_multimodal_png_oracle_match(spark):
+    from real_time_flight_data_pipeline_spark.plans.northstar import (
+        _multimodal_png_oracle,
+        q_multimodal_png,
+    )
+
+    ok, msg = compare(spark, SF_CORRECT, q_multimodal_png, _multimodal_png_oracle())
+    assert ok, msg
+
+
+def test_multimodal_png_planted_pixels(spark):
+    """Closed-form pin at the smoke SF: the decoded statistics for vec 0
+    and vec 7 recomputed here from the pixel function, independently of
+    the oracle SQL — and filter_sum comes from the wire (the per-row
+    filter bytes the decoder read out of the inflated stream), so a
+    payload that silently stopped varying its filters would fail."""
+    import numpy as np
+
+    from real_time_flight_data_pipeline_spark.plans.northstar import (
+        q_multimodal_png,
+    )
+
+    rows = {
+        r.vec_id: r for r in q_multimodal_png(spark, SF_SMOKE).collect()
+    }
+    for vid in (0, 7):
+        w, h = 8 + vid % 9, 5 + vid % 5
+        j = np.arange(w * h * 3, dtype=np.int64)
+        p = (vid * 13 + j * 17) % 256
+        r = rows[vid]
+        assert (r.width, r.height) == (w, h)
+        assert r.sum_r == int(p[j % 3 == 0].sum())
+        assert r.sum_g == int(p[j % 3 == 1].sum())
+        assert r.sum_b == int(p[j % 3 == 2].sum())
+        assert r.bright_r == int((p[j % 3 == 0] >= 128).sum())
+        assert r.filter_sum == sum(y % 5 for y in range(h))
+
+
+def test_multimodal_png_deliberately_not_registered_yet():
+    """Queue decision pinned: the registry is at the 150/150 rotation
+    ceiling and r17's slot is already committed to
+    embedding_tombstone_ingest, so the PNG tier waits for the r18 window.
+    The named r18 retirement is multimodal_pcm_frame_energy (same-tier
+    swap; recompute the due cohort from the CORRECTNESS artifacts before
+    executing). When r18 flips @_register on, delete this test."""
+    assert "multimodal_png_pixel_stats" not in REGISTRY
+    assert "multimodal_png_pixel_stats" not in RETIRED_REGISTRY
+    assert len(REGISTRY) == 150
+    assert "multimodal_pcm_frame_energy" in REGISTRY  # the named r18 slot
+
+
+def test_multimodal_png_plan_gates(spark):
+    """Pre-registration plan audit: two partition-local Arrow passes over
+    one scan — no join at all, so no cartesian/BNLJ risk, and nothing to
+    shuffle."""
+    from real_time_flight_data_pipeline_spark.plans.northstar import (
+        q_multimodal_png,
+    )
+
+    df = q_multimodal_png(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
