@@ -190,14 +190,29 @@ def png_decode(data: bytes):
                 ln = line[c::_BPP].tolist()
                 pr = prior[c::_BPP].tolist()
                 out, a = [], 0
-                for x in range(w):
-                    b = pr[x]
-                    if f == 3:
-                        a = (ln[x] + (a + b) // 2) % 256
-                    else:
-                        up_left = pr[x - 1] if x else 0
-                        a = (ln[x] + _paeth(a, b, up_left)) % 256
-                    out.append(a)
+                if f == 3:
+                    for x in range(w):
+                        a = (ln[x] + (a + pr[x]) // 2) % 256
+                        out.append(a)
+                else:
+                    up_left = 0
+                    for x in range(w):
+                        b = pr[x]
+                        # Paeth, inlined (a function call per pixel costs
+                        # ~2x in this loop): spec tie-break order a, b, c
+                        p = a + b - up_left
+                        pa = p - a if p >= a else a - p
+                        pb = p - b if p >= b else b - p
+                        pc = p - up_left if p >= up_left else up_left - p
+                        if pa <= pb and pa <= pc:
+                            pred = a
+                        elif pb <= pc:
+                            pred = b
+                        else:
+                            pred = up_left
+                        a = (ln[x] + pred) % 256
+                        out.append(a)
+                        up_left = b
                 cur[c::_BPP] = out
         else:
             raise ValueError(f"unknown scanline filter {f} on row {y}")
