@@ -218,3 +218,32 @@ def test_decode_real_libpng_file_when_available():
         assert n_idat >= 1
         return
     pytest.skip("no 8-bit RGB non-interlaced PNG found in the environment")
+
+
+# ---------------------------------------------------------------------------
+# Property-based (hypothesis): the codec must be the identity on ARBITRARY
+# pixel content under ARBITRARY filter schedules and IDAT granularities —
+# not just the structured pseudo-images the catalog query synthesizes.
+# Pure-Python properties (no Spark), so examples are cheap.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(data=st.data())
+def test_roundtrip_arbitrary_content_property(data):
+    w = data.draw(st.integers(1, 32), label="w")
+    h = data.draw(st.integers(1, 24), label="h")
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h), label="filters"
+    )
+    split = data.draw(st.integers(1, 4096), label="idat_split")
+    out, echoed, n_idat = png_decode(png_encode(px, row_filters=filters,
+                                                idat_split=split))
+    assert (out == px).all()
+    assert echoed == filters
+    assert n_idat >= 1
