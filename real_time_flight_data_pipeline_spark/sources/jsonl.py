@@ -85,3 +85,57 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         F.current_timestamp().alias("quarantined_at"),
     )
     return clean, dead, parsed
+
+
+# ---------------------------------------------------------------------------
+# Compressed shards (r16). Web corpora ship gzipped (.jsonl.gz); Spark's
+# JSON reader decompresses transparently — the load_jsonl path above works
+# unchanged, quarantine column included. What does NOT carry over is the
+# parallelism: gzip is a non-splittable codec, so each .gz shard becomes
+# exactly ONE input task no matter its size or
+# spark.sql.files.maxPartitionBytes. At 100 TB that is the difference
+# between a healthy scan and 32 cores idling behind one 10 GB shard —
+# so the compressed path is explicit about the hazard instead of
+# inheriting it silently.
+# ---------------------------------------------------------------------------
+_NON_SPLITTABLE = (".gz", ".gzip", ".zst", ".zstd", ".snappy", ".lz4")
+
+
+def is_non_splittable(path: str) -> bool:
+    """True if the file extension names a codec Spark cannot split
+    (one task per file; bzip2 is the splittable exception among the
+    common stream codecs)."""
+    return path.lower().endswith(_NON_SPLITTABLE)
+
+
+def load_jsonl_shards(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    rebalance: bool = True,
+) -> DataFrame:
+    """Read a directory (or glob) of JSONL shards, compressed or not,
+    with the same quarantine contract as :func:`load_jsonl`.
+
+    When the input resolves to non-splittable compressed files and they
+    number fewer than the session's parallelism, the scan is stuck at
+    one task per shard; with ``rebalance=True`` (default) the frame is
+    round-robin repartitioned to ``defaultParallelism`` right after the
+    parse — an explicit shuffle bought deliberately: every downstream
+    stage (tokenize, dedup hash, quality gates) is CPU-heavy per row,
+    and serializing it on a handful of decompress tasks costs far more
+    than one pass over the wire. Callers that only count rows can pass
+    ``rebalance=False`` and skip the shuffle.
+
+    The scale policy this encodes: WRITE corpora as many small-enough
+    compressed shards (the write_sharded manifest path already does) so
+    file-count parallelism replaces split parallelism; the rebalance is
+    the read-side repair for corpora we did not write ourselves.
+    """
+    df = load_jsonl(spark, path, schema)
+    if not rebalance:
+        return df
+    files = [f for f in df.inputFiles() if is_non_splittable(f)]
+    if files and df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
