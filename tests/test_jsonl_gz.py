@@ -136,3 +136,68 @@ def test_rebalance_skips_when_already_parallel(spark, tmp_path):
     df = load_jsonl_shards(spark, str(tmp_path), DOCUMENTS_JSONL_SCHEMA)
     assert df.rdd.getNumPartitions() >= n
     assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# Codecs Spark cannot scan natively: .jsonl.zst via the Arrow-decompress
+# path (load_jsonl_compressed). Contract parity with the native reader is
+# the whole point — same quarantine semantics, split_corrupt composes.
+# ---------------------------------------------------------------------------
+import pyarrow as pa  # noqa: E402
+
+from real_time_flight_data_pipeline_spark.sources.jsonl import (  # noqa: E402
+    load_jsonl_compressed,
+)
+
+
+def _write_zst(d, name="corpus.jsonl.zst", codec="zstd"):
+    p = d / name
+    with pa.CompressedOutputStream(str(p), codec) as fh:
+        fh.write(("\n".join(_lines()) + "\n").encode())
+    return str(p)
+
+
+def test_zst_parity_with_native_reader(spark, tmp_path):
+    """Spark itself cannot read this file; the Arrow path must produce
+    EXACTLY what the native reader produces for the same content."""
+    plain = load_jsonl(spark, _write_plain(tmp_path), DOCUMENTS_JSONL_SCHEMA)
+    zst = load_jsonl_compressed(
+        spark, _write_zst(tmp_path), DOCUMENTS_JSONL_SCHEMA
+    )
+    assert zst.columns == plain.columns
+    assert sorted(map(str, zst.collect())) == sorted(map(str, plain.collect()))
+
+
+def test_zst_split_corrupt_composes(spark, tmp_path):
+    df = load_jsonl_compressed(
+        spark, _write_zst(tmp_path), DOCUMENTS_JSONL_SCHEMA
+    )
+    clean, dead, parsed = split_corrupt(df)
+    try:
+        assert clean.count() == _GOOD
+        assert dead.count() == _BAD
+        assert {r.raw_line for r in dead.collect()} >= {"not json at all"}
+    finally:
+        parsed.unpersist()
+
+
+def test_zst_rebalance_fans_out_before_parse(spark, tmp_path):
+    df = load_jsonl_compressed(
+        spark, _write_zst(tmp_path), DOCUMENTS_JSONL_SCHEMA
+    )
+    assert df.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    df_stuck = load_jsonl_compressed(
+        spark, _write_zst(tmp_path), DOCUMENTS_JSONL_SCHEMA, rebalance=False
+    )
+    assert df_stuck.rdd.getNumPartitions() == 1
+    assert sorted(map(str, df.collect())) == sorted(map(str, df_stuck.collect()))
+
+
+def test_lz4_codec_variant(spark, tmp_path):
+    """The codec parameter is not zstd-lore: the same path reads an lz4
+    frame stream."""
+    path = _write_zst(tmp_path, name="corpus.jsonl.lz4", codec="lz4")
+    df = load_jsonl_compressed(
+        spark, path, DOCUMENTS_JSONL_SCHEMA, codec="lz4"
+    )
+    assert df.count() == _GOOD + _BAD
