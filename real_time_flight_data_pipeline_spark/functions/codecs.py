@@ -220,3 +220,100 @@ def png_decode(data: bytes):
         prior = cur
     pixels = np.stack(rows).astype(np.uint8).reshape(h, w, _BPP)
     return pixels, filters, len(idat)
+
+
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM (the WAV format-0x11 codec): 4-bit adaptive differential
+# PCM — the compressed-audio counterpart of the PNG tier above. The codec
+# is a per-sample state machine (predictor + step index walking the
+# 89-entry step table); both tables are IMA spec constants. Pure Python,
+# no codec library; the decoder is the ground truth the encoder must
+# track bit-exactly (the real codec invariant: decode(encode(x)) equals
+# the ENCODER'S OWN reconstruction, not x — ADPCM is lossy toward the
+# input but deterministic end-to-end).
+# Payload layout: <h predictor, B step_index, H n_samples> header, then
+# packed nibbles (low nibble = earlier sample).
+# ---------------------------------------------------------------------------
+_ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_ADPCM_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    """One decoder transition: (predictor, step_index) x nibble -> next."""
+    step = _ADPCM_STEPS[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _ADPCM_INDEX[nib]))
+    return pred, idx
+
+
+def adpcm_ima_decode(data: bytes):
+    """Decode an IMA ADPCM payload; returns ``(samples, final_predictor,
+    final_step_index)`` with ``samples`` an int16 numpy array of length
+    ``n_samples`` from the header. Strict: short payloads raise."""
+    if len(data) < 5:
+        raise ValueError("truncated ADPCM header")
+    pred, idx, n = struct.unpack("<hBH", data[:5])
+    if idx > 88:
+        raise ValueError(f"step index {idx} out of range")
+    need = 5 + (n + 1) // 2
+    if len(data) != need:
+        raise ValueError(f"payload is {len(data)} bytes, {n} samples need {need}")
+    body = data[5:]
+    out = np.empty(n, dtype=np.int16)
+    for j in range(n):
+        b = body[j >> 1]
+        nib = (b & 0x0F) if j % 2 == 0 else (b >> 4)
+        pred, idx = _adpcm_step(pred, idx, nib)
+        out[j] = pred
+    return out, pred, idx
+
+
+def adpcm_ima_encode(samples, predictor: int = 0, step_index: int = 0):
+    """Encode int16 samples; returns ``(payload, reconstruction)`` where
+    ``reconstruction`` is the decoder-exact signal the encoder tracked —
+    the bit-exactness contract a decoder is verified against."""
+    samples = np.asarray(samples, dtype=np.int64)
+    pred, idx = int(predictor), int(step_index)
+    nibbles, recon = [], np.empty(len(samples), dtype=np.int16)
+    for j, s in enumerate(samples):
+        step = _ADPCM_STEPS[idx]
+        diff = int(s) - pred
+        nib = 8 if diff < 0 else 0
+        if diff < 0:
+            diff = -diff
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        pred, idx = _adpcm_step(pred, idx, nib)
+        nibbles.append(nib)
+        recon[j] = pred
+    body = bytearray()
+    for j in range(0, len(nibbles), 2):
+        lo = nibbles[j]
+        hi = nibbles[j + 1] if j + 1 < len(nibbles) else 0
+        body.append(lo | (hi << 4))
+    payload = struct.pack(
+        "<hBH", int(predictor), int(step_index), len(samples)
+    ) + bytes(body)
+    return payload, recon

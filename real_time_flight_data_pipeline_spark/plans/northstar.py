@@ -2054,3 +2054,142 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _spread(spark, _t(spark, sf_dir, "embeddings")).select("vec_id")
     png = emb.mapInPandas(_png_synth, schema=_PNG_SCHEMA)
     return png.mapInPandas(_png_pixel_stats, schema=_PNG_OUT_SCHEMA)
+
+
+# ===========================================================================
+# Multimodal audio, COMPRESSED codec: REAL IMA ADPCM decode (r16; r19
+# bank candidate — COVERAGE.md). The audio counterpart of the PNG tier:
+# IMA/DVI ADPCM (WAV format 0x11) packs each sample into a 4-bit nibble
+# against an adaptive predictor + 89-entry step table. The decode is a
+# genuine per-sample state machine over REAL packed bytes
+# (functions/codecs.adpcm_ima_decode), and the oracle is the novel part:
+# DuckDB simulates the SAME state machine exactly with a RECURSIVE CTE —
+# 64 recursion steps carrying (predictor, step_index) per clip, the two
+# IMA spec tables as list literals — so a lossy-toward-input but
+# deterministic codec still gets an exact value-hash compare. Payload
+# nibbles are synthesized directly from a closed form (the decode is the
+# work under test; there is no encode stage to hide behind).
+# ===========================================================================
+_ADPCM_N = 64  # samples per clip (and the oracle's recursion depth)
+_ADPCM_SCHEMA = "vec_id long, adpcm binary"
+_ADPCM_OUT_SCHEMA = (
+    "vec_id long, n_samples int, final_predictor int, final_index int, "
+    "sum_abs long, max_sample int, min_sample int"
+)
+
+
+def _adpcm_synth(batches):
+    """Encode stage: closed-form header + nibbles -> packed IMA payload.
+    header predictor = ((vec_id*997) % 65536) - 32768, step index =
+    vec_id % 89, nibble j = (vec_id*7 + j*3) % 16, low nibble first."""
+    import struct as _struct
+
+    import pandas as pd
+
+    for pdf in batches:
+        payloads = []
+        for seed in pdf["vec_id"]:
+            s = int(seed)
+            nibs = [(s * 7 + j * 3) % 16 for j in range(_ADPCM_N)]
+            body = bytearray()
+            for j in range(0, _ADPCM_N, 2):
+                body.append(nibs[j] | (nibs[j + 1] << 4))
+            payloads.append(
+                _struct.pack("<hBH", ((s * 997) % 65536) - 32768, s % 89,
+                             _ADPCM_N) + bytes(body)
+            )
+        yield pd.DataFrame({"vec_id": pdf["vec_id"], "adpcm": payloads})
+
+
+def _adpcm_features(batches):
+    """Decode stage — REAL compressed-audio work: header parse, nibble
+    unpack, the full adaptive predictor/step-index walk, clamping; then
+    exact aggregate features of the decoded signal."""
+    import pandas as pd
+
+    from ..functions.codecs import adpcm_ima_decode
+
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "vec_id", "n_samples", "final_predictor", "final_index",
+            "sum_abs", "max_sample", "min_sample",
+        )}
+        for vec_id, buf in zip(pdf["vec_id"], pdf["adpcm"]):
+            samples, pred, idx = adpcm_ima_decode(bytes(buf))
+            s = samples.astype("int64")
+            rows["vec_id"].append(vec_id)
+            rows["n_samples"].append(len(s))
+            rows["final_predictor"].append(pred)
+            rows["final_index"].append(idx)
+            rows["sum_abs"].append(int(abs(s).sum()))
+            rows["max_sample"].append(int(s.max()))
+            rows["min_sample"].append(int(s.min()))
+        yield pd.DataFrame(rows)
+
+
+def _multimodal_adpcm_oracle() -> str:
+    """DuckDB twin: the IMA state machine run EXACTLY, per clip, by a
+    recursive CTE — j counts decoded samples, each step computes the
+    nibble from the closed form, indexes the spec tables (list
+    literals), applies the magnitude/sign/clamp arithmetic and the index
+    walk, and the final SELECT aggregates the decoded rows."""
+    steps = ", ".join(str(v) for v in [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    ])
+    return f"""
+    WITH RECURSIVE st AS (
+      SELECT vec_id,
+             0 AS j,
+             CAST(((vec_id * 997) % 65536) - 32768 AS BIGINT) AS pred,
+             CAST(vec_id % 89 AS BIGINT) AS idx
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id, j,
+             CASE WHEN (nib & 8) != 0
+                  THEN GREATEST(-32768, LEAST(32767, pred - diff))
+                  ELSE GREATEST(-32768, LEAST(32767, pred + diff))
+             END AS pred,
+             GREATEST(0, LEAST(88,
+               idx + [-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8][nib + 1]
+             )) AS idx
+      FROM (
+        SELECT vec_id, j, pred, idx, nib,
+               (step // 8)
+                 + CASE WHEN (nib & 1) != 0 THEN step // 4 ELSE 0 END
+                 + CASE WHEN (nib & 2) != 0 THEN step // 2 ELSE 0 END
+                 + CASE WHEN (nib & 4) != 0 THEN step ELSE 0 END AS diff
+        FROM (
+          SELECT vec_id, j + 1 AS j, pred, idx,
+                 (vec_id * 7 + j * 3) % 16 AS nib,
+                 [{steps}][idx + 1] AS step
+          FROM st WHERE j < {_ADPCM_N}
+        ) s1
+      ) s2
+    )
+    SELECT vec_id,
+           CAST({_ADPCM_N} AS INTEGER) AS n_samples,
+           CAST(max_by(pred, j) AS INTEGER) AS final_predictor,
+           CAST(max_by(idx, j) AS INTEGER) AS final_index,
+           CAST(SUM(ABS(pred)) AS BIGINT) AS sum_abs,
+           CAST(MAX(pred) AS INTEGER) AS max_sample,
+           CAST(MIN(pred) AS INTEGER) AS min_sample
+    FROM st WHERE j >= 1
+    GROUP BY vec_id
+    """
+
+
+def q_multimodal_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r19 bank candidate (not registered; the r17 and r18 window slots
+    are already committed — COVERAGE.md). Same two-stage multimodal
+    shape: synth mapInPandas, then a decode mapInPandas doing the full
+    compressed-audio state machine. Zero shuffles, partition-local."""
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings")).select("vec_id")
+    pcm = emb.mapInPandas(_adpcm_synth, schema=_ADPCM_SCHEMA)
+    return pcm.mapInPandas(_adpcm_features, schema=_ADPCM_OUT_SCHEMA)
