@@ -289,6 +289,8 @@ def adpcm_ima_encode(samples, predictor: int = 0, step_index: int = 0):
     ``reconstruction`` is the decoder-exact signal the encoder tracked —
     the bit-exactness contract a decoder is verified against."""
     samples = np.asarray(samples, dtype=np.int64)
+    if len(samples) > 65535:
+        raise ValueError("n_samples header field is u16; shard longer clips")
     pred, idx = int(predictor), int(step_index)
     nibbles, recon = [], np.empty(len(samples), dtype=np.int16)
     for j, s in enumerate(samples):

@@ -160,9 +160,44 @@ def run_filter_micro() -> dict:
     return out
 
 
+
+
+def run_adpcm_micro() -> dict:
+    """Single-core IMA ADPCM decode/encode rate (the audio compressed
+    codec; one 32k-sample clip, median of 3) — the same explicit
+    cost-model role the per-filter PNG ladder plays."""
+    import numpy as np
+
+    from real_time_flight_data_pipeline_spark.functions.codecs import (
+        adpcm_ima_decode,
+        adpcm_ima_encode,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(-32768, 32768, 1 << 15).astype(np.int16)
+    t0 = time.perf_counter()
+    payload, recon = adpcm_ima_encode(x)
+    enc = time.perf_counter() - t0
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dec, _, _ = adpcm_ima_decode(payload)
+        runs.append(time.perf_counter() - t0)
+    assert (dec == recon).all()
+    ms = statistics.median(runs) * 1000
+    return {
+        "n_samples": len(x),
+        "payload_bytes": len(payload),
+        "decode_ms": round(ms, 1),
+        "decode_ksamples_per_sec": round(len(x) / ms, 1),
+        "encode_ms": round(enc * 1000, 1),
+    }
+
+
 def main() -> None:
     results = json.loads(OUT.read_text()) if OUT.exists() else {}
     results["filter_micro_640x480_1core"] = run_filter_micro()
+    results["adpcm_micro_32k_1core"] = run_adpcm_micro()
 
     from real_time_flight_data_pipeline_spark.session import get_spark
 

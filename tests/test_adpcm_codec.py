@@ -130,3 +130,8 @@ def test_adpcm_query_plan_gates(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
         assert bad not in plan
+
+
+def test_encode_rejects_clips_over_u16():
+    with pytest.raises(ValueError, match="u16"):
+        adpcm_ima_encode(np.zeros(65536, dtype=np.int16))
