@@ -1,8 +1,8 @@
-"""Pure-stdlib PNG codec (encode + decode) for the multimodal tier.
+"""Pure-stdlib compressed codecs (PNG; IMA ADPCM below) for the multimodal tier.
 
 PNG is the first COMPRESSED codec this engine decodes for real. The
 container blocks PIL/ffmpeg (COVERAGE.md env-blocker table), but nothing
-about non-interlaced 8-bit RGB PNG needs them: the compression is DEFLATE
+about non-interlaced 8-bit RGB or grayscale PNG needs them: the compression is DEFLATE
 (stdlib ``zlib``), the integrity checks are CRC-32 (``zlib.crc32``), and
 the five scanline filters (None/Sub/Up/Average/Paeth) are byte arithmetic.
 So a complete decode — signature check, chunk walk with per-chunk CRC
@@ -30,7 +30,7 @@ import zlib
 import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
-_BPP = 3  # bytes per pixel: 8-bit RGB (color type 2) only
+_BPP = 3  # bytes per pixel for 8-bit RGB (color type 2); grayscale is 1
 
 
 def _chunk(tag: bytes, body: bytes) -> bytes:
@@ -59,8 +59,8 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def png_encode(pixels: np.ndarray, row_filters=None, idat_split: int = 64) -> bytes:
-    """Encode an (h, w, 3) uint8 array as a real non-interlaced 8-bit RGB
-    PNG: per-row filtering, one zlib DEFLATE stream, CRC-32 on every chunk.
+    """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a real
+    non-interlaced 8-bit PNG: per-row filtering, one zlib DEFLATE stream, CRC-32 on every chunk.
 
     ``row_filters`` pins the filter type per scanline (default: ``y % 5``,
     so any image with >= 5 rows exercises all five filter reversals in the
@@ -69,19 +69,25 @@ def png_encode(pixels: np.ndarray, row_filters=None, idat_split: int = 64) -> by
     default always yields multiple IDAT chunks for non-trivial images, so
     every decode also proves multi-IDAT reassembly.
     """
-    if pixels.ndim != 3 or pixels.shape[2] != _BPP:
-        raise ValueError(f"expected (h, w, 3) RGB array, got {pixels.shape}")
-    h, w, _ = pixels.shape
-    raw = pixels.astype(np.int32).reshape(h, w * _BPP)
-    zeros = np.zeros(_BPP, dtype=np.int32)
+    if pixels.ndim == 2:
+        bpp, color = 1, 0  # 8-bit grayscale (color type 0)
+    elif pixels.ndim == 3 and pixels.shape[2] == _BPP:
+        bpp, color = _BPP, 2  # 8-bit RGB (color type 2)
+    else:
+        raise ValueError(
+            f"expected (h, w, 3) RGB or (h, w) grayscale, got {pixels.shape}"
+        )
+    h, w = pixels.shape[0], pixels.shape[1]
+    raw = pixels.astype(np.int32).reshape(h, w * bpp)
+    zeros = np.zeros(bpp, dtype=np.int32)
     lines = []
     for y in range(h):
         cur = raw[y]
-        prior = raw[y - 1] if y else np.zeros(w * _BPP, dtype=np.int32)
+        prior = raw[y - 1] if y else np.zeros(w * bpp, dtype=np.int32)
         f = int(row_filters[y]) if row_filters is not None else y % 5
-        a = np.concatenate([zeros, cur[:-_BPP]])  # left neighbor, raw
-        b = prior                                  # up neighbor, raw
-        c = np.concatenate([zeros, prior[:-_BPP]])  # up-left, raw
+        a = np.concatenate([zeros, cur[:-bpp]])  # left neighbor, raw
+        b = prior                                 # up neighbor, raw
+        c = np.concatenate([zeros, prior[:-bpp]])  # up-left, raw
         if f == 0:
             out = cur
         elif f == 1:
@@ -96,7 +102,7 @@ def png_encode(pixels: np.ndarray, row_filters=None, idat_split: int = 64) -> by
             raise ValueError(f"invalid filter type {f}")
         lines.append(bytes([f]) + (out % 256).astype(np.uint8).tobytes())
     stream = zlib.compress(b"".join(lines), 6)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
     out = [_SIG, _chunk(b"IHDR", ihdr)]
     for i in range(0, len(stream), idat_split):
         out.append(_chunk(b"IDAT", stream[i : i + idat_split]))
@@ -105,13 +111,14 @@ def png_encode(pixels: np.ndarray, row_filters=None, idat_split: int = 64) -> by
 
 
 def png_decode(data: bytes):
-    """Decode a non-interlaced 8-bit RGB PNG; returns ``(pixels, filters,
-    n_idat)`` where ``pixels`` is (h, w, 3) uint8, ``filters`` the per-row
-    filter bytes actually read from the inflated stream, and ``n_idat``
-    the IDAT chunk count reassembled.
+    """Decode a non-interlaced 8-bit RGB (color type 2) or grayscale
+    (color type 0) PNG; returns ``(pixels, filters, n_idat)`` where
+    ``pixels`` is (h, w, 3) uint8 for RGB and (h, w) for grayscale,
+    ``filters`` the per-row filter bytes actually read from the inflated
+    stream, and ``n_idat`` the IDAT chunk count reassembled.
 
     Strict by design: bad signature, truncated chunk, CRC mismatch,
-    unsupported IHDR (bit depth != 8, color type != 2, interlaced),
+    unsupported IHDR (bit depth != 8, color type not in {0, 2}, interlaced),
     missing IEND, stray post-IEND bytes, unknown filter byte, or a
     filtered-stream length that disagrees with the geometry all raise
     ``ValueError`` — corrupt payloads surface as dead-letter rows, never
@@ -147,25 +154,26 @@ def png_decode(data: bytes):
     if pos != len(data):
         raise ValueError("trailing bytes after IEND")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or color != 2:
+    if depth != 8 or color not in (0, 2):
         raise ValueError(f"unsupported PNG: bit depth {depth}, color type {color}")
     if comp != 0 or filt != 0:
         raise ValueError("unsupported compression/filter method")
     if interlace != 0:
         raise ValueError("interlaced (Adam7) PNG not supported")
+    bpp = _BPP if color == 2 else 1
     stream = zlib.decompress(b"".join(idat))
-    stride = 1 + w * _BPP
+    stride = 1 + w * bpp
     if len(stream) != h * stride:
         raise ValueError(
             f"filtered stream is {len(stream)} bytes, geometry needs {h * stride}"
         )
     rows, filters = [], []
-    prior = np.zeros(w * _BPP, dtype=np.int32)
+    prior = np.zeros(w * bpp, dtype=np.int32)
     for y in range(h):
         f = stream[y * stride]
         filters.append(f)
         line = np.frombuffer(
-            stream, dtype=np.uint8, count=w * _BPP, offset=y * stride + 1
+            stream, dtype=np.uint8, count=w * bpp, offset=y * stride + 1
         ).astype(np.int32)
         if f == 0:
             cur = line
@@ -175,20 +183,20 @@ def png_decode(data: bytes):
             # Sub reconstructs cur[i] = line[i] + cur[i-bpp]: neighbors are
             # same-channel, so per channel this is exactly a prefix sum
             # mod 256 — fully vectorized.
-            cur = np.empty(w * _BPP, dtype=np.int32)
-            for c in range(_BPP):
-                cur[c::_BPP] = np.cumsum(line[c::_BPP], dtype=np.int64) % 256
+            cur = np.empty(w * bpp, dtype=np.int32)
+            for c in range(bpp):
+                cur[c::bpp] = np.cumsum(line[c::bpp], dtype=np.int64) % 256
         elif f in (3, 4):
             # Average/Paeth reconstruct from DECODED left neighbors —
             # inherently sequential along the row. Channels are
-            # independent (left neighbor is i-bpp), so run three scalar
-            # chains over Python lists (much cheaper per step than numpy
-            # scalar indexing); the parallelism axis at scale is
+            # independent (left neighbor is i-bpp), so run per-channel
+            # scalar chains over Python lists (much cheaper per step than
+            # numpy scalar indexing); the parallelism axis at scale is
             # images-per-partition, not bytes-per-row.
-            cur = np.empty(w * _BPP, dtype=np.int32)
-            for c in range(_BPP):
-                ln = line[c::_BPP].tolist()
-                pr = prior[c::_BPP].tolist()
+            cur = np.empty(w * bpp, dtype=np.int32)
+            for c in range(bpp):
+                ln = line[c::bpp].tolist()
+                pr = prior[c::bpp].tolist()
                 out, a = [], 0
                 if f == 3:
                     for x in range(w):
@@ -213,12 +221,13 @@ def png_decode(data: bytes):
                         a = (ln[x] + pred) % 256
                         out.append(a)
                         up_left = b
-                cur[c::_BPP] = out
+                cur[c::bpp] = out
         else:
             raise ValueError(f"unknown scanline filter {f} on row {y}")
         rows.append(cur)
         prior = cur
-    pixels = np.stack(rows).astype(np.uint8).reshape(h, w, _BPP)
+    shape = (h, w, _BPP) if color == 2 else (h, w)
+    pixels = np.stack(rows).astype(np.uint8).reshape(shape)
     return pixels, filters, len(idat)
 
 

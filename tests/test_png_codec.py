@@ -247,3 +247,59 @@ def test_roundtrip_arbitrary_content_property(data):
     assert (out == px).all()
     assert echoed == filters
     assert n_idat >= 1
+
+
+# ---------------------------------------------------------------------------
+# Grayscale (color type 0) — bpp=1 through the same filter machinery.
+# ---------------------------------------------------------------------------
+def test_grayscale_roundtrip_all_filters():
+    px = ((np.arange(9 * 13) * 31) % 256).astype(np.uint8).reshape(9, 13)
+    for f in range(5):
+        out, filters, _ = png_decode(png_encode(px, row_filters=[f] * 9))
+        assert out.shape == (9, 13)
+        assert (out == px).all() and filters == [f] * 9
+    out, filters, _ = png_decode(png_encode(px))  # mixed y % 5 schedule
+    assert (out == px).all() and filters == [y % 5 for y in range(9)]
+
+
+def test_grayscale_external_file_when_available():
+    """A real grayscale PNG from an external encoder, if the environment
+    ships one (same opportunistic contract as the RGB cross-check)."""
+    for root in (
+        "/usr/share", "/usr/lib", "/opt",
+        "/mnt/sandboxing/model_tools_env/v1/python/install",
+    ):
+        for path in glob.glob(f"{root}/**/*.png", recursive=True)[:3000]:
+            try:
+                raw = open(path, "rb").read()
+            except OSError:
+                continue
+            if raw[:8] != b"\x89PNG\r\n\x1a\n" or len(raw) < 33:
+                continue
+            w, h, depth, color, _, _, inter = struct.unpack(">IIBBBBB", raw[16:29])
+            if (depth, color, inter) != (8, 0, 0):
+                continue
+            try:
+                px, filters, _ = png_decode(raw)
+            except ValueError:
+                continue
+            assert px.shape == (h, w)
+            assert set(filters) <= {0, 1, 2, 3, 4}
+            return
+    pytest.skip("no 8-bit grayscale non-interlaced PNG in the environment")
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(data=st.data())
+def test_grayscale_roundtrip_arbitrary_content_property(data):
+    w = data.draw(st.integers(1, 40), label="w")
+    h = data.draw(st.integers(1, 20), label="h")
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h), label="filters"
+    )
+    out, echoed, _ = png_decode(png_encode(px, row_filters=filters))
+    assert out.shape == (h, w) and (out == px).all()
+    assert echoed == filters
