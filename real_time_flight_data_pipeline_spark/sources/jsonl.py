@@ -119,13 +119,18 @@ def load_jsonl_shards(
 
     When the input resolves to non-splittable compressed files and they
     number fewer than the session's parallelism, the scan is stuck at
-    one task per shard; with ``rebalance=True`` (default) the frame is
-    round-robin repartitioned to ``defaultParallelism`` right after the
-    parse — an explicit shuffle bought deliberately: every downstream
-    stage (tokenize, dedup hash, quality gates) is CPU-heavy per row,
-    and serializing it on a handful of decompress tasks costs far more
-    than one pass over the wire. Callers that only count rows can pass
-    ``rebalance=False`` and skip the shuffle.
+    one task per shard; with ``rebalance=True`` (default) the read is
+    REPLANNED as text-scan -> round-robin repartition -> ``from_json``,
+    so the JSON parse itself — not just the stages after it — runs at
+    ``defaultParallelism`` (only the codec's serial decompress stays on
+    the scan task). The explicit shuffle moves raw lines once; measured
+    at ~360 MB / 1M rows (compressed_ingest_results.json), parse-after-
+    rebalance cut the single-gz-shard wall a further ~2x over
+    rebalancing the already-parsed frame, and ~4x over staying stuck.
+    ``from_json`` under PERMISSIVE + the quarantine column reproduces
+    the native reader's contract exactly (pinned by the zst parity
+    tests, which share this parse). Callers that only count rows can
+    pass ``rebalance=False`` and skip the shuffle.
 
     The scale policy this encodes: WRITE corpora as many small-enough
     compressed shards (the write_sharded manifest path already does) so
@@ -137,7 +142,18 @@ def load_jsonl_shards(
         return df
     files = [f for f in df.inputFiles() if is_non_splittable(f)]
     if files and df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        return df.repartition(spark.sparkContext.defaultParallelism)
+        lines = (
+            spark.read.text(path)
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        return lines.select(
+            F.from_json(
+                F.col("value"),
+                schema,
+                {"mode": "PERMISSIVE",
+                 "columnNameOfCorruptRecord": CORRUPT_COL},
+            ).alias("r")
+        ).select("r.*")
     return df
 
 

@@ -201,3 +201,16 @@ def test_lz4_codec_variant(spark, tmp_path):
         spark, path, DOCUMENTS_JSONL_SCHEMA, codec="lz4"
     )
     assert df.count() == _GOOD + _BAD
+
+
+def test_gz_rebalanced_parity_with_native_reader(spark, tmp_path):
+    """The parse-after-rebalance replan (text scan + from_json) must be
+    row-for-row identical to the native reader on the same gz bytes,
+    quarantine column included."""
+    path = _write_gz(tmp_path)
+    native = load_jsonl(spark, path, DOCUMENTS_JSONL_SCHEMA)
+    replanned = load_jsonl_shards(spark, path, DOCUMENTS_JSONL_SCHEMA)
+    assert replanned.columns == native.columns
+    assert sorted(map(str, replanned.collect())) == sorted(
+        map(str, native.collect())
+    )
