@@ -144,6 +144,11 @@ def load_jsonl_shards(
     if files and df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         lines = (
             spark.read.text(path)
+            # the native JSON reader SKIPS whitespace-only lines; without
+            # this filter they would surface as phantom all-NULL rows
+            # that even pass the quarantine check (clean by col-is-null).
+            # rlike, not trim: Spark's trim strips only spaces, not tabs
+            .filter(F.col("value").rlike(r"\S"))
             .repartition(spark.sparkContext.defaultParallelism)
         )
         return lines.select(

@@ -214,3 +214,23 @@ def test_gz_rebalanced_parity_with_native_reader(spark, tmp_path):
     assert sorted(map(str, replanned.collect())) == sorted(
         map(str, native.collect())
     )
+
+
+def test_gz_replan_skips_blank_lines_like_native(spark, tmp_path):
+    """The native JSON reader silently skips whitespace-only lines; the
+    text-scan replan must too, or blanks surface as phantom all-NULL
+    rows that split_corrupt would classify as CLEAN (quarantine col is
+    null). Caught by probing; pinned here."""
+    p = tmp_path / "blanks.jsonl.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write(
+            '{"doc_id": 1, "text": "a", "lang": "en", "source": "s"}\n'
+            "\n   \n\t\n"
+            '{"doc_id": 2, "text": "b", "lang": "en", "source": "s"}\n'
+        )
+    native = load_jsonl(spark, str(p), DOCUMENTS_JSONL_SCHEMA)
+    replan = load_jsonl_shards(spark, str(p), DOCUMENTS_JSONL_SCHEMA)
+    assert native.count() == 2
+    assert sorted(map(str, replan.collect())) == sorted(
+        map(str, native.collect())
+    )
