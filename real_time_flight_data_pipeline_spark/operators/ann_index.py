@@ -44,10 +44,11 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     """One-time heavy pass: train both codebooks, PQ-encode the corpus,
     and lay it out partitioned by coarse cell."""
     from ..plans.llm_ext import (  # noqa: PLC0415 — avoid import cycle
+        _PQ_D2H,
+        _cc_side,
         _km_assign,
         _km_load,
         _km_trained_centroids,
-        _pq_sub_d2_sql,
         _pq_subs,
         _pq_trained_cents,
     )
@@ -61,13 +62,15 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     # Read the codebook BACK for the encode join: the persisted table is
     # the source of truth a later incremental batch will see, and its
     # known file size lets Catalyst size the broadcast from statistics.
+    # r16: pair-invariant |xs|^2 (from _pq_subs) / |cs|^2 hoisted out of
+    # the encode argmin — same terms, same order, bit-identical codes.
     cents = spark.read.parquet(f"{path}/pq")
     codes = (
-        subs.join(F.broadcast(cents), "m")
+        subs.join(F.broadcast(_cc_side(cents)), "m")
         .groupBy("vec_id", "m")
         .agg(
             F.expr(
-                f"min_by(c, struct({_pq_sub_d2_sql('xs', 'cs')} as d, "
+                f"min_by(c, struct({_PQ_D2H} as d, "
                 f"c as c))"
             ).alias("code")
         )
@@ -95,20 +98,25 @@ def encode_batch(
     add below and the streaming maintainer
     (streaming/vector_index.py)."""
     from ..plans.llm_ext import (  # noqa: PLC0415 — avoid import cycle
+        _PQ_D2H,
         _PQ_M,
         _PQ_SUB,
-        _pq_sub_d2_sql,
+        _cc_side,
     )
 
-    e = new_vectors.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("x")
-    ).localCheckpoint(eager=False)
-    coarse = spark.read.parquet(f"{path}/coarse")
-    d = (
-        V.dot(F.col("x"), F.col("x"))
-        - 2 * V.dot(F.col("x"), F.col("cv"))
-        + V.dot(F.col("cv"), F.col("cv"))
+    # r16: |x|^2 / |xs|^2 / |cv|^2 / |cs|^2 hoisted out of both argmins
+    # (same terms, same order — bit-identical assignment and codes).
+    e = (
+        new_vectors.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("x")
+        )
+        .withColumn("_xx", V.dot(F.col("x"), F.col("x")))
+        .localCheckpoint(eager=False)
     )
+    coarse = spark.read.parquet(f"{path}/coarse").withColumn(
+        "_cc", V.dot(F.col("cv"), F.col("cv"))
+    )
+    d = F.col("_xx") - 2 * V.dot(F.col("x"), F.col("cv")) + F.col("_cc")
     cells = (
         e.join(F.broadcast(coarse))
         .groupBy("vec_id")
@@ -118,29 +126,33 @@ def encode_batch(
             ).alias("cell")
         )
     )
-    subs = e.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.slice(F.col("x"), m * _PQ_SUB + 1, _PQ_SUB).alias(
-                            "xs"
-                        ),
-                    )
-                    for m in range(_PQ_M)
-                ]
-            )
-        ).alias("s"),
-    ).select("vec_id", "s.m", "s.xs")
+    subs = (
+        e.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.slice(
+                                F.col("x"), m * _PQ_SUB + 1, _PQ_SUB
+                            ).alias("xs"),
+                        )
+                        for m in range(_PQ_M)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("vec_id", "s.m", "s.xs")
+        .withColumn("_xx", V.dot(F.col("xs"), F.col("xs")))
+    )
     cents = spark.read.parquet(f"{path}/pq")
     codes = (
-        subs.join(F.broadcast(cents), "m")
+        subs.join(F.broadcast(_cc_side(cents)), "m")
         .groupBy("vec_id", "m")
         .agg(
             F.expr(
-                f"min_by(c, struct({_pq_sub_d2_sql('xs', 'cs')} as d, "
+                f"min_by(c, struct({_PQ_D2H} as d, "
                 f"c as c))"
             ).alias("code")
         )

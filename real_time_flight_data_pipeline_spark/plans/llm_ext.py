@@ -537,14 +537,21 @@ def _km_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     dist^2 = |x|^2 - 2 x.c + |c|^2; every dot is the same sequential fold
     in both engines (V.dot == DuckDB list_dot_product bit-for-bit), so the
     argmin is cross-engine deterministic. Broadcast the K-row centroid
-    side; one map-side-combined groupBy per vector — no corpus shuffle."""
-    d = (
-        V.dot(F.col("x"), F.col("x"))
-        - 2 * V.dot(F.col("x"), F.col("cv"))
-        + V.dot(F.col("cv"), F.col("cv"))
-    )
+    side; one map-side-combined groupBy per vector — no corpus shuffle.
+
+    r16 (guide §1.2 "don't compute things you throw away"): the |x|^2 and
+    |c|^2 terms are invariant per row / per centroid, but written inline
+    they were re-evaluated for every (row, centroid) PAIR — 2 of the 3
+    interpreted fold dots per pair were redundant. Hoisting them into
+    projections below the join (per-row once, per-centroid once on the
+    K-row broadcast side) leaves one dot per pair. The summed expression
+    ((xx - 2*x.c) + cc) is unchanged term-for-term, so d is bit-identical
+    and the argmin unchanged."""
+    e2 = e.withColumn("_xx", V.dot(F.col("x"), F.col("x")))
+    c2 = cents.withColumn("_cc", V.dot(F.col("cv"), F.col("cv")))
+    d = F.col("_xx") - 2 * V.dot(F.col("x"), F.col("cv")) + F.col("_cc")
     return (
-        e.join(F.broadcast(cents))
+        e2.join(F.broadcast(c2))
         .groupBy("vec_id")
         .agg(F.min_by("cid", F.struct(d.alias("d"), F.col("cid").alias("c"))).alias("cid"))
     )
@@ -2155,12 +2162,18 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Normalize once; barrier so the K cell-distance expressions and both
     # self-join sides reuse the normalized column instead of re-deriving it
     # (same CollapseProject guard as embedding_near_dup_pairs).
+    # r16: |vn|^2 is materialized once per row inside the same barrier —
+    # inline it was re-folded for every (row, centroid) pair in the K-cell
+    # assignment below (guide §1.2), and the centroid side reuses the same
+    # stored value as its |cv|^2. Term order in d2 is unchanged, so the
+    # distances and the argmin are bit-identical.
     normed = (
         corpus.withColumn("n", V.norm(F.col("v")))
         .select(
             "vec_id",
             F.transform(F.col("v"), lambda x: x / F.col("n")).alias("vn"),
         )
+        .withColumn("_nn", V.dot(F.col("vn"), F.col("vn")))
         .localCheckpoint(eager=False)
     )
     # K from the cached normed frame (same count as corpus) — deriving it
@@ -2174,12 +2187,16 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (
         normed.join(F.broadcast(kdf))
         .filter(F.col("vec_id") < F.col("k"))
-        .select(F.col("vec_id").alias("cid"), F.col("vn").alias("cv"))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("vn").alias("cv"),
+            F.col("_nn").alias("_cc"),
+        )
     )
     d2 = (
-        V.dot(F.col("vn"), F.col("vn"))
+        F.col("_nn")
         - 2 * V.dot(F.col("vn"), F.col("cv"))
-        + V.dot(F.col("cv"), F.col("cv"))
+        + F.col("_cc")
     )
     # Assignment carries vn THROUGH the argmin aggregate (min_by of a
     # (cid, vn) struct — vn is constant per vec_id, so the carried value
@@ -2343,6 +2360,11 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 2 * V.dot(F.col("qsub"), F.col("cs"))
         + V.dot(F.col("cs"), F.col("cs"))
     )
+    # r16: |cs|^2 hoisted into the (M x K)-row distance table and |xs|^2
+    # into the per-(vec, m) subvector row — the encode argmin below was
+    # re-evaluating both invariant dots per CANDIDATE PAIR (guide §1.2);
+    # ((xx - 2*x.c) + cc) is term-for-term the old expression, so every
+    # distance and the argmin are bit-identical.
     centd = (
         cents.join(F.broadcast(qs), "m")
         .select(
@@ -2350,16 +2372,18 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c",
             "cs",
             F.round(qd * _PQ_SCALE).cast("long").alias("qd_fp"),
+            V.dot(F.col("cs"), F.col("cs")).alias("_cc"),
         )
         .localCheckpoint(eager=False)
     )
+    subs_x = subs.withColumn("_xx", V.dot(F.col("xs"), F.col("xs")))
     d2 = (
-        V.dot(F.col("xs"), F.col("xs"))
+        F.col("_xx")
         - 2 * V.dot(F.col("xs"), F.col("cs"))
-        + V.dot(F.col("cs"), F.col("cs"))
+        + F.col("_cc")
     )
     assign = (
-        subs.join(F.broadcast(centd), "m")
+        subs_x.join(F.broadcast(centd), "m")
         .groupBy("vec_id", "m")
         .agg(
             F.min_by(
@@ -2369,11 +2393,15 @@ def q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc = assign.groupBy("vec_id").agg(F.sum("qd_fp").alias("adc_fp"))
     pq10 = adc.orderBy("adc_fp", "vec_id").limit(10).select("vec_id")
-    qfull = e.filter(F.col("vec_id") == 0).select(F.col("x").alias("qx"))
+    # r16: |qx|^2 hoisted into the 1-row broadcast (was re-evaluated per
+    # corpus row); same term order, bit-identical d.
+    qfull = e.filter(F.col("vec_id") == 0).select(
+        F.col("x").alias("qx"), V.dot(F.col("x"), F.col("x")).alias("_qq")
+    )
     ed2 = (
         V.dot(F.col("x"), F.col("x"))
         - 2 * V.dot(F.col("x"), F.col("qx"))
-        + V.dot(F.col("qx"), F.col("qx"))
+        + F.col("_qq")
     )
     exact10 = (
         e.join(F.broadcast(qfull))
@@ -2492,7 +2520,14 @@ def _pq_trained_oracle() -> str:
 def _pq_subs(e: DataFrame) -> DataFrame:
     """Corpus sliced into (vec_id, m, xs) subvectors behind a projection
     barrier — feeds the training rounds AND the encode pass (shared by the
-    trained-PQ recall query and the IVF-PQ top-k composition)."""
+    trained-PQ recall query and the IVF-PQ top-k composition).
+
+    r16: also carries ``_xx`` = |xs|^2, computed ONCE per subvector row
+    inside the barrier. Every assign/encode argmin downstream needs it per
+    candidate PAIR; inline it was re-evaluated K times per row (guide
+    §1.2). Consumers pair it with a ``_cc`` = |cs|^2 column on the
+    codebook side via _PQ_D2H — term-for-term the same expression as
+    _pq_sub_d2_sql, so distances stay bit-identical."""
     return (
         e.select(
             "vec_id",
@@ -2511,6 +2546,7 @@ def _pq_subs(e: DataFrame) -> DataFrame:
             ).alias("s"),
         )
         .select("vec_id", "s.m", "s.xs")
+        .withColumn("_xx", V.dot(F.col("xs"), F.col("xs")))
         .localCheckpoint(eager=False)
     )
 
@@ -2528,6 +2564,17 @@ def _pq_sub_d2_sql(x: str, c: str) -> str:
     return f"({_dot_sql(x, x)} - 2 * {_dot_sql(x, c)} + {_dot_sql(c, c)})"
 
 
+# Hoisted-norm variant (r16): same three terms in the same order, with the
+# two pair-invariant dots read from materialized columns (_xx from
+# _pq_subs, _cc from _cc_side) instead of re-folded per candidate pair.
+_PQ_D2H = f"(_xx - 2 * {_dot_sql('xs', 'cs')} + _cc)"
+
+
+def _cc_side(cb: DataFrame) -> DataFrame:
+    """Codebook side with its |cs|^2 hoisted (K rows — negligible)."""
+    return cb.withColumn("_cc", V.dot(F.col("cs"), F.col("cs")))
+
+
 def _pq_train_round(subs: DataFrame, cb: DataFrame) -> DataFrame:
     """One per-subspace k-means round: broadcast-argmin assignment (the
     subvector rides through the min_by struct, so no join-back to subs),
@@ -2537,12 +2584,12 @@ def _pq_train_round(subs: DataFrame, cb: DataFrame) -> DataFrame:
     query, r7). Identical math to the oracle's generate_subscripts form:
     per-index SUM(round(v*S)) and one IEEE division each."""
     a = (
-        subs.join(F.broadcast(cb), "m")
+        subs.join(F.broadcast(_cc_side(cb)), "m")
         .groupBy("vec_id", "m")
         .agg(
             F.expr(
                 f"min_by(struct(c, xs), "
-                f"struct({_pq_sub_d2_sql('xs', 'cs')} as d, c as cc))"
+                f"struct({_PQ_D2H} as d, c as cc))"
             ).alias("mm")
         )
     )
@@ -2601,6 +2648,7 @@ def _pq_centd(subs: DataFrame, cents: DataFrame) -> DataFrame:
             "c",
             "cs",
             F.round(qd * _PQ_SCALE).cast("long").alias("qd_fp"),
+            V.dot(F.col("cs"), F.col("cs")).alias("_cc"),  # r16 hoist
         )
         .localCheckpoint(eager=False)
     )
@@ -2616,7 +2664,7 @@ def _pq_adc_scores(cand_subs: DataFrame, centd: DataFrame) -> DataFrame:
         .agg(
             F.expr(
                 f"min_by(qd_fp, "
-                f"struct({_pq_sub_d2_sql('xs', 'cs')} as d, c as c))"
+                f"struct({_PQ_D2H} as d, c as c))"
             ).alias("qd_fp")
         )
     )
@@ -2652,11 +2700,14 @@ def q_pq_adc_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     centd = _pq_centd(subs, cents)
     adc = _pq_adc_scores(subs, centd)
     pq10 = adc.orderBy("adc_fp", "vec_id").limit(10).select("vec_id")
-    qfull = e.filter(F.col("vec_id") == 0).select(F.col("x").alias("qx"))
+    # r16: |qx|^2 hoisted into the 1-row broadcast (same order, bit-same).
+    qfull = e.filter(F.col("vec_id") == 0).select(
+        F.col("x").alias("qx"), V.dot(F.col("x"), F.col("x")).alias("_qq")
+    )
     ed2 = (
         V.dot(F.col("x"), F.col("x"))
         - 2 * V.dot(F.col("x"), F.col("qx"))
-        + V.dot(F.col("qx"), F.col("qx"))
+        + F.col("_qq")
     )
     exact10 = (
         e.join(F.broadcast(qfull))
@@ -5213,11 +5264,11 @@ def _vec_encode(
     twins (r16); codebooks broadcast (K + M*K rows)."""
     cells = _km_assign(df, coarse)
     codes = (
-        df_subs.join(F.broadcast(pcents), "m")
+        df_subs.join(F.broadcast(_cc_side(pcents)), "m")
         .groupBy("vec_id", "m")
         .agg(
             F.expr(
-                f"min_by(c, struct({_pq_sub_d2_sql('xs', 'cs')} as d, "
+                f"min_by(c, struct({_PQ_D2H} as d, "
                 "c as c))"
             ).alias("code")
         )
