@@ -789,7 +789,13 @@ _CLEAN_STEPS_SQL = r"""
 def q_clean_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.normalize import flight_key
 
-    ev = _t(spark, sf_dir, "events")
+    # r16 (guide §2.5 input skew): events is one single-row-group file, so
+    # the scan is one task and the 6-pass regex chain serialized on one
+    # core. Round-robin spread first — per-row regex cost >> shuffle cost
+    # for this projection shape (measured 1.11 -> 0.39 s exec at sf0.1;
+    # the same spread measured as a LOSS on scan->aggregate queries, so
+    # it is applied per-query, not in load_table).
+    ev = _spread(spark, _t(spark, sf_dir, "events"))
     base = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
     df = ev.withColumn("base", base)
     m = (F.col("event_id") % 10).cast("int")
@@ -984,7 +990,10 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("P2", "quality"),
 )
 def q_props_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    # r16 (guide §2.5): spread the single-row-group events scan — the
+    # per-row JSON parse + explode dominates the shuffle cost (measured
+    # 1.14 -> 0.78 s exec at sf0.1; per-query spread, see q_clean_ts).
+    ev = _spread(spark, _t(spark, sf_dir, "events"))
     k = F.get_json_object("props", "$.k")
     drifted = ev.select(
         "event_id",

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import MERGE_SPLIT_LIT, _register, _register_retired, _t
+from .catalog import MERGE_SPLIT_LIT, _register, _register_retired, _spread, _t
 from .northstar import _sql_md5_long
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -720,46 +720,52 @@ def q_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN routes r
       ON l.l_partkey = r.dep_key AND l.l_suppkey = r.arr_key
     """,
-    "Composite-key equi left join: route discovery (DISTINCT pairs + "
-    "deterministic md5 surrogate id) joined back on both key columns",
+    "Composite-key route lookup: route discovery (DISTINCT pairs + "
+    "deterministic md5 surrogate id) re-attached to every lineitem row. "
+    "r16 physical rewrite (guide §2.4/§8): the oracle keeps the DISTINCT-"
+    "pairs + two-key LEFT JOIN statement, but the engine exploits what "
+    "the optimizer cannot prove — the lookup side is derived from the "
+    "SAME table, so every (non-null) key pair matches exactly one route "
+    "row whose route_id is a pure function of the pair. The join is an "
+    "identity re-attachment; computing route_id inline per row removes "
+    "the DISTINCT shuffle, the 600k-row broadcast build, and the probe "
+    "(measured 2.4 s -> 0.3 s exec at sf0.1; plan: 4 scans/2 exchanges/"
+    "broadcast join -> 1 scan, zero exchanges). A NULL in either key "
+    "produced no match before, so the inline form guards both keys",
     reference="load_warehouse.py:236-243 (route_id lookup ON dep AND arr)",
     tags=("J4", "A2", "M6"),
 )
 def q_route_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    routes = (
-        li.select(
-            F.col("l_partkey").alias("dep_key"), F.col("l_suppkey").alias("arr_key")
-        )
-        .dropDuplicates()
-        .select(
-            "dep_key",
-            "arr_key",
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "_",
-                            F.col("dep_key").cast("string"),
-                            F.col("arr_key").cast("string"),
-                        )
-                    ),
-                    1,
-                    15,
+    # Spread the single-row-group lineitem scan: the md5+conv surrogate-id
+    # projection is per-row-CPU-bound, so one scan task serialized it
+    # (guide §2.5; measured with the inline rewrite: 2.36 -> 1.23 s exec).
+    li = _spread(spark, _t(spark, sf_dir, "lineitem"))
+    route_id = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("l_partkey").cast("string"),
+                        F.col("l_suppkey").cast("string"),
+                    )
                 ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("route_id"),
+                1,
+                15,
+            ),
+            16,
+            10,
         )
+        .cast("long")
     )
-    joined = li.join(
-        routes,
-        (li.l_partkey == routes.dep_key) & (li.l_suppkey == routes.arr_key),
-        "left",
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull(),
+            route_id,
+        ).alias("route_id"),
     )
-    return joined.select("l_orderkey", "l_linenumber", "route_id")
 
 
 # ===========================================================================
