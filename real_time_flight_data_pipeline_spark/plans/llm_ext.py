@@ -5888,10 +5888,23 @@ def q_docs_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_ok = excls.filter(F.col("ex_status").isNull()).select(
         "doc_id", "text"
     )
-    shin = _shingle_sets(exact_ok)
-    bands = _band_rows(shin).localCheckpoint(eager=False)
-    hshin = _shingle_sets(hist.select("doc_id", "text"))
-    hbands = _band_rows(hshin).localCheckpoint(eager=False)
+    # r16 (guide §1.2 / §2.4): ONE tagged shingle->minhash->band pipeline
+    # for both sides instead of two parallel ones — the per-row values are
+    # pure functions of text, the id sets are disjoint (a batch id present
+    # in history classifies 'replayed' and never reaches exact_ok), and
+    # the tag filters recover exactly the old two frames. Halves the
+    # pipeline's localCheckpoint barriers (each is a full Catalyst pass).
+    tagged = exact_ok.withColumn("_side", F.lit("b")).unionByName(
+        hist.select("doc_id", "text").withColumn("_side", F.lit("h"))
+    )
+    shin_all = _shingle_sets(tagged, carry=("_side",))
+    bands_all = _band_rows(shin_all, carry=("_side",)).localCheckpoint(
+        eager=False
+    )
+    shin = shin_all.filter(F.col("_side") == "b").drop("_side")
+    hshin = shin_all.filter(F.col("_side") == "h").drop("_side")
+    bands = bands_all.filter(F.col("_side") == "b").drop("_side")
+    hbands = bands_all.filter(F.col("_side") == "h").drop("_side")
 
     a, b = bands.alias("a"), bands.alias("b")
     cand_in = (
@@ -6371,7 +6384,10 @@ def q_docs_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     hist_raw = d.filter(F.col("doc_id") % 10 != 9)
-    htoks = toks_all.join(hist_raw.select("doc_id"), "doc_id", "semi")
+    # r16: the history slice of the tokenized corpus is a doc_id FILTER on
+    # toks_all (same id universe), not a semi join — one plan node, no
+    # join build (guide §2.4).
+    htoks = toks_all.filter(F.col("doc_id") % 10 != 9)
     hcont = decontaminate_from(htoks, bench).select("doc_id")
     live = (
         hist_raw.filter(quality_accept(hist_raw))
@@ -6394,9 +6410,16 @@ def q_docs_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_id", "fp"])
         .localCheckpoint(eager=False)
     )
-    btoks = braw.select(
-        "doc_id", TX.tokens(F.col("text")).alias("toks")
-    ).localCheckpoint(eager=False)
+    # r16: the corpus slice of the batch re-reads its tokens from the
+    # toks_all barrier (one tokenize of the corpus total); only the 9
+    # plant rows (ids >= 8M, texts not in the corpus frame) tokenize
+    # inline over the braw checkpoint. Same per-row values, one fewer
+    # Catalyst barrier and no second tokenize of the batch slice.
+    btoks = toks_all.filter(F.col("doc_id") % 10 == 9).unionByName(
+        braw.filter(F.col("doc_id") >= 8_000_000).select(
+            "doc_id", TX.tokens(F.col("text")).alias("toks")
+        )
+    )
     bcont = (
         decontaminate_from(btoks, bench)
         .select("doc_id")
@@ -6404,12 +6427,16 @@ def q_docs_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Gates-first, in the store's order: prefilter (decon) drops before
     # the accept Column is even evaluated; the twin classifies instead.
-    gated = braw.join(bcont.hint("shuffle_hash"), "doc_id", "left").withColumn(
-        "_ok", quality_accept(braw)
+    # r16: the barrier moved from `surv` to `gated` — gated feeds the
+    # final classification AND the survivor tier, so checkpointing it
+    # evaluates the decon prefilter join ONCE instead of twice; surv is
+    # a plain filter over the cached frame.
+    gated = (
+        braw.join(bcont.hint("shuffle_hash"), "doc_id", "left")
+        .withColumn("_ok", quality_accept(braw))
+        .localCheckpoint(eager=False)
     )
-    surv = gated.filter(
-        F.col("_cont").isNull() & F.col("_ok")
-    ).localCheckpoint(eager=False)
+    surv = gated.filter(F.col("_cont").isNull() & F.col("_ok"))
 
     reps = surv.groupBy("fp").agg(F.min("doc_id").alias("rep"))
     excls = (
@@ -6442,10 +6469,21 @@ def q_docs_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_ok = excls.filter(F.col("ex_status").isNull()).select(
         "doc_id", "text"
     )
-    shin = _shingle_sets(exact_ok)
-    bands = _band_rows(shin).localCheckpoint(eager=False)
-    lshin = _shingle_sets(live.select("doc_id", "text"))
-    lbands = _band_rows(lshin).localCheckpoint(eager=False)
+    # r16: ONE tagged shingle->band pipeline for batch + live history
+    # (same consolidation as docs_near_dup_ingest — ids are disjoint
+    # because a batch id present in live classifies 'replayed'; per-row
+    # values unchanged; halves the band-tier barriers).
+    tagged = exact_ok.withColumn("_side", F.lit("b")).unionByName(
+        live.select("doc_id", "text").withColumn("_side", F.lit("h"))
+    )
+    shin_all = _shingle_sets(tagged, carry=("_side",))
+    bands_all = _band_rows(shin_all, carry=("_side",)).localCheckpoint(
+        eager=False
+    )
+    shin = shin_all.filter(F.col("_side") == "b").drop("_side")
+    lshin = shin_all.filter(F.col("_side") == "h").drop("_side")
+    bands = bands_all.filter(F.col("_side") == "b").drop("_side")
+    lbands = bands_all.filter(F.col("_side") == "h").drop("_side")
 
     a, b = bands.alias("a"), bands.alias("b")
     cand_in = (

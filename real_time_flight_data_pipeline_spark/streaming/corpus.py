@@ -650,10 +650,13 @@ _BANDS_READ_SCHEMA = T.StructType(
 )
 
 
-def _shingle_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh): distinct 3-token shingles, behind a barrier (the set
-    feeds hashing AND the verify join — same CollapseProject guard as the
-    batch detector)."""
+def _shingle_sets(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *carry, sh): distinct 3-token shingles, behind a barrier
+    (the set feeds hashing AND the verify join — same CollapseProject
+    guard as the batch detector). ``carry`` names passthrough columns
+    (r16: the ingest twins tag batch/history sides and run BOTH through
+    ONE pipeline, halving the barrier count; shingles are per-row
+    functions of text, so the values are unchanged)."""
     from ..functions import text as TX
 
     # Tokenize behind its own barrier first: shingles() references the
@@ -661,23 +664,26 @@ def _shingle_sets(docs: DataFrame) -> DataFrame:
     # split per reference (the same CollapseProject trap the batch
     # detector guards; measured 2.3x on the minhash stage, r12).
     toks = docs.select(
-        "doc_id", TX.tokens(F.col("text")).alias("toks")
+        "doc_id", *carry, TX.tokens(F.col("text")).alias("toks")
     ).localCheckpoint(eager=False)
     return toks.select(
         "doc_id",
+        *carry,
         F.array_distinct(TX.shingles(F.col("toks"), _SHINGLE_K)).alias("sh"),
     ).localCheckpoint(eager=False)
 
 
-def _band_rows(shin: DataFrame) -> DataFrame:
-    """(doc_id, band_idx, band_key) LSH band table from shingle sets."""
+def _band_rows(shin: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *carry, band_idx, band_key) LSH band table from shingle
+    sets."""
     from ..functions import text as TX
 
     hsh = shin.select(
-        "doc_id", TX.shingle_base_hashes(F.col("sh")).alias("hs")
+        "doc_id", *carry, TX.shingle_base_hashes(F.col("sh")).alias("hs")
     ).localCheckpoint(eager=False)
     mh = hsh.select(
         "doc_id",
+        *carry,
         *[
             TX.minhash_from_hashes(F.col("hs"), s).alias(f"mh{s}")
             for s in range(_N_MINHASH)
@@ -685,6 +691,7 @@ def _band_rows(shin: DataFrame) -> DataFrame:
     )
     return mh.select(
         "doc_id",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -702,7 +709,7 @@ def _band_rows(shin: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_key")
+    ).select("doc_id", *carry, "band.band_idx", "band.band_key")
 
 
 def _verify_pairs(cand: DataFrame, sa: DataFrame, sb: DataFrame) -> DataFrame:
