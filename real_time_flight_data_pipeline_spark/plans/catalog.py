@@ -106,12 +106,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Round-robin repartition an under-partitioned input to the session's
-    parallelism. Single-file local inputs arrive as one task; CPU-heavy
-    scalar stages (hashing, regex, per-row lambdas) must not serialize on
-    it. On a real cluster the source is already split, so this is a no-op.
+    parallelism. Single-file local inputs arrive as one task (a parquet
+    scan cannot split below a row-group boundary); CPU-heavy scalar
+    stages (hashing, regex, per-row lambdas) must not serialize on it.
+    On a real cluster the source is already split, so this is a no-op.
+
+    r16: frames straight from sources/parquet.load_table carry the
+    footer-derived effective split count (_ff_scan_splits), so the
+    under-partitioned test costs a ~0.3 ms metadata read instead of a
+    df.rdd round trip that plans the whole scan JVM-side (~64 ms,
+    measured — ~10 s of sweep build across the ~50 call sites x 3 runs).
+    Derived frames (unions) still fall back to asking Spark.
     """
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    splits = getattr(df, "_ff_scan_splits", None)
+    if splits is None:
+        splits = df.rdd.getNumPartitions()
+    if splits < max(2, target // 2):
         return df.repartition(target)
     return df
 
