@@ -182,9 +182,19 @@ _SQL_QUALITY = f"""
     tags=("dedup", "sampling", "northstar"),
 )
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r16: quality_score fans tokens(text) into several interpreted-HOF
+    # terms — tokenize once behind a barrier (same fix and measurement
+    # as docs_quality_filter).
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    scored = docs.select(
-        "doc_id", "source", TX.quality_score(F.col("text")).alias("quality_score")
+    base = docs.select(
+        "doc_id", "source", "text", TX.tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+    scored = base.select(
+        "doc_id",
+        "source",
+        TX.quality_score_from(F.col("text"), F.col("toks")).alias(
+            "quality_score"
+        ),
     )
     w = Window.partitionBy("source").orderBy(F.desc("quality_score"), "doc_id")
     return (

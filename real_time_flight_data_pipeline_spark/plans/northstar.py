@@ -178,22 +178,32 @@ _SQL_LANG_CASE = (
     tags=("text", "northstar"),
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r16 (guide §1.2): the stat fan-out referenced tokens(text) ~50x in
+    # one projection. Catalyst inlines the tokenize into each reference
+    # and the references sit inside interpreted higher-order functions,
+    # which runtime codegen CSE does NOT reach — so every row paid ~50
+    # split+filter passes (measured 10x on the quality-filter shape).
+    # Tokenize ONCE behind a barrier; every stat reads the materialized
+    # array via the *_from variants. Same expressions, same values.
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    t = F.col("text")
-    return docs.select(
+    base = docs.select(
+        "doc_id", "text", TX.tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+    t, toks = F.col("text"), F.col("toks")
+    return base.select(
         "doc_id",
-        TX.token_count(t).alias("n_tokens"),
+        F.size(toks).alias("n_tokens"),
         TX.bpe_ish_token_count(t).alias("n_bpe_tokens"),
         TX.punct_ratio(t).alias("punct_ratio"),
         F.when(
-            TX.token_count(t) > 0,
-            F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / TX.token_count(t),
+            F.size(toks) > 0,
+            F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / F.size(toks),
         )
         .otherwise(F.lit(0.0))
         .alias("mean_token_len"),
-        TX.stopword_ratio(t, "en").alias("stopword_ratio_en"),
-        TX.quality_score(t).alias("quality_score"),
-        TX.lang_id(t).alias("lang_pred"),
+        TX.stopword_ratio_from(toks, "en").alias("stopword_ratio_en"),
+        TX.quality_score_from(t, toks).alias("quality_score"),
+        TX.lang_id_from(toks).alias("lang_pred"),
     )
 
 
@@ -215,12 +225,17 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "northstar", "A6"),
 )
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # r16: lang_id references the token array once per language counter
+    # (x4 langs x hits+best), all inside interpreted HOFs that re-run the
+    # inlined tokenize per reference — tokenize once behind a barrier
+    # (same fix and measurement as q_text_stats).
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.col("lang").alias("lang_true"),
+        TX.tokens(F.col("text")).alias("toks"),
+    ).localCheckpoint(eager=False)
     return (
-        docs.select(
-            F.col("lang").alias("lang_true"),
-            TX.lang_id(F.col("text")).alias("lang_pred"),
-        )
+        toks.select("lang_true", TX.lang_id_from(F.col("toks")).alias("lang_pred"))
         .groupBy("lang_true", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -264,9 +279,16 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "northstar"),
 )
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r16: the toks projection used to be left collapsible ("collapses
+    # back into the scan — same single-pass plan"); measured, that
+    # single-Project form re-ran the inlined tokenize per HOF reference
+    # (~19 copies) because codegen CSE does not reach interpreted HOF
+    # subtrees: 1.58 -> 0.18 s exec at sf0.1 with the barrier.
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return quality_filter_from(
-        docs.select("doc_id", "text", TX.tokens(F.col("text")).alias("toks"))
+        docs.select(
+            "doc_id", "text", TX.tokens(F.col("text")).alias("toks")
+        ).localCheckpoint(eager=False)
     )
 
 
