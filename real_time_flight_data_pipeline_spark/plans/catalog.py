@@ -127,6 +127,27 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+def _spread_hash(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition an under-partitioned input on ``key`` so the
+    aggregate above it parallelizes (guide §2.5 input skew: the testdata
+    tables are single-row-group files — one scan task no matter the split
+    count). Hash, NOT round-robin: a keyless repartition first pays
+    sortBeforeRepartition's local sort of the whole input ON the single
+    scan task (measured a net LOSS on every scan->aggregate query), while
+    hash partitioning is deterministic per row and ships rows straight
+    out (measured 1.22 -> 0.86 s on the Q1 aggregate at sf0.1). Partial
+    aggregation still runs before the SECOND (groupBy) exchange; the
+    catalog's exact scaled-long convention makes the regrouped partial
+    sums bit-identical. No-op on inputs that can already parallelize."""
+    target = spark.sparkContext.defaultParallelism
+    splits = getattr(df, "_ff_scan_splits", None)
+    if splits is None:
+        splits = df.rdd.getNumPartitions()
+    if splits < max(2, target // 2):
+        return df.repartition(target, F.col(key))
+    return df
+
+
 # ===========================================================================
 # A1 — latest-per-key dedup (the reference's DISTINCT ON, 7 call sites)
 # ===========================================================================
@@ -613,7 +634,11 @@ def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A6", "bench"),
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # r16: hash-spread the single-row-group fact scan so the partial
+    # aggregate parallelizes (guide §2.5; measured 1.22 -> 0.86 s on this
+    # shape at sf0.1 — round-robin spread measured a LOSS from its
+    # pre-sort; exact long sums keep regrouped partials bit-identical).
+    li = _spread_hash(spark, _t(spark, sf_dir, "lineitem"), "l_orderkey")
     qty = F.col("l_quantity").cast("long")
     price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_p = F.round(F.col("l_discount") * 100).cast("long")

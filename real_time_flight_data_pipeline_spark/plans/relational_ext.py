@@ -11,7 +11,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import MERGE_SPLIT_LIT, _register, _register_retired, _spread, _t
+from .catalog import (
+    MERGE_SPLIT_LIT,
+    _register,
+    _register_retired,
+    _spread,
+    _spread_hash,
+    _t,
+)
 from .northstar import _sql_md5_long
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -1296,7 +1303,8 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("J1", "A6", "bench"),
 )
 def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # r16: hash-spread (see q_rollup_lineitem / catalog._spread_hash).
+    li = _spread_hash(spark, _t(spark, sf_dir, "lineitem"), "l_orderkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
     rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
         100 - F.round(F.col("l_discount") * 100).cast("long")
@@ -1336,7 +1344,8 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("J1", "A6", "bench"),
 )
 def q_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # r16: hash-spread (see q_rollup_lineitem / catalog._spread_hash).
+    li = _spread_hash(spark, _t(spark, sf_dir, "lineitem"), "l_orderkey")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
@@ -1767,7 +1776,10 @@ def q_promo_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("rollup",),
 )
 def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # r16: hash-spread the single-row-group fact scan (guide §2.5) so the
+    # partial aggregate parallelizes; exact long sums make the regrouped
+    # partials bit-identical. See catalog._spread_hash.
+    li = _spread_hash(spark, _t(spark, sf_dir, "lineitem"), "l_orderkey")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("integer").alias("g_flag"),
         F.grouping("l_linestatus").cast("integer").alias("g_status"),
@@ -1917,6 +1929,9 @@ def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("J1", "A6", "topk", "tpch"),
 )
 def q_returned_item_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r16: hash-spread measured a LOSS here (+0.14 s) — the selective
+    # returnflag/date filter shrinks the scan output first, so the added
+    # exchange outweighs parallel aggregation. Deliberately left direct.
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -1984,7 +1999,8 @@ def q_returned_item_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A6", "subquery", "tpch"),
 )
 def q_brand_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # r16: hash-spread (see q_rollup_lineitem / catalog._spread_hash).
+    li = _spread_hash(spark, _t(spark, sf_dir, "lineitem"), "l_partkey")
     part = _t(spark, sf_dir, "part")
     pq = li.groupBy("l_partkey").agg(
         (
@@ -2319,7 +2335,8 @@ def q_events_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "window", "A6"),
 )
 def q_monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # r16: hash-spread (see q_rollup_lineitem / catalog._spread_hash).
+    li = _spread_hash(spark, _t(spark, sf_dir, "lineitem"), "l_orderkey")
     monthly = li.groupBy(
         F.to_date(F.date_trunc("month", F.col("l_shipdate"))).alias("month")
     ).agg(
