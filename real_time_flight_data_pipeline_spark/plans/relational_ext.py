@@ -1167,22 +1167,43 @@ def q_user_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "A6"),
 )
 def q_user_value_mad_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r16 (guide §2.4 share one exchange): the old form shuffled events by
+    # user_id TWICE (median pass, then the deviation pass) and joined
+    # twice more on the same key. One groupBy now collects each user's
+    # sorted cents once; both medians come from the array with EXACTLY
+    # percentile(_, 0.5)'s arithmetic — odd n reads the middle element,
+    # even n averages the two middle ones ((a+b)/2 on integer-valued
+    # doubles is exact, bit-equal to percentile's 0.5a+0.5b), and
+    # collect_list drops NULLs exactly where percentile ignores them
+    # while n keeps counting all rows. 1 Exchange, 0 joins (was 3
+    # Exchanges, 2 joins); oracle statement unchanged.
     cents = _t(spark, sf_dir, "events").select(
         "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
-    med = cents.groupBy("user_id").agg(
+
+    def arr_median(c: Column) -> Column:
+        n = F.size(c)
+        k = ((n - 1) / 2).cast("int")  # 0-based lower-middle index
+        lo = F.get(c, k).cast("double")
+        hi = F.get(c, k + 1).cast("double")
+        return F.when(n == 0, F.lit(None).cast("double")).otherwise(
+            F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2)
+        )
+
+    g = cents.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.expr("percentile(cents, 0.5)").alias("med"),
+        F.sort_array(F.collect_list("cents")).alias("cs"),
     )
-    adev = cents.join(med.select("user_id", "med"), "user_id").select(
-        "user_id", F.abs(F.col("cents") - F.col("med")).alias("adev")
+    med = arr_median(F.col("cs"))
+    g2 = g.select("user_id", "n", "cs", med.alias("med"))
+    ads = F.sort_array(
+        F.transform(F.col("cs"), lambda x: F.abs(x - F.col("med")))
     )
-    mad = adev.groupBy("user_id").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
-    return med.join(mad, "user_id").select(
+    return g2.select(
         "user_id",
         "n",
         (F.col("med") / 100).alias("median_value"),
-        (F.col("mad") / 100).alias("mad_value"),
+        (arr_median(ads) / 100).alias("mad_value"),
     )
 
 
