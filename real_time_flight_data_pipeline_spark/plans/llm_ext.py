@@ -310,8 +310,12 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    # r16: toks behind a barrier — the size/filter/array_distinct fan-out
+    # plus the bigram slices re-ran the inlined tokenize per reference
+    # (same interpreted-HOF CSE gap as docs_quality_filter).
     base = (
         docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+        .localCheckpoint(eager=False)
         .withColumn("n", F.size("toks"))
         .filter(F.col("n") >= 2)
         .withColumn("nd", F.size(F.array_distinct("toks")))
