@@ -638,7 +638,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate parallelizes (guide §2.5; measured 1.22 -> 0.86 s on this
     # shape at sf0.1 — round-robin spread measured a LOSS from its
     # pre-sort; exact long sums keep regrouped partials bit-identical).
-    li = _spread_hash(spark, _t(spark, sf_dir, "lineitem"), "l_orderkey")
+    # r17: keyed on l_shipdate (already in the filter) instead of
+    # l_orderkey so the repartition key never widens the scan's
+    # ReadSchema — 7 columns, not 8 (tests/test_scan_pushdown.py).
+    li = _spread_hash(spark, _t(spark, sf_dir, "lineitem"), "l_shipdate")
     qty = F.col("l_quantity").cast("long")
     price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_p = F.round(F.col("l_discount") * 100).cast("long")

@@ -6374,28 +6374,31 @@ def q_docs_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     bench = _decon_bench_grams(toks_all).localCheckpoint(eager=False)
 
-    hist_plants = spark.createDataFrame(
-        [
-            (8_000_001, _CURATED_T1),
-            (8_000_002, _CURATED_T2),
-            (8_000_003, _CURATED_T4),
-            (8_000_004, _CURATED_T5),
-        ],
-        "doc_id long, text string",
-    )
-    batch_plants = spark.createDataFrame(
-        [
-            (8_000_001, _CURATED_T1),          # tombstoned id -> accepted
-            (8_000_002, _CURATED_T2),          # live id -> replayed
-            (9_000_001, _CURATED_T5),          # live text, new id -> dup_hist
-            (9_000_002, _CURATED_T4),          # DEAD text, new id -> accepted
-            (9_000_003, _CURATED_T2 + " zq"),  # near-copy of live -> near_dup
-            (9_000_004, _CURATED_T3),          # fresh -> accepted
-            (9_000_005, _CURATED_T3),          # in-batch clone -> dup_batch
-            (9_000_006, _CURATED_BAD),         # gate fail -> rejected
-        ],
-        "doc_id long, text string",
-    )
+    hist_plant_rows = [
+        (8_000_001, _CURATED_T1),
+        (8_000_002, _CURATED_T2),
+        (8_000_003, _CURATED_T4),
+        (8_000_004, _CURATED_T5),
+    ]
+    batch_plant_rows = [
+        (8_000_001, _CURATED_T1),          # tombstoned id -> accepted
+        (8_000_002, _CURATED_T2),          # live id -> replayed
+        (9_000_001, _CURATED_T5),          # live text, new id -> dup_hist
+        (9_000_002, _CURATED_T4),          # DEAD text, new id -> accepted
+        (9_000_003, _CURATED_T2 + " zq"),  # near-copy of live -> near_dup
+        (9_000_004, _CURATED_T3),          # fresh -> accepted
+        (9_000_005, _CURATED_T3),          # in-batch clone -> dup_batch
+        (9_000_006, _CURATED_BAD),         # gate fail -> rejected
+    ]
+    # Plant-id class invariant (r17, ADVICE): the batch's corpus slice is
+    # doc_id % 10 == 9 and its tokens come from the toks_all barrier; the
+    # plants must therefore occupy the COMPLEMENT class (id % 10 != 9) so
+    # the `btoks` rebuild below (braw.filter(% 10 != 9) tokenized inline)
+    # is exactly "everything not already tokenized in toks_all".
+    _plant_ids = [i for i, _ in hist_plant_rows + batch_plant_rows] + [9_000_007]
+    assert all(i % 10 != 9 for i in _plant_ids), "plant id in the corpus-batch class"
+    hist_plants = spark.createDataFrame(hist_plant_rows, "doc_id long, text string")
+    batch_plants = spark.createDataFrame(batch_plant_rows, "doc_id long, text string")
 
     hist_raw = d.filter(F.col("doc_id") % 10 != 9)
     # r16: the history slice of the tokenized corpus is a doc_id FILTER on
@@ -6426,11 +6429,14 @@ def q_docs_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r16: the corpus slice of the batch re-reads its tokens from the
     # toks_all barrier (one tokenize of the corpus total); only the 9
-    # plant rows (ids >= 8M, texts not in the corpus frame) tokenize
-    # inline over the braw checkpoint. Same per-row values, one fewer
-    # Catalyst barrier and no second tokenize of the batch slice.
+    # plant rows (texts not in the corpus frame) tokenize inline over
+    # the braw checkpoint. Same per-row values, one fewer Catalyst
+    # barrier and no second tokenize of the batch slice.
+    # r17 (ADVICE): the inline-tokenize slice is the EXACT complement of
+    # the toks_all slice (doc_id % 10 != 9) instead of the 8M magic
+    # number; the plant-id class assertion above guarantees equivalence.
     btoks = toks_all.filter(F.col("doc_id") % 10 == 9).unionByName(
-        braw.filter(F.col("doc_id") >= 8_000_000).select(
+        braw.filter(F.col("doc_id") % 10 != 9).select(
             "doc_id", TX.tokens(F.col("text")).alias("toks")
         )
     )

@@ -8,7 +8,7 @@ same determinism rules as catalog.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import (
@@ -1199,11 +1199,18 @@ def q_user_value_mad_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ads = F.sort_array(
         F.transform(F.col("cs"), lambda x: F.abs(x - F.col("med")))
     )
-    return g2.select(
+    # r17: materialize the sorted-deviation array in its OWN projection
+    # (like `med` above) — inlining it into arr_median re-evaluated the
+    # interpreted sort_array(transform(...)) ~7x per row (the r16
+    # after-plan's node (7)); CollapseProject's cheapness check keeps a
+    # multiply-referenced non-trivial alias from being re-inlined, so
+    # this evaluates the HOF exactly once. Same values, same arithmetic.
+    g3 = g2.select("user_id", "n", "med", ads.alias("ads"))
+    return g3.select(
         "user_id",
         "n",
         (F.col("med") / 100).alias("median_value"),
-        (arr_median(ads) / 100).alias("mad_value"),
+        (arr_median(F.col("ads")) / 100).alias("mad_value"),
     )
 
 
@@ -1325,7 +1332,9 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r16: hash-spread (see q_rollup_lineitem / catalog._spread_hash).
-    li = _spread_hash(spark, _t(spark, sf_dir, "lineitem"), "l_orderkey")
+    # r17: keyed on l_partkey (the join key, already scanned) so the
+    # repartition never widens the scan's ReadSchema.
+    li = _spread_hash(spark, _t(spark, sf_dir, "lineitem"), "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
     rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
         100 - F.round(F.col("l_discount") * 100).cast("long")
@@ -1366,7 +1375,9 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r16: hash-spread (see q_rollup_lineitem / catalog._spread_hash).
-    li = _spread_hash(spark, _t(spark, sf_dir, "lineitem"), "l_orderkey")
+    # r17: keyed on l_suppkey (the join key, already scanned) so the
+    # repartition never widens the scan's ReadSchema.
+    li = _spread_hash(spark, _t(spark, sf_dir, "lineitem"), "l_suppkey")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
@@ -1800,7 +1811,9 @@ def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r16: hash-spread the single-row-group fact scan (guide §2.5) so the
     # partial aggregate parallelizes; exact long sums make the regrouped
     # partials bit-identical. See catalog._spread_hash.
-    li = _spread_hash(spark, _t(spark, sf_dir, "lineitem"), "l_orderkey")
+    # r17: keyed on l_extendedprice (already aggregated, near-unique) so
+    # the repartition never widens the scan's ReadSchema.
+    li = _spread_hash(spark, _t(spark, sf_dir, "lineitem"), "l_extendedprice")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("integer").alias("g_flag"),
         F.grouping("l_linestatus").cast("integer").alias("g_status"),
@@ -2357,7 +2370,9 @@ def q_events_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r16: hash-spread (see q_rollup_lineitem / catalog._spread_hash).
-    li = _spread_hash(spark, _t(spark, sf_dir, "lineitem"), "l_orderkey")
+    # r17: keyed on l_shipdate (already grouped on) so the repartition
+    # never widens the scan's ReadSchema.
+    li = _spread_hash(spark, _t(spark, sf_dir, "lineitem"), "l_shipdate")
     monthly = li.groupBy(
         F.to_date(F.date_trunc("month", F.col("l_shipdate"))).alias("month")
     ).agg(

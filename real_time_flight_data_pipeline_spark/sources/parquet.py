@@ -47,11 +47,30 @@ def _ensure_runtime_confs(spark: SparkSession) -> None:
 _RG_CACHE: dict[tuple[str, int, float], int] = {}
 
 
-def _scan_splits(path: str) -> int | None:
+def _max_partition_bytes(spark: SparkSession) -> int:
+    """spark.sql.files.maxPartitionBytes as an int (default 128 MiB)."""
+    try:
+        raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+        raw = raw.strip().lower()
+        mult = 1
+        for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                          ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+            if raw.endswith(suffix):
+                raw, mult = raw[: -len(suffix)], m
+                break
+        return int(raw) * mult
+    except Exception:
+        return 128 * 1024 * 1024
+
+
+def _scan_splits(path: str, max_part_bytes: int = 128 * 1024 * 1024) -> int | None:
     """Effective scan parallelism of a parquet file: Spark cannot split a
     scan below a row-group boundary, so one file's usable task count is
-    its row-group count (byte-range splits beyond that are empty). None
-    when the probe cannot answer (caller falls back to asking Spark)."""
+    capped by its row-group count (byte-range splits beyond that are
+    empty) — AND by the byte-range split count Spark will actually plan,
+    ceil(size / maxPartitionBytes): a small file with many row groups
+    still scans as ONE task (r17, ADVICE). None when the probe cannot
+    answer (caller falls back to asking Spark)."""
     try:
         st = os.stat(path)
         key = (os.path.realpath(path), st.st_size, st.st_mtime)
@@ -61,7 +80,8 @@ def _scan_splits(path: str) -> int | None:
 
             n = pq.ParquetFile(path).metadata.num_row_groups
             _RG_CACHE[key] = n
-        return n
+        byte_splits = max(1, -(-st.st_size // max(1, max_part_bytes)))
+        return min(n, byte_splits)
     except Exception:
         return None
 
@@ -80,7 +100,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(c, F.to_utc_timestamp(F.col(c), "UTC"))
     # Single-file layout: the footer answers "how parallel can this scan
     # be" without a JVM round trip; _spread reads it via this attribute.
-    df._ff_scan_splits = _scan_splits(path)
+    df._ff_scan_splits = _scan_splits(path, _max_partition_bytes(spark))
     return df
 
 
